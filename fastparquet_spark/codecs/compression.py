@@ -1,0 +1,66 @@
+"""Block compression codecs for page bodies.
+
+The reference routes through cramjam (fastparquet/compression.py:8-94);
+cramjam is not available here, so we use pyarrow's bundled codecs, which
+produce the exact framing Parquet specifies (raw snappy, gzip member
+stream, zstd frame), with a zlib fallback for GZIP.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow as pa
+
+# Parquet CompressionCodec ids (reference parquet_thrift ttypes.py:216-223)
+UNCOMPRESSED, SNAPPY, GZIP, LZO, BROTLI, LZ4, ZSTD, LZ4_RAW = range(8)
+
+_PA_NAMES = {SNAPPY: "snappy", GZIP: "gzip", BROTLI: "brotli", ZSTD: "zstd", LZ4_RAW: "lz4_raw"}
+
+CODECS: dict[str, int] = {"UNCOMPRESSED": UNCOMPRESSED, "NONE": UNCOMPRESSED}
+for _id, _name in _PA_NAMES.items():
+    try:
+        pa.Codec(_name)
+    except (ValueError, NotImplementedError):
+        continue
+    CODECS[_name.upper()] = _id
+if "GZIP" not in CODECS:
+    CODECS["GZIP"] = GZIP  # zlib fallback always available
+
+
+def codec_id(name: str | int) -> int:
+    if isinstance(name, int):
+        return name
+    key = (name or "UNCOMPRESSED").upper()
+    if key not in CODECS:
+        raise ValueError(f"codec {name!r} unavailable; have {sorted(CODECS)}")
+    return CODECS[key]
+
+
+def compress(data: bytes, codec: int) -> bytes:
+    if codec == UNCOMPRESSED:
+        return data
+    if codec in _PA_NAMES:
+        try:
+            return pa.Codec(_PA_NAMES[codec]).compress(data).to_pybytes()
+        except (ValueError, NotImplementedError):
+            if codec != GZIP:
+                raise
+    if codec == GZIP:
+        co = zlib.compressobj(9, zlib.DEFLATED, 16 + 15)  # gzip member framing
+        return co.compress(data) + co.flush()
+    raise ValueError(f"unsupported codec id {codec}")
+
+
+def decompress(data: bytes, codec: int, uncompressed_size: int) -> bytes:
+    if codec == UNCOMPRESSED:
+        return data
+    if codec in _PA_NAMES:
+        try:
+            return pa.Codec(_PA_NAMES[codec]).decompress(data, uncompressed_size).to_pybytes()
+        except (ValueError, NotImplementedError):
+            if codec != GZIP:
+                raise
+    if codec == GZIP:
+        return zlib.decompress(data, 16 + 15)
+    raise ValueError(f"unsupported codec id {codec}")

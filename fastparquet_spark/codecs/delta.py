@@ -1,0 +1,110 @@
+"""DELTA_BINARY_PACKED (frame-of-reference + zigzag min-delta) codec.
+
+The reference only DECODES this encoding (fastparquet/cencoding.pyx:213-242);
+we implement the encoder spec-compliantly from that decoder's framing so
+standard readers (pyarrow, DuckDB, Spark) accept our pages:
+
+    <block_size varint> <miniblocks_per_block varint> <total_count varint>
+    <first_value zigzag varint>
+    per block:
+      <min_delta zigzag varint>
+      <bit_width byte> * miniblocks_per_block
+      <bit-packed deltas, values_per_miniblock each, LSB-first>
+
+Deltas stored are ``delta - min_delta`` (non-negative).  We use the
+conventional block_size=128, miniblocks=4 (32 values per miniblock).
+Everything is numpy: deltas via ``np.diff``, per-block min/width via a
+reshape, packing via ``pack_bits``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fastparquet_spark.codecs.bitpack import pack_bits, unpack_bits
+from fastparquet_spark.codecs.varint import (
+    uvarint_decode,
+    uvarint_encode,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+BLOCK_SIZE = 128
+MINIBLOCKS = 4
+VALUES_PER_MINIBLOCK = BLOCK_SIZE // MINIBLOCKS
+
+
+def delta_encode(values: np.ndarray) -> bytes:
+    """Encode an int array (int32/int64) as DELTA_BINARY_PACKED."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(v)
+    header = (
+        uvarint_encode(BLOCK_SIZE)
+        + uvarint_encode(MINIBLOCKS)
+        + uvarint_encode(n)
+        + uvarint_encode(int(zigzag_encode(int(v[0]))) if n else 0)
+    )
+    if n <= 1:
+        return header
+    deltas = np.diff(v)
+    nblocks = (len(deltas) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.int64)
+    padded[: len(deltas)] = deltas
+    parts = [header]
+    for b in range(nblocks):
+        blk = padded[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE]
+        nreal = min(len(deltas) - b * BLOCK_SIZE, BLOCK_SIZE)
+        min_delta = int(blk[:nreal].min())
+        blk = blk - min_delta
+        # padding deltas must also be >= 0 after FoR shift
+        blk[nreal:] = 0
+        mb = blk.reshape(MINIBLOCKS, VALUES_PER_MINIBLOCK).astype(np.uint64)
+        used_mbs = (nreal + VALUES_PER_MINIBLOCK - 1) // VALUES_PER_MINIBLOCK
+        widths = np.zeros(MINIBLOCKS, dtype=np.uint8)
+        for m in range(used_mbs):
+            widths[m] = int(mb[m].max()).bit_length()
+        parts.append(uvarint_encode(int(zigzag_encode(min_delta))))
+        parts.append(widths.tobytes())
+        for m in range(used_mbs):
+            if widths[m]:
+                parts.append(pack_bits(mb[m], int(widths[m])))
+    return b"".join(parts)
+
+
+def delta_decode(buf, offset: int = 0, count: int | None = None) -> tuple[np.ndarray, int]:
+    """Decode DELTA_BINARY_PACKED; returns (int64 ndarray, next_pos)."""
+    pos = offset
+    block_size, pos = uvarint_decode(buf, pos)
+    miniblocks, pos = uvarint_decode(buf, pos)
+    total, pos = uvarint_decode(buf, pos)
+    if count is not None and count != total:
+        raise ValueError(f"count mismatch: header {total} != expected {count}")
+    zz_first, pos = uvarint_decode(buf, pos)
+    first = int(zigzag_decode(zz_first))
+    vpm = block_size // miniblocks
+    out = np.empty(total, dtype=np.int64)
+    if total:
+        out[0] = first
+    ndeltas = total - 1 if total else 0
+    deltas = np.empty(ndeltas, dtype=np.int64)
+    got = 0
+    while got < ndeltas:
+        zz_md, pos = uvarint_decode(buf, pos)
+        min_delta = int(zigzag_decode(zz_md))
+        widths = np.frombuffer(buf, np.uint8, count=miniblocks, offset=pos)
+        pos += miniblocks
+        for m in range(miniblocks):
+            if got >= ndeltas:
+                break
+            w = int(widths[m])
+            if w:
+                vals = unpack_bits(buf, w, vpm, offset=pos).astype(np.int64)
+                pos += (vpm * w + 7) // 8
+            else:
+                vals = np.zeros(vpm, dtype=np.int64)
+            take = min(vpm, ndeltas - got)
+            deltas[got : got + take] = vals[:take] + min_delta
+            got += take
+    if total > 1:
+        out[1:] = first + np.cumsum(deltas)
+    return out, pos

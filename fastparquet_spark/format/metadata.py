@@ -1,0 +1,111 @@
+"""Parquet thrift struct specs + enums.
+
+Field ids/types mirror the official parquet.thrift as vendored by the
+reference (fastparquet/parquet_thrift/parquet/ttypes.py; enum values at
+:27-34 Type, :170-177 Encoding, :216-223 CompressionCodec, :67-127
+ConvertedType) — these are the Parquet spec constants, public knowledge.
+Only the fields our writer/reader use are declared; the thrift reader
+skips anything else.
+"""
+
+# ---- enums -----------------------------------------------------------------
+class Type:
+    BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FIXED_LEN_BYTE_ARRAY = range(8)
+
+
+class Encoding:
+    PLAIN = 0
+    PLAIN_DICTIONARY = 2
+    RLE = 3
+    BIT_PACKED = 4
+    DELTA_BINARY_PACKED = 5
+    DELTA_LENGTH_BYTE_ARRAY = 6
+    DELTA_BYTE_ARRAY = 7
+    RLE_DICTIONARY = 8
+
+
+class Codec:
+    UNCOMPRESSED, SNAPPY, GZIP, LZO, BROTLI, LZ4, ZSTD, LZ4_RAW = range(8)
+
+
+class PageType:
+    DATA_PAGE, INDEX_PAGE, DICTIONARY_PAGE, DATA_PAGE_V2 = range(4)
+
+
+class Repetition:
+    REQUIRED, OPTIONAL, REPEATED = range(3)
+
+
+class ConvertedType:
+    UTF8 = 0
+    MAP = 1
+    LIST = 3
+    DECIMAL = 5
+    DATE = 6
+    TIME_MILLIS = 7
+    TIME_MICROS = 8
+    TIMESTAMP_MILLIS = 9
+    TIMESTAMP_MICROS = 10
+    UINT_8, UINT_16, UINT_32, UINT_64 = 11, 12, 13, 14
+    INT_8, INT_16, INT_32, INT_64 = 15, 16, 17, 18
+    JSON = 19
+    BSON = 20
+
+
+MAGIC = b"PAR1"
+
+# ---- thrift struct specs: (field_id, name, type) ---------------------------
+# type is 'i16'|'i32'|'i64'|'bin'|'str'|'bool'|('list', t)|('struct', name)
+SPECS = {
+    "Statistics": [
+        (1, "max", "bin"), (2, "min", "bin"),
+        (3, "null_count", "i64"), (4, "distinct_count", "i64"),
+        (5, "max_value", "bin"), (6, "min_value", "bin"),
+    ],
+    "SchemaElement": [
+        (1, "type", "i32"), (2, "type_length", "i32"),
+        (3, "repetition_type", "i32"), (4, "name", "str"),
+        (5, "num_children", "i32"), (6, "converted_type", "i32"),
+        (7, "scale", "i32"), (8, "precision", "i32"), (9, "field_id", "i32"),
+    ],
+    "KeyValue": [(1, "key", "str"), (2, "value", "str")],
+    "ColumnMetaData": [
+        (1, "type", "i32"), (2, "encodings", ("list", "i32")),
+        (3, "path_in_schema", ("list", "str")), (4, "codec", "i32"),
+        (5, "num_values", "i64"), (6, "total_uncompressed_size", "i64"),
+        (7, "total_compressed_size", "i64"), (9, "data_page_offset", "i64"),
+        (11, "dictionary_page_offset", "i64"),
+        (12, "statistics", ("struct", "Statistics")),
+    ],
+    "ColumnChunk": [
+        (1, "file_path", "str"), (2, "file_offset", "i64"),
+        (3, "meta_data", ("struct", "ColumnMetaData")),
+    ],
+    "RowGroup": [
+        (1, "columns", ("list", ("struct", "ColumnChunk"))),
+        (2, "total_byte_size", "i64"), (3, "num_rows", "i64"),
+    ],
+    "FileMetaData": [
+        (1, "version", "i32"),
+        (2, "schema", ("list", ("struct", "SchemaElement"))),
+        (3, "num_rows", "i64"),
+        (4, "row_groups", ("list", ("struct", "RowGroup"))),
+        (5, "key_value_metadata", ("list", ("struct", "KeyValue"))),
+        (6, "created_by", "str"),
+    ],
+    "DataPageHeader": [
+        (1, "num_values", "i32"), (2, "encoding", "i32"),
+        (3, "definition_level_encoding", "i32"),
+        (4, "repetition_level_encoding", "i32"),
+        (5, "statistics", ("struct", "Statistics")),
+    ],
+    "DictionaryPageHeader": [
+        (1, "num_values", "i32"), (2, "encoding", "i32"), (3, "is_sorted", "bool"),
+    ],
+    "PageHeader": [
+        (1, "type", "i32"), (2, "uncompressed_page_size", "i32"),
+        (3, "compressed_page_size", "i32"), (4, "crc", "i32"),
+        (5, "data_page_header", ("struct", "DataPageHeader")),
+        (7, "dictionary_page_header", ("struct", "DictionaryPageHeader")),
+    ],
+}

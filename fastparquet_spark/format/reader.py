@@ -1,0 +1,200 @@
+"""Parquet reader for round-trip verification of our own files.
+
+Mirrors the reference's decode pipeline (fastparquet/core.py:415-555
+read_col page loop; :108-166 v1 page dispatch; api.py:164-190 footer
+parse) over numpy buffers, returning a pyarrow Table.  Production reads
+go through Spark/pyarrow native scans; this exists so tests can check
+OUR decode of OUR bytes bit-identically, independent of third parties.
+
+Supports what our writer emits plus the PLAIN/dictionary variants the
+reference writer emits: PLAIN, PLAIN_DICTIONARY, RLE_DICTIONARY,
+DELTA_BINARY_PACKED, v1 pages, optional dictionary page, flat schemas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fastparquet_spark.codecs import compression as comp
+from fastparquet_spark.codecs.delta import delta_decode
+from fastparquet_spark.codecs.plain import decode_plain
+from fastparquet_spark.codecs.rle import decode_hybrid
+from fastparquet_spark.format import thrift
+from fastparquet_spark.format.metadata import (
+    MAGIC,
+    SPECS,
+    ConvertedType,
+    Encoding,
+    PageType,
+    Type,
+)
+
+
+def read_footer(buf: bytes) -> dict:
+    """Parse the FileMetaData footer (fastparquet/api.py:164-190 semantics)."""
+    if buf[:4] != MAGIC or buf[-4:] != MAGIC:
+        raise ValueError("not a parquet file (missing PAR1 magic)")
+    flen = int.from_bytes(buf[-8:-4], "little")
+    fmd, _ = thrift.read_struct("FileMetaData", buf, len(buf) - 8 - flen, SPECS)
+    return fmd
+
+
+def _arrow_type(elem: dict) -> pa.DataType:
+    conv = elem.get("converted_type")
+    pt = elem["type"]
+    if conv == ConvertedType.UTF8:
+        return pa.string()
+    if conv == ConvertedType.TIMESTAMP_MICROS:
+        return pa.timestamp("us")
+    if conv == ConvertedType.TIMESTAMP_MILLIS:
+        return pa.timestamp("ms")
+    if conv == ConvertedType.DATE:
+        return pa.date32()
+    if conv in (ConvertedType.INT_8,):
+        return pa.int8()
+    if conv in (ConvertedType.INT_16,):
+        return pa.int16()
+    if conv in (ConvertedType.UINT_8,):
+        return pa.uint8()
+    if conv in (ConvertedType.UINT_16,):
+        return pa.uint16()
+    if conv in (ConvertedType.UINT_32,):
+        return pa.uint32()
+    if conv in (ConvertedType.UINT_64,):
+        return pa.uint64()
+    return {Type.BOOLEAN: pa.bool_(), Type.INT32: pa.int32(),
+            Type.INT64: pa.int64(), Type.FLOAT: pa.float32(),
+            Type.DOUBLE: pa.float64(), Type.BYTE_ARRAY: pa.binary()}[pt]
+
+
+def _read_column_chunk(buf: bytes, cmd: dict) -> tuple[np.ndarray, object]:
+    """Returns (validity bool array, non-null decoded values)."""
+    ptype = cmd["type"]
+    codec = cmd["codec"]
+    n_total = cmd["num_values"]
+    pos = cmd.get("dictionary_page_offset") or cmd["data_page_offset"]
+    # fastparquet sometimes stores data_page_offset < dictionary_page_offset
+    pos = min(p for p in (cmd.get("dictionary_page_offset"), cmd["data_page_offset"]) if p is not None)
+
+    dictionary = None
+    validity = np.ones(n_total, dtype=bool)
+    out_vals = None
+    seen = 0
+    while seen < n_total:
+        ph, pos = thrift.read_struct("PageHeader", buf, pos, SPECS)
+        raw = comp.decompress(buf[pos:pos + ph["compressed_page_size"]],
+                              codec, ph["uncompressed_page_size"])
+        pos += ph["compressed_page_size"]
+        if ph["type"] == PageType.DICTIONARY_PAGE:
+            nd = ph["dictionary_page_header"]["num_values"]
+            dictionary, _ = decode_plain(raw, ptype, nd)
+            continue
+        if ph["type"] != PageType.DATA_PAGE:
+            raise NotImplementedError(f"page type {ph['type']}")
+        dph = ph["data_page_header"]
+        n = dph["num_values"]
+        off = 0
+        # definition levels (OPTIONAL fields; max_def==1 -> validity bitmap,
+        # the reference's special case fastparquet/core.py:246-261)
+        levels, off = decode_hybrid(raw, 1, n, offset=0, length=None)
+        valid = levels.astype(bool)
+        n_nonnull = int(valid.sum())
+        enc = dph["encoding"]
+        if enc == Encoding.PLAIN:
+            vals, off = decode_plain(raw, ptype, n_nonnull, offset=off)
+        elif enc in (Encoding.PLAIN_DICTIONARY, Encoding.RLE_DICTIONARY):
+            width = raw[off]
+            codes, _ = decode_hybrid(raw, width, n_nonnull, offset=off + 1,
+                                     length=len(raw) - off - 1)
+            vals = ("codes", codes.astype(np.int64))
+        elif enc == Encoding.DELTA_BINARY_PACKED:
+            vals, off = delta_decode(raw, offset=off, count=n_nonnull)
+        else:
+            raise NotImplementedError(f"encoding {enc}")
+        validity[seen:seen + n] = valid
+        piece = _materialize(vals, dictionary, ptype)
+        out_vals = piece if out_vals is None else _concat(out_vals, piece, ptype)
+        seen += n
+    return validity, out_vals
+
+
+def _materialize(vals, dictionary, ptype):
+    if isinstance(vals, tuple) and len(vals) == 2 and isinstance(vals[0], str) and vals[0] == "codes":
+        codes = vals[1]
+        if ptype == Type.BYTE_ARRAY:
+            lengths, data = dictionary
+            cum = np.concatenate(([0], np.cumsum(lengths)))
+            out_lens = lengths[codes]
+            total = int(out_lens.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(out_lens)))[:-1], out_lens)
+            out = data[np.repeat(cum[codes], out_lens) + within]
+            return out_lens, out
+        return np.asarray(dictionary)[codes]
+    return vals
+
+
+def _concat(a, b, ptype):
+    if ptype == Type.BYTE_ARRAY:
+        return np.concatenate([a[0], b[0]]), np.concatenate([a[1], b[1]])
+    return np.concatenate([a, b])
+
+
+def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
+    at = _arrow_type(elem)
+    n = len(validity)
+    nulls = not validity.all()
+    if elem["type"] == Type.BYTE_ARRAY:
+        lengths, data = vals if vals is not None else (np.zeros(0, np.int64), np.zeros(0, np.uint8))
+        full_lens = np.zeros(n, dtype=np.int64)
+        full_lens[validity] = lengths
+        offsets = np.concatenate(([0], np.cumsum(full_lens))).astype(np.int32)
+        vbuf = pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()) if nulls else None
+        arr = pa.Array.from_buffers(
+            pa.utf8() if at == pa.string() else pa.binary(), n,
+            [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+            null_count=int((~validity).sum()) if nulls else 0)
+        return arr
+    np_dtype = {pa.bool_(): np.bool_, pa.int32(): np.int32, pa.int64(): np.int64,
+                pa.float32(): np.float32, pa.float64(): np.float64}.get(at)
+    if at == pa.timestamp("us") or at == pa.timestamp("ms"):
+        np_dtype = np.int64
+    elif at == pa.date32():
+        np_dtype = np.int32
+    elif np_dtype is None:
+        np_dtype = np.dtype(at.to_pandas_dtype())
+    full = np.zeros(n, dtype=np_dtype)
+    if vals is not None:
+        full[validity] = np.asarray(vals).astype(np_dtype, copy=False)
+    if at == pa.bool_():
+        dbuf = pa.py_buffer(np.packbits(full, bitorder="little").tobytes())
+    else:
+        dbuf = pa.py_buffer(np.ascontiguousarray(full).tobytes())
+    vbuf = pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()) if nulls else None
+    return pa.Array.from_buffers(at, n, [vbuf, dbuf],
+                                 null_count=int((~validity).sum()) if nulls else 0)
+
+
+def read_file(source) -> pa.Table:
+    """Read a parquet file (path or bytes) written by us (or the reference's
+    flat-schema output) into a pyarrow Table."""
+    if isinstance(source, str):
+        with open(source, "rb") as fh:
+            buf = fh.read()
+    elif isinstance(source, (bytes, bytearray, memoryview)):
+        buf = bytes(source)
+    else:  # file-like
+        buf = source.read()
+    fmd = read_footer(buf)
+    elems = [e for e in fmd["schema"][1:] if e.get("num_children") is None]
+    names = [e["name"] for e in elems]
+    cols: dict[str, list[pa.Array]] = {nm: [] for nm in names}
+    for rg in fmd["row_groups"]:
+        for cc, elem in zip(rg["columns"], elems):
+            cmd = cc["meta_data"]
+            validity, vals = _read_column_chunk(buf, cmd)
+            cols[elem["name"]].append(_to_arrow(validity, vals, elem))
+    arrays = [pa.chunked_array(cols[nm]) for nm in names]
+    fields = [pa.field(nm, a.type) for nm, a in zip(names, arrays)]
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

@@ -1,0 +1,356 @@
+"""Parquet file writer: Arrow table -> DataPage-v1 parquet bytes.
+
+Layout per the reference's write path (fastparquet/writer.py:672-695
+make_part_file, :540-563 v1 page assembly, :414-641 write_column,
+:375-408 make_definitions): ``PAR1`` magic, per row group one column
+chunk per column (optional dictionary page + one data page v1), then a
+thrift-compact ``FileMetaData`` footer, its length, and ``PAR1``.
+
+Differences from the reference, by design:
+- encodings are AUTO-SELECTED from sampled stats (selection.py), not
+  static PLAIN-unless-categorical;
+- dictionary codes use minimal bit width with real RLE runs (smaller
+  than the reference's byte-aligned single bit-packed run);
+- sorted/near-sorted int columns get DELTA_BINARY_PACKED, which the
+  reference can only decode, never write (cencoding.pyx:213-242).
+
+All hot paths are numpy/Arrow-buffer vectorized — this module runs
+inside Spark executors via ``mapInArrow``.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from fastparquet_spark.codecs import compression as comp
+from fastparquet_spark.codecs.delta import delta_encode
+from fastparquet_spark.codecs.dictionary import dict_build, dict_data_page
+from fastparquet_spark.codecs.plain import encode_plain
+from fastparquet_spark.codecs.rle import encode_hybrid
+from fastparquet_spark.codecs.selection import choose_encoding, column_stats
+from fastparquet_spark.codecs.varint import uvarint_encode
+from fastparquet_spark.format import thrift
+from fastparquet_spark.format.metadata import (
+    MAGIC,
+    SPECS,
+    ConvertedType,
+    Encoding,
+    PageType,
+    Repetition,
+    Type,
+)
+
+CREATED_BY = "fastparquet_spark 0.1.0"
+
+
+@dataclass
+class ColumnResult:
+    name: str
+    encoding: str
+    num_values: int
+    null_count: int
+    uncompressed_size: int
+    compressed_size: int
+    dict_entries: int = 0
+
+
+@dataclass
+class FileResult:
+    rows: int
+    file_bytes: int
+    columns: list[ColumnResult] = field(default_factory=list)
+
+
+# arrow type -> (physical, converted, cast-needed arrow type or None)
+def _map_type(t: pa.DataType):
+    if pa.types.is_boolean(t):
+        return Type.BOOLEAN, None, None
+    if pa.types.is_int8(t):
+        return Type.INT32, ConvertedType.INT_8, pa.int32()
+    if pa.types.is_int16(t):
+        return Type.INT32, ConvertedType.INT_16, pa.int32()
+    if pa.types.is_int32(t):
+        return Type.INT32, None, None
+    if pa.types.is_uint8(t):
+        return Type.INT32, ConvertedType.UINT_8, pa.int32()
+    if pa.types.is_uint16(t):
+        return Type.INT32, ConvertedType.UINT_16, pa.int32()
+    if pa.types.is_uint32(t):
+        return Type.INT64, ConvertedType.UINT_32, pa.int64()
+    if pa.types.is_int64(t):
+        return Type.INT64, None, None
+    if pa.types.is_uint64(t):
+        return Type.INT64, ConvertedType.UINT_64, pa.int64()
+    if pa.types.is_float32(t):
+        return Type.FLOAT, None, None
+    if pa.types.is_float64(t):
+        return Type.DOUBLE, None, None
+    if pa.types.is_timestamp(t):
+        return Type.INT64, ConvertedType.TIMESTAMP_MICROS, pa.timestamp("us")
+    if pa.types.is_date32(t):
+        return Type.INT32, ConvertedType.DATE, None
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return Type.BYTE_ARRAY, ConvertedType.UTF8, None
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return Type.BYTE_ARRAY, None, None
+    raise TypeError(
+        f"unsupported arrow type {t} (flat schemas only, like the reference "
+        "writer: 'No nested field handling', fastparquet/writer.py:472)"
+    )
+
+
+def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths, data) from an Arrow binary/string array's buffers, zero-copy."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    big = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    odt = np.int64 if big else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * np.dtype(odt).itemsize)
+    lengths = np.diff(offs).astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8, count=int(offs[-1] - offs[0]), offset=int(offs[0])) \
+        if len(bufs) > 2 and bufs[2] is not None else np.empty(0, np.uint8)
+    return lengths, data
+
+
+def _extract(arr: pa.Array, ptype: int):
+    """Non-null physical values as numpy (or (lengths, data))."""
+    if arr.null_count:
+        arr = arr.drop_null()
+    if ptype == Type.BYTE_ARRAY:
+        return _binary_parts(arr)
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date32(arr.type):
+        arr = arr.cast(pa.int32())
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _stat_bytes(value, ptype: int):
+    """PLAIN-encode a single stat value (sans length prefix for BYTE_ARRAY,
+    like fastparquet/writer.py:504-535)."""
+    if value is None:
+        return None
+    if ptype == Type.INT32:
+        return struct.pack("<i", int(value))
+    if ptype == Type.INT64:
+        return struct.pack("<q", int(value))
+    if ptype == Type.FLOAT:
+        return struct.pack("<f", float(value))
+    if ptype == Type.DOUBLE:
+        return struct.pack("<d", float(value))
+    if ptype == Type.BOOLEAN:
+        return b"\x01" if value else b"\x00"
+    if ptype == Type.BYTE_ARRAY:
+        raw = value if isinstance(value, bytes) else str(value).encode("utf8")
+        return raw if len(raw) <= 64 else None  # don't truncate: drop
+    return None
+
+
+def _def_levels(arr: pa.Array, n: int) -> tuple[bytes, int]:
+    """v1 definition levels (length-prefixed hybrid) for an OPTIONAL column.
+
+    Zero-null fast path = single RLE run, exactly the reference's
+    make_definitions (fastparquet/writer.py:375-408)."""
+    null_count = arr.null_count
+    if null_count == 0:
+        body = uvarint_encode(n << 1) + b"\x01"
+        return len(body).to_bytes(4, "little") + body, 0
+    validity = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+    return encode_hybrid(validity, 1, prepend_length=True), int(null_count)
+
+
+def _encode_values(values, ptype: int, encoding: int):
+    """Returns (data_bytes, dict_page_values_or_None, n_dict)."""
+    if encoding == Encoding.PLAIN:
+        return encode_plain(values, ptype), None, 0
+    if encoding == Encoding.DELTA_BINARY_PACKED:
+        return delta_encode(values), None, 0
+    raise ValueError(f"encoding {encoding} handled elsewhere")
+
+
+def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
+               encodings: dict | None = None, row_group_rows: int | None = None,
+               stats: bool = True) -> FileResult:
+    """Write an Arrow table as a parquet file to ``sink`` (path or file-like).
+
+    ``encodings``: optional {column: 'plain'|'dict'|'delta'} override;
+    anything absent is auto-selected from sampled stats.
+    Returns a FileResult with per-column lineage metrics.
+    """
+    own = isinstance(sink, (str, bytes))
+    f = open(sink, "wb") if own else sink
+    try:
+        return _write(f, table, compression, encodings or {}, row_group_rows, stats)
+    finally:
+        if own:
+            f.close()
+
+
+_ENC_NAMES = {Encoding.PLAIN: "plain", Encoding.PLAIN_DICTIONARY: "dict",
+              Encoding.DELTA_BINARY_PACKED: "delta"}
+_ENC_BY_NAME = {v: k for k, v in _ENC_NAMES.items()}
+
+
+def _write(f, table, compression, encodings, row_group_rows, want_stats):
+    codec = comp.codec_id(compression)
+    f.write(MAGIC)
+    pos = len(MAGIC)
+    n_rows = table.num_rows
+    rg_rows = row_group_rows or max(n_rows, 1)
+
+    schema_elems = [{"name": "schema", "num_children": table.num_columns}]
+    col_meta = []  # (ptype, converted, name)
+    for fld in table.schema:
+        ptype, conv, cast_to = _map_type(fld.type)
+        elem = {"name": fld.name, "type": ptype,
+                "repetition_type": Repetition.OPTIONAL}
+        if conv is not None:
+            elem["converted_type"] = conv
+        schema_elems.append(elem)
+        col_meta.append((ptype, cast_to, fld.name))
+
+    result = FileResult(rows=n_rows, file_bytes=0)
+    row_groups = []
+    for start in range(0, max(n_rows, 1), rg_rows):
+        chunk = table.slice(start, rg_rows)
+        if chunk.num_rows == 0 and n_rows > 0:
+            break
+        chunks_cols = []
+        rg_bytes = 0
+        for ci, (ptype, cast_to, name) in enumerate(col_meta):
+            arr = chunk.column(ci).combine_chunks()
+            if cast_to is not None and arr.type != cast_to:
+                arr = arr.cast(cast_to)
+            n = len(arr)
+            defs, null_count = _def_levels(arr, n)
+            values = _extract(arr, ptype)
+
+            enc_override = encodings.get(name)
+            if enc_override is not None:
+                encoding = _ENC_BY_NAME[enc_override]
+            else:
+                encoding = choose_encoding(column_stats(values, ptype), ptype,
+                                           parquet_compat=True)
+
+            dict_page_bytes = None
+            n_dict = 0
+            if encoding == Encoding.PLAIN_DICTIONARY:
+                nonnull = arr.drop_null() if arr.null_count else arr
+                codes, labels = dict_build(nonnull)
+                n_dict = len(labels)
+                dict_page_bytes = encode_plain(_extract_labels(labels, ptype), ptype)
+                body = defs + dict_data_page(codes, n_dict)
+            else:
+                data, _, _ = _encode_values(values, ptype, encoding)
+                body = defs + data
+
+            # statistics over non-null values
+            st = None
+            if want_stats and n:
+                st = _make_stats(arr, values, ptype, null_count, n_dict)
+
+            chunk_offset = pos
+            dict_off = None
+            written = 0
+            if dict_page_bytes is not None:
+                comp_dict = comp.compress(dict_page_bytes, codec)
+                ph = thrift.write_struct("PageHeader", {
+                    "type": PageType.DICTIONARY_PAGE,
+                    "uncompressed_page_size": len(dict_page_bytes),
+                    "compressed_page_size": len(comp_dict),
+                    "dictionary_page_header": {
+                        "num_values": n_dict,
+                        "encoding": Encoding.PLAIN_DICTIONARY},
+                }, SPECS)
+                dict_off = pos
+                f.write(ph); f.write(comp_dict)
+                written += len(ph) + len(comp_dict)
+                pos += len(ph) + len(comp_dict)
+            comp_body = comp.compress(body, codec)
+            dph = {"num_values": n,
+                   "encoding": encoding,
+                   "definition_level_encoding": Encoding.RLE,
+                   "repetition_level_encoding": Encoding.RLE}
+            if st:
+                dph["statistics"] = st
+            ph = thrift.write_struct("PageHeader", {
+                "type": PageType.DATA_PAGE,
+                "uncompressed_page_size": len(body),
+                "compressed_page_size": len(comp_body),
+                "data_page_header": dph,
+            }, SPECS)
+            data_off = pos
+            f.write(ph); f.write(comp_body)
+            written += len(ph) + len(comp_body)
+            pos += len(ph) + len(comp_body)
+            rg_bytes += written
+
+            uncomp_pages = len(body) + (len(dict_page_bytes) if dict_page_bytes else 0)
+            headers_len = written - len(comp_body) - (len(comp_dict) if dict_page_bytes else 0)
+            uncomp_total = uncomp_pages + headers_len  # incl. page headers, per spec
+            enc_list = sorted({Encoding.RLE, encoding} |
+                              ({Encoding.PLAIN} if dict_page_bytes else set()))
+            cmd = {"type": ptype, "encodings": enc_list,
+                   "path_in_schema": [name], "codec": codec,
+                   "num_values": n,
+                   "total_uncompressed_size": uncomp_total,
+                   "total_compressed_size": written,
+                   "data_page_offset": data_off}
+            if dict_off is not None:
+                cmd["dictionary_page_offset"] = dict_off
+            if st:
+                cmd["statistics"] = st
+            chunks_cols.append({"file_offset": chunk_offset, "meta_data": cmd})
+            result.columns.append(ColumnResult(
+                name=name, encoding=_ENC_NAMES[encoding], num_values=n,
+                null_count=null_count, uncompressed_size=uncomp_total,
+                compressed_size=written, dict_entries=n_dict))
+        row_groups.append({"columns": chunks_cols,
+                           "total_byte_size": rg_bytes,
+                           "num_rows": chunk.num_rows})
+
+    fmd = {"version": 1, "schema": schema_elems, "num_rows": n_rows,
+           "row_groups": row_groups, "created_by": CREATED_BY}
+    footer = thrift.write_struct("FileMetaData", fmd, SPECS)
+    f.write(footer)
+    f.write(len(footer).to_bytes(4, "little"))
+    f.write(MAGIC)
+    result.file_bytes = pos + len(footer) + 8
+    return result
+
+
+def _extract_labels(labels: pa.Array, ptype: int):
+    if ptype == Type.BYTE_ARRAY:
+        return _binary_parts(labels)
+    if pa.types.is_timestamp(labels.type):
+        labels = labels.cast(pa.int64())
+    elif pa.types.is_date32(labels.type):
+        labels = labels.cast(pa.int32())
+    return labels.to_numpy(zero_copy_only=False)
+
+
+def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int):
+    st = {"null_count": null_count}
+    if n_dict:
+        st["distinct_count"] = n_dict
+    try:
+        if len(arr) - null_count > 0:
+            if ptype == Type.BYTE_ARRAY:
+                mm = pa.compute.min_max(arr)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                if isinstance(lo, str):
+                    lo, hi = lo.encode("utf8"), hi.encode("utf8")
+            else:
+                v = values
+                lo, hi = v.min(), v.max()
+            lob, hib = _stat_bytes(lo, ptype), _stat_bytes(hi, ptype)
+            if lob is not None and hib is not None:
+                st.update(min=lob, max=hib, min_value=lob, max_value=hib)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        pass
+    return st
