@@ -1,0 +1,117 @@
+"""Deduplication operators for training-data pipelines.
+
+All hash math uses md5 (identical output on Spark and DuckDB) so every
+operator is oracle-checkable.  Shingling, MinHash, banding and joins are
+pure DataFrame ops — at scale the heavy parts are (a) the explode of
+shingles (map-side, no shuffle), (b) one groupBy per signature, and (c)
+the band-bucket self-join, which AQE turns into a skew-aware shuffle
+join; no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fastparquet_spark.analytics.relational import load
+
+N_HASHES = 8          # minhash signature length
+BANDS = 2             # LSH bands (N_HASHES / BANDS rows per band)
+SHINGLE = 3           # words per shingle
+
+
+def _words(col="text"):
+    return F.split(F.trim(F.lower(F.regexp_replace(F.col(col), "[^a-zA-Z0-9 ]", " "))), " +")
+
+
+def _shingles_df(spark, sf_dir, max_doc=None):
+    docs = load(spark, sf_dir, "documents")
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
+    docs = docs.withColumn("w", _words())
+    sh = docs.withColumn(
+        "shingles",
+        F.when(F.size("w") >= SHINGLE,
+               F.expr(f"transform(sequence(0, size(w)-{SHINGLE}), "
+                      f"i -> concat_ws(' ', slice(w, i+1, {SHINGLE})))"))
+        .otherwise(F.array(F.concat_ws(" ", F.col("w")))))
+    return (sh.select("doc_id", F.explode("shingles").alias("sh")).distinct())
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups: hash-groupBy on md5(text) keeping min doc_id —
+    the canonical one-pass exact dedup (one shuffle on the hash)."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.withColumn("h", F.md5(F.col("text").cast("binary")))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("keep_doc"),
+                 F.count("*").alias("n_copies")))
+
+
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures: min over shingles of md5(seed||shingle) per
+    (doc, seed).  One explode + one groupBy; signature width N_HASHES."""
+    sh = _shingles_df(spark, sf_dir)
+    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    return (sh.crossJoin(F.broadcast(seeds))
+            .select("doc_id", "seed",
+                    F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
+                                   F.col("sh")).cast("binary")).alias("mh"))
+            .groupBy("doc_id", "seed").agg(F.min("mh").alias("minhash")))
+
+
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH banding: docs sharing any band bucket are candidate
+    near-duplicate pairs.  This is the scale path: candidate generation
+    is a self-join on (band, band_key), never all-pairs."""
+    sigs = dedup_minhash_signatures(spark, sf_dir)
+    rows_per_band = N_HASHES // BANDS
+    # floor() then cast: DuckDB's cast(double as int) ROUNDS, Spark truncates
+    band_keys = (sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
+                 .groupBy("doc_id", "band")
+                 .agg(F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                     lambda x: x.minhash)).cast("binary")).alias("band_key")))
+    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (a.join(b, ["band", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+
+
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash over word tokens: per bit, sign of the sum of
+    (+1/-1) contributions from md5(word) bits.  Bit extraction uses
+    portable hex-char set membership (identical on Spark and DuckDB)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id", F.explode(_words()).alias("w"))
+            .filter(F.col("w") != "")
+            .withColumn("h", F.md5(F.col("w").cast("binary"))))
+    # bit i lives in hex char (i//4), mask set per (i%4)
+    masks = ["13579bdf", "2367abef", "4567cdef", "89abcdef"]
+    aggs = []
+    for i in range(16):
+        c = F.substring("h", i // 4 + 1, 1)
+        bit = F.when(F.instr(F.lit(masks[i % 4]), c) > 0, 1).otherwise(-1)
+        aggs.append(F.when(F.sum(bit) > 0, F.lit(1 << i)).otherwise(0).alias(f"b{i}"))
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    total = sum([F.col(f"b{i}") for i in range(16)], F.lit(0))
+    return per_doc.select("doc_id", total.cast("int").alias("simhash"))
+
+
+def dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 60, min_jaccard: float = 0.05):
+    """Exact n-gram Jaccard for a bounded candidate set: self-join on
+    shared shingles (at scale this runs AFTER LSH bucketing, never on the
+    full corpus; max_doc bounds it here)."""
+    sh = _shingles_df(spark, sf_dir, max_doc=max_doc)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("doc_a", "doc_b", "jaccard"))

@@ -1,0 +1,360 @@
+"""Query registry: name -> (spark_fn, duckdb_oracle_sql_or_None).
+
+Every operator from SURVEY.md §2 that we expose gets an entry; the
+driver runs the Spark side and the oracle SQL side-by-side at sf=0.01
+and compares row count + schema + order-insensitive value hash.
+Column names/types are aligned on both sides by construction.
+
+Operators whose semantics are not SQL-expressible (stateful engine
+internals, positional-array ANN) carry oracle=None -> rows-only check.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from fastparquet_spark.analytics import dedup, multimodal, relational, similarity, text
+
+# ---------------------------------------------------------------- helpers ---
+_WORDS_SQL = ("string_split_regex(trim(regexp_replace(lower({col}), "
+              "'[^a-zA-Z0-9 ]', ' ', 'g')), ' +')")
+
+_SHINGLES_CTE = f"""
+docs_w AS (SELECT doc_id, {_WORDS_SQL.format(col='text')} AS w FROM documents{{filt}}),
+sh_l AS (SELECT doc_id,
+        CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w)-2),
+                                 i -> array_to_string(w[i:i+2], ' '))
+             ELSE [array_to_string(w, ' ')] END AS shingles
+        FROM docs_w),
+sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh_l)
+"""
+
+
+def _shingles_cte(filt: str = "") -> str:
+    return _SHINGLES_CTE.format(filt=filt)
+
+
+def _simhash_sql() -> str:
+    masks = ["13579bdf", "2367abef", "4567cdef", "89abcdef"]
+    bits = []
+    for i in range(16):
+        c = f"substr(h, {i // 4 + 1}, 1)"
+        bit = (f"CASE WHEN sum(CASE WHEN instr('{masks[i % 4]}', {c}) > 0 "
+               f"THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END")
+        bits.append(bit)
+    total = " + ".join(f"b{i}" for i in range(16))
+    sel = ", ".join(f"{b} AS b{i}" for i, b in enumerate(bits))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_SQL.format(col='text')}) AS w FROM documents),
+h AS (SELECT doc_id, md5(w) AS h FROM toks WHERE w != ''),
+per AS (SELECT doc_id, {sel} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({total} AS INT) AS simhash FROM per
+"""
+
+
+_MINHASH_CTE = f"""
+WITH {_shingles_cte()},
+seeds AS (SELECT CAST(unnest(generate_series(0, {dedup.N_HASHES - 1})) AS INT) AS seed),
+mh AS (SELECT doc_id, seed,
+              min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)
+"""
+
+# ------------------------------------------------------------- oracle SQL ---
+ORACLES: dict[str, str | None] = {
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q3_shipping_topk": """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+    "q_filter_project": """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.03
+""",
+    "q_window_rank": """
+SELECT o_custkey, o_orderkey, o_totalprice AS max_price FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+WHERE rn = 1
+""",
+    "q_sort_topk": """
+SELECT event_id, user_id, event_type, value FROM events
+ORDER BY value DESC, event_id LIMIT 20
+""",
+    "q_join_agg_nation": """
+SELECT r_name, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    "q_column_stats": """
+SELECT min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS nulls_returnflag,
+       count(*) AS n_rows
+FROM lineitem
+""",
+    "q_count_filters": """
+SELECT count(*) AS n_rows FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+""",
+    "q_head": """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+ORDER BY o_orderkey LIMIT 5
+""",
+    "q_partition_values": """
+SELECT lang, source, count(*) AS n_rows FROM documents GROUP BY lang, source
+""",
+    "q_dict_codes": """
+SELECT lang, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS INT) AS code
+FROM (SELECT DISTINCT lang FROM documents)
+""",
+    "q_rle_runs": """
+SELECT event_type, CAST(sum(is_start) AS BIGINT) AS n_runs,
+       count(*) AS n_values
+FROM (SELECT event_type,
+             CASE WHEN lag(event_type) OVER (ORDER BY event_id) IS NULL
+                    OR lag(event_type) OVER (ORDER BY event_id) != event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events)
+GROUP BY event_type
+""",
+    "q_delta_stats": """
+SELECT user_id, count(*) AS n_deltas,
+       min(delta_ms) AS min_delta, max(delta_ms) AS max_delta
+FROM (SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_ms
+      FROM events)
+WHERE delta_ms IS NOT NULL
+GROUP BY user_id
+""",
+    "q_cardinality_stats": """
+SELECT count(DISTINCT lang) AS nd_lang, count(DISTINCT source) AS nd_source,
+       count(DISTINCT text) AS nd_text, count(*) AS n_rows
+FROM documents
+""",
+    "dedup_exact": """
+SELECT md5(text) AS h, min(doc_id) AS keep_doc, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "dedup_minhash_signatures": _MINHASH_CTE + "SELECT doc_id, seed, minhash FROM mh",
+    "dedup_minhash_lsh_pairs": _MINHASH_CTE + f""",
+bands AS (SELECT doc_id, CAST(floor(seed / {dedup.N_HASHES // dedup.BANDS}) AS INT) AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM mh GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+""",
+    "dedup_simhash": _simhash_sql(),
+    "dedup_ngram_jaccard": f"""
+WITH {_shingles_cte(' WHERE doc_id < 60')},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
+""",
+    "text_langid": None,  # filled below (generated)
+    "text_quality": f"""
+SELECT doc_id,
+       length(text) AS n_chars2,
+       CAST(len(w) AS INT) AS n_words,
+       round(length(text) / len(w), 6) AS mean_wlen,
+       round(n_stop / len(w), 6) AS stop_ratio,
+       round(least(len(w) / 100.0, 1.0) * 0.5 + (1 - n_stop / len(w)) * 0.5, 6)
+           AS quality
+FROM (SELECT doc_id, text, {_WORDS_SQL.format(col='text')} AS w,
+             len(list_filter({_WORDS_SQL.format(col='text')},
+                 x -> x IN ('the','a','of','and','to'))) AS n_stop
+      FROM documents)
+""",
+    "text_token_count": f"""
+SELECT doc_id,
+       CAST(len({_WORDS_SQL.format(col='text')}) AS INT) AS ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+FROM documents
+""",
+    "text_fingerprint": """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+       substr(md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))), 1, 4) AS shard
+FROM documents
+""",
+    "sim_cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+c AS (SELECT e.vec_id, e.label,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qe)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0)
+SELECT vec_id, label, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+    "sim_lsh_buckets": None,  # filled below (generated)
+    "sim_ann_ivf": None,      # positional array agg: rows-only check
+    "mm_binary_meta": """
+SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       substr(md5(text), 1, 8) AS blob_key
+FROM documents
+""",
+    "mm_decode_features": None,  # mapInPandas stub: rows-only check
+}
+
+
+def _langid_sql() -> str:
+    cols = []
+    for lang, marks in sorted(text.LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in marks)
+        cols.append(f"CAST(sum(CASE WHEN w IN ({lst}) THEN 1 ELSE 0 END) AS BIGINT) AS s_{lang}")
+    langs = sorted(text.LANG_MARKERS)
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS pred_lang, s_{lang} AS score FROM scores"
+        for lang in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL.format(col='text')}) AS w FROM documents),
+scores AS (SELECT doc_id, {', '.join(cols)} FROM toks GROUP BY doc_id),
+stacked AS ({unions})
+SELECT doc_id, pred_lang, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, pred_lang) AS rn FROM stacked)
+WHERE rn = 1
+"""
+
+
+def _lsh_buckets_sql(n_bits: int = 8) -> str:
+    dims_per = 64 // n_bits
+    parts = []
+    for j in range(n_bits):
+        lo = j * dims_per + 1
+        hi = lo + dims_per - 1
+        parts.append(f"CASE WHEN list_aggregate((embedding::DOUBLE[])[{lo}:{hi}], 'sum') > 0 "
+                     f"THEN {1 << j} ELSE 0 END")
+    return f"""
+SELECT CAST({' + '.join(parts)} AS INT) AS bucket, count(*) AS n_vecs
+FROM embeddings GROUP BY 1
+"""
+
+
+ORACLES["text_langid"] = _langid_sql()
+ORACLES["sim_lsh_buckets"] = _lsh_buckets_sql()
+
+
+# ---- engine end-to-end queries ----------------------------------------------
+def engine_roundtrip_hashes(spark, sf_dir):
+    """THE north-rule invariant end-to-end: encode documents with OUR
+    engine (salted repartition + mapInArrow + our parquet writer), read
+    the encoded files back with Spark's scan, emit per-row md5(text).
+    The oracle computes the same hashes from the ORIGINAL table — any
+    bit flip anywhere in the engine fails the value-hash compare."""
+    from fastparquet_spark.engine import encode_dataset
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_rt_")
+    encode_dataset(spark, docs, out, compression="ZSTD",
+                   partition_cols=("lang",), num_partitions=4,
+                   sort_within=("doc_id",), resume=False).collect()
+    back = spark.read.parquet(f"{out}/part-*.parquet")
+    from pyspark.sql import functions as F
+    return back.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+
+
+ORACLES["engine_roundtrip_hashes"] = "SELECT doc_id, md5(text) AS h FROM documents"
+
+
+def engine_roundtrip_agg(spark, sf_dir):
+    """Aggregate over engine-encoded files must equal the source."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import encode_dataset
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_ra_")
+    encode_dataset(spark, docs, out, compression="SNAPPY",
+                   partition_cols=("source",), num_partitions=4,
+                   sort_within=("doc_id",), resume=False).collect()
+    back = spark.read.parquet(f"{out}/part-*.parquet")
+    return (back.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.sum(F.length("text")).alias("total_len")))
+
+
+ORACLES["engine_roundtrip_agg"] = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_len
+FROM documents GROUP BY lang
+"""
+
+
+def engine_manifest(spark, sf_dir):
+    """Lineage manifest surface (rows-only check: content is wall-clock
+    dependent)."""
+    from fastparquet_spark.engine import encode_dataset
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_mf_")
+    return encode_dataset(spark, docs, out, compression="ZSTD",
+                          partition_cols=("lang",), num_partitions=4,
+                          resume=False).select("file", "rows", "skipped", "columns")
+
+
+# ------------------------------------------------------------------ registry -
+QUERIES = {
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q3_shipping_topk": relational.q3_shipping_topk,
+    "q_filter_project": relational.q_filter_project,
+    "q_window_rank": relational.q_window_rank,
+    "q_sort_topk": relational.q_sort_topk,
+    "q_join_agg_nation": relational.q_join_agg_nation,
+    "q_column_stats": relational.q_column_stats,
+    "q_count_filters": relational.q_count_filters,
+    "q_head": relational.q_head,
+    "q_partition_values": relational.q_partition_values,
+    "q_dict_codes": relational.q_dict_codes,
+    "q_rle_runs": relational.q_rle_runs,
+    "q_delta_stats": relational.q_delta_stats,
+    "q_cardinality_stats": relational.q_cardinality_stats,
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_minhash_signatures": dedup.dedup_minhash_signatures,
+    "dedup_minhash_lsh_pairs": dedup.dedup_minhash_lsh_pairs,
+    "dedup_simhash": dedup.dedup_simhash,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "text_langid": text.text_langid,
+    "text_quality": text.text_quality,
+    "text_token_count": text.text_token_count,
+    "text_fingerprint": text.text_fingerprint,
+    "sim_cosine_topk": similarity.sim_cosine_topk,
+    "sim_lsh_buckets": similarity.sim_lsh_buckets,
+    "sim_ann_ivf": similarity.sim_ann_ivf,
+    "mm_binary_meta": multimodal.mm_binary_meta,
+    "mm_decode_features": multimodal.mm_decode_features,
+    "engine_roundtrip_hashes": engine_roundtrip_hashes,
+    "engine_roundtrip_agg": engine_roundtrip_agg,
+    "engine_manifest": engine_manifest,
+}

@@ -1,0 +1,176 @@
+"""Relational operators + codec-analog queries (oracle-checkable).
+
+The reference has NO joins/aggs/windows (SURVEY.md §2.5) — these queries
+demonstrate the built-in Spark operators our engine composes with, plus
+SQL analogs of the reference's metadata operators (statistics,
+count-with-filters, head — fastparquet/api.py:822-902,512-525,231-250)
+and of our codec-selection statistics.
+
+Numeric-sum determinism: double sums are order-dependent, so every money
+aggregate goes through an EXACT decimal sum, then casts to double — the
+same bits on Spark and DuckDB regardless of partial-agg order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col):
+    """Order-independent exact sum, surfaced as double."""
+    return F.sum(F.col(col).cast("decimal(28,6)")).cast("double")
+
+
+# ---- TPC-H-ish built-in operator coverage -----------------------------------
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + groupBy agg (map-side combinable)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dsum("l_quantity").alias("sum_qty"),
+                 _dsum("l_extendedprice").alias("sum_base_price"),
+                 F.count("*").alias("count_order")))
+
+
+def q3_shipping_topk(spark, sf_dir):
+    """Join (broadcast-able dims) + agg + top-k."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+           .groupBy("l_orderkey")
+           .agg(_dsum("l_extendedprice").alias("revenue"))
+           .orderBy(F.desc("revenue"), "l_orderkey").limit(10))
+    return rev
+
+
+def q_filter_project(spark, sf_dir):
+    """Predicate + projection pushdown: only 2 columns reach the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.03))
+            .select("l_orderkey", "l_quantity")
+            .groupBy().agg(F.count("*").alias("n_rows"),
+                           _dsum("l_quantity").alias("total_qty")))
+
+
+def q_window_rank(spark, sf_dir):
+    """Window function: each customer's single largest order."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey",
+                    F.col("o_totalprice").alias("max_price")))
+
+
+def q_sort_topk(spark, sf_dir):
+    """Global top-k (TakeOrderedAndProject, no full sort shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.orderBy(F.desc("value"), "event_id")
+            .select("event_id", "user_id", "event_type", "value").limit(20))
+
+
+def q_join_agg_nation(spark, sf_dir):
+    """Multi-way broadcast join over the dim chain."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    c = load(spark, sf_dir, "customer")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_cust"),
+                 _dsum("c_acctbal").alias("total_bal")))
+
+
+# ---- reference metadata-operator analogs ------------------------------------
+def q_column_stats(spark, sf_dir):
+    """Per-column min/max/null_count — the reference's `statistics`
+    operator (fastparquet/api.py:822-902), computed by the engine instead
+    of read from footers."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy().agg(
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).cast("long").alias("nulls_returnflag"),
+        F.count("*").alias("n_rows"))
+
+
+def q_count_filters(spark, sf_dir):
+    """count(filters) — fastparquet/api.py:512-525 analog."""
+    orders = load(spark, sf_dir, "orders")
+    return (orders.filter((F.col("o_orderstatus") == "F") &
+                          (F.col("o_totalprice") > 1000))
+            .groupBy().agg(F.count("*").alias("n_rows")))
+
+
+def q_head(spark, sf_dir):
+    """head(n) — fastparquet/api.py:231-250 analog (deterministic order)."""
+    orders = load(spark, sf_dir, "orders")
+    return (orders.orderBy("o_orderkey").limit(5)
+            .select("o_orderkey", "o_custkey", "o_orderstatus"))
+
+
+def q_partition_values(spark, sf_dir):
+    """hive partition discovery analog (fastparquet/api.py:700-758):
+    the distinct key=value combinations a partitioned write would create."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.groupBy("lang", "source").agg(F.count("*").alias("n_rows")))
+
+
+# ---- codec-selection analogs (our engine's stats, oracle-checkable) ---------
+def q_dict_codes(spark, sf_dir):
+    """Dictionary build as a query: label -> dense code in label order —
+    exactly what dict_build produces for a sorted dictionary page."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy("lang")
+    return (docs.select("lang").distinct()
+            .withColumn("code", (F.dense_rank().over(w) - 1).cast("int")))
+
+
+def q_rle_runs(spark, sf_dir):
+    """Run-length statistics over an ordered column — the encoder's RLE
+    run detection (codecs/rle.py) expressed relationally."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    runs = (ev.select("event_id", "event_type")
+            .withColumn("prev", F.lag("event_type").over(w))
+            .withColumn("is_start",
+                        F.when(F.col("prev").isNull() |
+                               (F.col("prev") != F.col("event_type")), 1).otherwise(0)))
+    return runs.groupBy("event_type").agg(
+        F.sum("is_start").cast("long").alias("n_runs"),
+        F.count("*").alias("n_values"))
+
+
+def q_delta_stats(spark, sf_dir):
+    """Frame-of-reference viability stats: per-user event-time deltas —
+    what selection.column_stats derives before choosing DELTA."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; a fixed session-tz offset cancels in the deltas
+    d = (ev.withColumn("ms", F.unix_millis(F.col("ts").cast("timestamp")))
+         .withColumn("prev_ms", F.lag("ms").over(w))
+         .filter(F.col("prev_ms").isNotNull())
+         .withColumn("delta_ms", F.col("ms") - F.col("prev_ms")))
+    return d.groupBy("user_id").agg(
+        F.count("*").alias("n_deltas"),
+        F.min("delta_ms").alias("min_delta"),
+        F.max("delta_ms").alias("max_delta"))
+
+
+def q_cardinality_stats(spark, sf_dir):
+    """Distinct-ratio inputs to codec selection, per documents column."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy().agg(
+        F.countDistinct("lang").alias("nd_lang"),
+        F.countDistinct("source").alias("nd_source"),
+        F.countDistinct("text").alias("nd_text"),
+        F.count("*").alias("n_rows"))

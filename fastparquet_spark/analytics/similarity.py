@@ -1,0 +1,81 @@
+"""Similarity search over the embedding column (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; sign-bucket LSH
+and label-centroid IVF are the scale paths (prune candidates before the
+exact pass).  All vector math stays in JVM expressions (zip_with /
+aggregate higher-order functions) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fastparquet_spark.analytics.relational import load
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def sim_cosine_topk(spark, sf_dir, query_id: int = 0, k: int = 10):
+    """Brute-force cosine top-k vs one query vector (broadcast scalar
+    subquery; single scan, TakeOrderedAndProject for the top-k)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q")).limit(1)
+    joined = emb.filter(F.col("vec_id") != query_id).crossJoin(F.broadcast(q))
+    cos = joined.select(
+        "vec_id", "label",
+        F.round(_dot(F.col("embedding"), F.col("q")) /
+                (_norm(F.col("embedding")) * _norm(F.col("q"))), 6).alias("cosine"))
+    return cos.orderBy(F.desc("cosine"), "vec_id").limit(k)
+
+
+def sim_lsh_buckets(spark, sf_dir, n_bits: int = 8):
+    """Sign-bucket LSH: 64-dim vectors split into n_bits contiguous
+    groups; bucket bit j = sign of group-j sum.  Bucket histogram shows
+    the partitioning an ANN index would shard by — at scale each bucket
+    becomes a co-located partition and queries probe one bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims_per = 64 // n_bits
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        gsum = F.aggregate(
+            F.slice(F.col("embedding"), j * dims_per + 1, dims_per),
+            F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        bucket = bucket + F.when(gsum > 0, F.lit(1 << j)).otherwise(0)
+    return (emb.withColumn("bucket", bucket.cast("int"))
+            .groupBy("bucket").agg(F.count("*").alias("n_vecs")))
+
+
+def sim_ann_ivf(spark, sf_dir, query_id: int = 0, k: int = 5, n_probe: int = 2):
+    """IVF-style ANN: centroids = per-label mean vectors (the synthetic
+    labels stand in for k-means cells); probe the n_probe nearest cells,
+    exact cosine only within them.  Non-SQL-expressible (positional array
+    aggregation) -> rows-only correctness check."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.transform("embedding", lambda x: x.cast("double")))
+    # centroid per label: element-wise mean via posexplode + pivot-free agg
+    pos = emb.select("label", F.posexplode("emb_d").alias("pos", "v"))
+    cent = (pos.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("label", F.transform("pc", lambda x: x.c).alias("centroid")))
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("emb_d").alias("q")).limit(1)
+    probe = (cent.crossJoin(F.broadcast(q))
+             .select("label", (_dot(F.col("centroid"), F.col("q")) /
+                               (_norm(F.col("centroid")) * _norm(F.col("q")))).alias("cc"))
+             .orderBy(F.desc("cc")).limit(n_probe).select("label"))
+    cands = emb.join(F.broadcast(probe), "label").filter(F.col("vec_id") != query_id)
+    cos = cands.crossJoin(F.broadcast(q)).select(
+        "vec_id", "label",
+        F.round(_dot(F.col("emb_d"), F.col("q")) /
+                (_norm(F.col("emb_d")) * _norm(F.col("q"))), 6).alias("cosine"))
+    return cos.orderBy(F.desc("cosine"), "vec_id").limit(k)

@@ -105,8 +105,9 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)
     work = _salted(df, partition_cols, salt_rows, num_partitions)
-    if sort_within:
-        work = work.sortWithinPartitions(*sort_within)
+    sort_cols = [c for c in (sort_within or ()) if c in df.columns]
+    if sort_cols:
+        work = work.sortWithinPartitions(*sort_cols)
 
     schema = _manifest_struct()
     compression_ = compression
