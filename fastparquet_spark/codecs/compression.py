@@ -37,17 +37,23 @@ def codec_id(name: str | int) -> int:
     return CODECS[key]
 
 
-def compress(data: bytes, codec: int) -> bytes:
+# speed-leaning defaults: zstd-1 ~3x faster than zstd-3 for ~2% ratio loss
+# on source text; gzip-6 is the zlib sweet spot
+_LEVELS = {ZSTD: 1, GZIP: 6, BROTLI: 4}
+
+
+def compress(data: bytes, codec: int, level: int | None = None) -> bytes:
     if codec == UNCOMPRESSED:
         return data
+    lvl = level if level is not None else _LEVELS.get(codec)
     if codec in _PA_NAMES:
         try:
-            return pa.Codec(_PA_NAMES[codec]).compress(data).to_pybytes()
+            return pa.Codec(_PA_NAMES[codec], compression_level=lvl).compress(data).to_pybytes()
         except (ValueError, NotImplementedError):
             if codec != GZIP:
                 raise
     if codec == GZIP:
-        co = zlib.compressobj(9, zlib.DEFLATED, 16 + 15)  # gzip member framing
+        co = zlib.compressobj(lvl or 6, zlib.DEFLATED, 16 + 15)  # gzip member framing
         return co.compress(data) + co.flush()
     raise ValueError(f"unsupported codec id {codec}")
 

@@ -25,24 +25,36 @@ def pack_byte_array(lengths: np.ndarray, data: np.ndarray) -> bytes:
 
     ``data`` is the concatenation of all strings (uint8), ``lengths``
     their byte lengths — i.e. exactly an Arrow binary array's buffers.
-    Vectorized scatter; no per-row Python (contrast with the reference's
-    per-object loop, fastparquet/speedups.pyx:55-89).
+
+    Implementation: elementwise C-speed concat via Arrow
+    ``binary_join_element_wise`` of a fixed_size_binary(4) prefix array
+    (the raw little-endian u4 lengths buffer) with the payload array —
+    one pass, no per-row Python and no per-byte scatter (contrast with
+    the reference's per-object loop, fastparquet/speedups.pyx:55-89).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     n = len(lengths)
-    lengths = lengths.astype(np.int64, copy=False)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
     total_data = int(lengths.sum())
-    out = np.empty(4 * n + total_data, dtype=np.uint8)
-    cum = np.concatenate(([0], np.cumsum(lengths)))
-    # row i's 4-byte length lives at 4*i + cum[i]
-    len_pos = 4 * np.arange(n, dtype=np.int64) + cum[:-1]
-    out[(len_pos[:, None] + np.arange(4, dtype=np.int64)).ravel()] = (
-        lengths.astype("<u4").view(np.uint8).reshape(n, 4).ravel()
+    if n == 0:
+        return b""
+    prefix = pa.Array.from_buffers(
+        pa.binary(4), n,
+        [None, pa.py_buffer(lengths.astype("<u4").tobytes())],
+    ).cast(pa.binary())
+    offsets = np.empty(n + 1, dtype=np.int32)
+    offsets[0] = 0
+    offsets[1:] = np.cumsum(lengths)
+    payload = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(data[:total_data]).tobytes())],
     )
-    if total_data:
-        dst_start = len_pos + 4
-        within = np.arange(total_data, dtype=np.int64) - np.repeat(cum[:-1], lengths)
-        out[np.repeat(dst_start, lengths) + within] = data[:total_data]
-    return out.tobytes()
+    joined = pc.binary_join_element_wise(prefix, payload, b"")
+    buf = joined.buffers()[2]
+    return buf.to_pybytes()[: 4 * n + total_data]
 
 
 def unpack_byte_array(buf, count: int, offset: int = 0) -> tuple[np.ndarray, np.ndarray, int]:

@@ -50,6 +50,7 @@ def _manifest_struct():
         StructField("input_bytes", LongType()),
         StructField("output_bytes", LongType()),
         StructField("encode_secs", DoubleType()),
+        StructField("kernel_secs", DoubleType()),
         StructField("skipped", BooleanType()),
         StructField("columns", StringType()),
     ])
@@ -63,9 +64,16 @@ def _arrow_manifest_batch(row: dict) -> pa.RecordBatch:
         "input_bytes": pa.array([row["input_bytes"]], pa.int64()),
         "output_bytes": pa.array([row["output_bytes"]], pa.int64()),
         "encode_secs": pa.array([row["encode_secs"]], pa.float64()),
+        "kernel_secs": pa.array([row.get("kernel_secs", 0.0)], pa.float64()),
         "skipped": pa.array([row["skipped"]], pa.bool_()),
         "columns": pa.array([row["columns"]]),
     })
+
+
+# payload-ish columns are excluded from the salt hash: hashing the full
+# content column would touch every byte of a 100 TB table just to pick a
+# bucket; identity columns spread rows just as well
+_PAYLOAD_NAMES = {"content", "text", "payload", "body", "blob", "props"}
 
 
 def _salted(df, partition_cols, salt_rows: int, num_partitions: int):
@@ -77,8 +85,10 @@ def _salted(df, partition_cols, salt_rows: int, num_partitions: int):
     counts = df.groupBy(*cols).agg(F.count("*").alias("__key_rows"))
     df = df.join(F.broadcast(counts), on=cols, how="left")
     buckets = F.greatest(F.lit(1), F.ceil(F.col("__key_rows") / F.lit(salt_rows)))
+    salt_cols = [c for c in df.columns
+                 if c != "__key_rows" and c.lower() not in _PAYLOAD_NAMES] or cols
     df = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns if c != "__key_rows"]),
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
                          buckets).cast("int"),
     ).drop("__key_rows")
     return df.repartition(num_partitions, *cols, F.col("__salt")).drop("__salt")
@@ -151,15 +161,18 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 os.remove(tmp)
                 return
             tbl = pa.Table.from_batches(collected)
+            k0 = time.perf_counter()
             res = write_file(sink, tbl, compression=compression_,
                              encodings=encodings_,
                              row_group_rows=min(row_group_rows_, max(n_rows, 1)))
+            kernel_secs = time.perf_counter() - k0
             sink.close()
             os.replace(tmp, fpath)  # atomic publish of data file
             cols = {c.name: c.encoding for c in res.columns}
             row = {"partition": pid, "file": fname, "rows": n_rows,
                    "input_bytes": in_bytes, "output_bytes": res.file_bytes,
                    "encode_secs": time.perf_counter() - t0,
+                   "kernel_secs": kernel_secs,
                    "skipped": False, "columns": json.dumps(cols)}
             # manifest written AFTER data: its existence == commit
             with open(mpath + ".tmp", "w") as fh:

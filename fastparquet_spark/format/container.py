@@ -1,0 +1,245 @@
+"""FPSC — the engine's own column-container format (internal path).
+
+FSST is not a Parquet-standard encoding, so FSST-coded columns cannot
+live in the parquet-compat output (SURVEY.md §7.4).  This container is
+the dual-mode answer: same codec kernels, own framing, used only where
+we control both ends (intermediate shuffle spills, cache tiers).
+
+Layout:
+    b"FPSC"
+    per column chunk: raw encoded blocks (see below)
+    utf8 JSON footer {columns: [...], nrows}
+    <u4 footer length> b"FPSC"
+
+Per column:
+    strings/binary -> FSST(table + blob) over the concatenated payload
+                      (symbol matches may span row boundaries — decode
+                      restores the exact byte stream, then re-splits by
+                      the stored lengths), lengths DELTA_BINARY_PACKED,
+                      optional zstd on top when it still helps;
+    ints/timestamps -> PLAIN or DELTA (auto-selected), zstd;
+    floats/bools    -> PLAIN, zstd;
+    validity        -> RLE/bit-packed hybrid (the parquet def-levels
+                      kernel, reused).
+
+Everything is numpy/Arrow-buffer vectorized; runs inside mapInArrow.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from fastparquet_spark.codecs import compression as comp
+from fastparquet_spark.codecs.delta import delta_decode, delta_encode
+from fastparquet_spark.codecs.fsst import FsstTable, fsst_decode, fsst_encode, fsst_train
+from fastparquet_spark.codecs.plain import decode_plain, encode_plain
+from fastparquet_spark.codecs.rle import decode_hybrid, encode_hybrid
+from fastparquet_spark.codecs.selection import column_stats
+from fastparquet_spark.format.metadata import Type
+from fastparquet_spark.format.writer import _binary_parts, _map_type
+
+MAGIC = b"FPSC"
+
+_NP_OF = {Type.BOOLEAN: np.bool_, Type.INT32: np.int32, Type.INT64: np.int64,
+          Type.FLOAT: np.float32, Type.DOUBLE: np.float64}
+
+
+@dataclass
+class ColumnBlock:
+    name: str
+    codec: str            # 'fsst' | 'plain' | 'delta'
+    arrow_type: str       # serialized arrow type name
+    n: int
+    null_count: int
+    raw_bytes: int
+    enc_bytes: int
+
+
+def _arrow_type_name(t: pa.DataType) -> str:
+    return str(t)
+
+
+def _type_from_name(name: str) -> pa.DataType:
+    simple = {"string": pa.string(), "large_string": pa.large_string(),
+              "binary": pa.binary(), "bool": pa.bool_(),
+              "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+              "int64": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+              "timestamp[us]": pa.timestamp("us"), "date32[day]": pa.date32()}
+    if name in simple:
+        return simple[name]
+    raise ValueError(f"unsupported container type {name}")
+
+
+def write_container(sink, table: pa.Table, compression: str = "ZSTD",
+                    min_fsst_gain: float = 0.9) -> list[ColumnBlock]:
+    """Write an Arrow table as an FPSC container; returns per-column lineage."""
+    own = isinstance(sink, str)
+    f = open(sink, "wb") if own else sink
+    codec = comp.codec_id(compression)
+    try:
+        f.write(MAGIC)
+        pos = 4
+        cols_meta = []
+        blocks: list[ColumnBlock] = []
+        for field in table.schema:
+            arr = table.column(field.name).combine_chunks()
+            ptype, _, cast_to = _map_type(field.type)
+            n = len(arr)
+            null_count = arr.null_count
+            validity_b = b""
+            if null_count:
+                validity = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+                validity_b = encode_hybrid(validity, 1, prepend_length=True)
+                arr_nn = arr.drop_null()
+            else:
+                arr_nn = arr
+            if cast_to is not None and arr_nn.type != cast_to and ptype != Type.BYTE_ARRAY:
+                arr_nn = arr_nn.cast(cast_to)
+
+            parts: list[bytes] = [validity_b]
+            if ptype == Type.BYTE_ARRAY:
+                lengths, data = _binary_parts(arr_nn)
+                raw_bytes = int(lengths.sum()) + 8 * len(lengths)
+                # candidates: plain+block codec vs FSST (optionally +block
+                # codec on the symbol stream) — pick the smallest, per the
+                # auto-selection mandate
+                raw_plain = encode_plain((lengths, data), ptype)
+                body_plain = comp.compress(raw_plain, codec)
+                ftab = fsst_train(data)
+                blob = fsst_encode(data, ftab)
+                blob_z = comp.compress(blob, codec)
+                blob_codec, blob_stored = (codec, blob_z) if len(blob_z) < len(blob) \
+                    else (0, blob)
+                tab_b = ftab.serialize()
+                lens_b = delta_encode(lengths)
+                fsst_total = len(tab_b) + len(lens_b) + len(blob_stored) + 28
+                if fsst_total < len(body_plain) * min_fsst_gain:
+                    codec_name = "fsst"
+                    parts += [len(tab_b).to_bytes(4, "little"), tab_b,
+                              len(lens_b).to_bytes(4, "little"), lens_b,
+                              len(blob).to_bytes(8, "little"),      # fsst stream len
+                              len(blob_stored).to_bytes(8, "little"),
+                              blob_codec.to_bytes(4, "little"), blob_stored]
+                else:
+                    codec_name = "plain"
+                    parts += [len(raw_plain).to_bytes(8, "little"),
+                              len(body_plain).to_bytes(8, "little"), body_plain]
+            else:
+                if pa.types.is_timestamp(arr_nn.type):
+                    arr_nn = arr_nn.cast(pa.int64())
+                elif pa.types.is_date32(arr_nn.type):
+                    arr_nn = arr_nn.cast(pa.int32())
+                vals = arr_nn.to_numpy(zero_copy_only=False)
+                raw_bytes = vals.nbytes
+                st = column_stats(vals, ptype)
+                if ptype in (Type.INT32, Type.INT64) and (
+                        st.sorted_frac > 0.95 or st.delta_bits < st.plain_bits * 0.6):
+                    codec_name = "delta"
+                    raw = delta_encode(vals)
+                else:
+                    codec_name = "plain"
+                    raw = encode_plain(vals, ptype)
+                body = comp.compress(raw, codec)
+                parts += [len(raw).to_bytes(8, "little"),
+                          len(body).to_bytes(8, "little"), body]
+
+            col_bytes = b"".join(parts)
+            f.write(col_bytes)
+            cols_meta.append({"name": field.name, "codec": codec_name,
+                              "arrow_type": _arrow_type_name(field.type),
+                              "ptype": ptype, "n": n, "null_count": null_count,
+                              "offset": pos, "size": len(col_bytes),
+                              "block_codec": codec})
+            blocks.append(ColumnBlock(field.name, codec_name,
+                                      _arrow_type_name(field.type), n,
+                                      null_count, raw_bytes, len(col_bytes)))
+            pos += len(col_bytes)
+        footer = json.dumps({"columns": cols_meta, "nrows": table.num_rows}).encode()
+        f.write(footer)
+        f.write(len(footer).to_bytes(4, "little"))
+        f.write(MAGIC)
+        return blocks
+    finally:
+        if own:
+            f.close()
+
+
+def read_container(source) -> pa.Table:
+    buf = open(source, "rb").read() if isinstance(source, str) else bytes(source)
+    if buf[:4] != MAGIC or buf[-4:] != MAGIC:
+        raise ValueError("not an FPSC container")
+    flen = int.from_bytes(buf[-8:-4], "little")
+    meta = json.loads(buf[len(buf) - 8 - flen:len(buf) - 8])
+    arrays = {}
+    for cm in meta["columns"]:
+        pos = cm["offset"]
+        n = cm["n"]
+        ptype = cm["ptype"]
+        null_count = cm["null_count"]
+        bcodec = cm["block_codec"]
+        validity = np.ones(n, dtype=bool)
+        if null_count:
+            levels, pos = decode_hybrid(buf, 1, n, offset=pos)
+            validity = levels.astype(bool)
+        n_nn = int(validity.sum())
+        if cm["codec"] == "fsst":
+            tlen = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
+            ftab, _ = FsstTable.deserialize(buf, pos); pos += tlen
+            llen = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
+            lengths, _ = delta_decode(buf[pos:pos + llen], count=n_nn); pos += llen
+            blen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+            slen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+            bcodec2 = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
+            stream = comp.decompress(buf[pos:pos + slen], bcodec2, blen) \
+                if bcodec2 else buf[pos:pos + slen]
+            data = fsst_decode(np.frombuffer(stream, np.uint8, count=blen), ftab)
+            vals = (lengths, data)
+        else:
+            rawlen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+            blen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+            body = comp.decompress(buf[pos:pos + blen], bcodec, rawlen)
+            if cm["codec"] == "delta":
+                vals, _ = delta_decode(body, count=n_nn)
+            else:
+                vals, _ = decode_plain(body, ptype, n_nn)
+        arrays[cm["name"]] = _assemble(validity, vals, cm)
+    return pa.table(arrays)
+
+
+def _assemble(validity: np.ndarray, vals, cm: dict) -> pa.Array:
+    at = _type_from_name(cm["arrow_type"])
+    n = len(validity)
+    nulls = not validity.all()
+    vbuf = pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()) if nulls else None
+    nc = int((~validity).sum()) if nulls else 0
+    if cm["ptype"] == Type.BYTE_ARRAY:
+        lengths, data = vals
+        full = np.zeros(n, dtype=np.int64)
+        full[validity] = lengths
+        offsets = np.concatenate(([0], np.cumsum(full))).astype(np.int32)
+        storage = pa.utf8() if at in (pa.string(), pa.large_string()) else pa.binary()
+        return pa.Array.from_buffers(storage, n,
+                                     [vbuf, pa.py_buffer(offsets.tobytes()),
+                                      pa.py_buffer(np.ascontiguousarray(data).tobytes())],
+                                     null_count=nc).cast(at)
+    if at == pa.bool_():
+        full = np.zeros(n, dtype=np.bool_)
+        full[validity] = np.asarray(vals, dtype=np.bool_)
+        dbuf = pa.py_buffer(np.packbits(full, bitorder="little").tobytes())
+        return pa.Array.from_buffers(at, n, [vbuf, dbuf], null_count=nc)
+    np_dt = {pa.int8(): np.int8, pa.int16(): np.int16, pa.int32(): np.int32,
+             pa.int64(): np.int64, pa.float32(): np.float32,
+             pa.float64(): np.float64}.get(at, np.int64)
+    if at in (pa.timestamp("us"),):
+        np_dt = np.int64
+    elif at == pa.date32():
+        np_dt = np.int32
+    full = np.zeros(n, dtype=np_dt)
+    if vals is not None:
+        full[validity] = np.asarray(vals).astype(np_dt, copy=False)
+    return pa.Array.from_buffers(at, n, [vbuf, pa.py_buffer(full.tobytes())],
+                                 null_count=nc)

@@ -1,0 +1,75 @@
+"""FPSC own-format container round-trips (the FSST internal path,
+SURVEY.md §7.4 dual-mode column container)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fastparquet_spark.engine.datagen import synthetic_arrow_table
+from fastparquet_spark.format.container import read_container, write_container
+
+
+def _assert_equal(expected: pa.Table, got: pa.Table):
+    for name in expected.column_names:
+        a = expected.column(name).combine_chunks()
+        b = got.column(name).combine_chunks().cast(a.type)
+        pd.testing.assert_series_equal(a.to_pandas(), b.to_pandas(),
+                                       check_names=False, obj=name)
+
+
+def test_container_roundtrip_source_table(tmp_path):
+    tbl = synthetic_arrow_table(4000, seed=3)
+    path = str(tmp_path / "t.fpsc")
+    blocks = write_container(path, tbl, compression="ZSTD")
+    _assert_equal(tbl, read_container(path))
+    by_name = {b.name: b for b in blocks}
+    # FSST must win on the code-like content column
+    assert by_name["content"].codec == "fsst"
+    assert by_name["content"].enc_bytes < by_name["content"].raw_bytes / 4
+
+
+def test_container_beats_plain_zstd_parquet(tmp_path):
+    """The container's best-of (plain+zstd vs FSST vs FSST+zstd) must not
+    lose to our parquet writer on the same data."""
+    from fastparquet_spark.format import write_file
+    tbl = synthetic_arrow_table(4000, seed=3)
+    c = str(tmp_path / "t.fpsc")
+    p = str(tmp_path / "t.parquet")
+    write_container(c, tbl, compression="ZSTD")
+    write_file(p, tbl, compression="ZSTD")
+    assert os.path.getsize(c) <= os.path.getsize(p) * 1.05
+
+
+def test_container_nulls_and_types(tmp_path, rng):
+    n = 1500
+    tbl = pa.table({
+        "s": pa.array([None if rng.random() < 0.1 else f"txt {i % 37} blah blah"
+                       for i in range(n)]),
+        "i_sorted": pa.array(
+            [None if rng.random() < 0.05 else int(x)
+             for x in np.sort(rng.integers(0, 10**9, n))], pa.int64()),
+        "i32": pa.array(rng.integers(-100, 100, n), pa.int32()),
+        "f32": pa.array(rng.normal(size=n).astype(np.float32)),
+        "f64": pa.array(rng.normal(size=n)),
+        "bo": pa.array(rng.integers(0, 2, n).astype(bool)),
+        "ts": pa.array(rng.integers(10**15, 2 * 10**15, n), pa.timestamp("us")),
+    })
+    path = str(tmp_path / "t.fpsc")
+    blocks = write_container(path, tbl)
+    _assert_equal(tbl, read_container(path))
+    assert {b.name: b.codec for b in blocks}["i_sorted"] == "delta"
+
+
+def test_container_empty_and_garbage(tmp_path):
+    tbl = pa.table({"a": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    path = str(tmp_path / "e.fpsc")
+    write_container(path, tbl)
+    got = read_container(path)
+    assert got.num_rows == 0 and got.column_names == ["a", "s"]
+    with pytest.raises(ValueError):
+        read_container(b"garbage not a container")
