@@ -127,9 +127,12 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     resume_ = resume
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow as pa_w
         from pyspark import TaskContext
 
         from fastparquet_spark.format.writer import write_file
+
+        pa_w.set_cpu_count(1)  # see file_job.run: avoid pool oversubscription
 
         pid = TaskContext.get().partitionId()
         fname = f"part-{pid:05d}.parquet"

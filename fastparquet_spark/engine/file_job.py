@@ -1,0 +1,139 @@
+"""File-split encode job — the throughput path.
+
+``encode_dataset`` (encode_job.py) clusters arbitrary DataFrames by
+shuffling rows; that is correct when re-clustering is required, but at
+100 TB you move the PLAN, not the data.  This job distributes
+(file, row-group) SPLITS: the driver reads only footers, packs row
+groups into tasks, and each executor-side Python worker reads its
+split directly with pyarrow's C++ parquet reader and runs the codec
+kernels — bytes never cross the JVM/Python boundary, so throughput
+scales with cores instead of saturating the Arrow IPC channel
+(measured: the mapInArrow stream caps at ~0.45 GB/s on 32 local cores,
+while pyarrow scans + kernels run per-core).
+
+Skew handling here is plan-time: a mega-file contributes one split per
+row group, so no task exceeds the row-group budget regardless of file
+size — the moral equivalent of the shuffle path's salting.
+
+Resume works exactly like encode_job: deterministic split ids, one
+part file + one JSON manifest per split, manifest rename = commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from fastparquet_spark.engine.encode_job import MANIFEST_DIR, _arrow_manifest_batch, _manifest_struct
+
+
+def plan_splits(input_dir: str, rows_per_task: int = 2_000_000) -> list[dict]:
+    """Footer-only planning: pack row groups of all parquet files under
+    ``input_dir`` into splits of ~rows_per_task rows.  Only metadata is
+    read (the reference's `_metadata` trick, fastparquet/util.py:115-213,
+    done with footers instead of a sidecar)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.endswith(".parquet"))
+    splits: list[dict] = []
+    cur_file, cur_rgs, cur_rows = None, [], 0
+
+    def flush():
+        nonlocal cur_rgs, cur_rows
+        if cur_rgs:
+            splits.append({"split": len(splits), "file": cur_file,
+                           "row_groups": list(cur_rgs), "rows": cur_rows})
+            cur_rgs, cur_rows = [], 0
+
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        if cur_file != path:
+            flush()
+            cur_file = path
+        for rg in range(md.num_row_groups):
+            n = md.row_group(rg).num_rows
+            if cur_rows and cur_rows + n > rows_per_task:
+                flush()
+            cur_rgs.append(rg)
+            cur_rows += n
+    flush()
+    return splits
+
+
+def encode_files(spark, input_dir: str, out_dir: str, *,
+                 compression: str = "ZSTD", columns=None,
+                 rows_per_task: int = 2_000_000, resume: bool = True,
+                 encodings: dict | None = None):
+    """Encode every parquet file under ``input_dir`` into ``out_dir``
+    (our writer, auto-selected codecs), distributing (file, row-group)
+    splits.  Returns the manifest DataFrame."""
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    splits = plan_splits(input_dir, rows_per_task)
+    if not splits:
+        return spark.createDataFrame([], _manifest_struct())
+    n_tasks = len(splits)
+    split_rows = [(s["split"], s["file"], json.dumps(s["row_groups"])) for s in splits]
+    # exactly one split per partition: hash repartition would collide
+    # splits into shared partitions and leave others empty, putting 2-3
+    # tasks on the critical path
+    rdd = spark.sparkContext.parallelize(split_rows, n_tasks)
+    sdf = spark.createDataFrame(rdd, "split int, file string, rgs string")
+
+    out_dir_ = out_dir
+    compression_ = compression
+    encodings_ = encodings
+    columns_ = list(columns) if columns else None
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow as pa_w
+        import pyarrow.parquet as pq
+
+        from fastparquet_spark.format.writer import write_file
+
+        # one Arrow thread per worker: N workers x default pool (ncpus)
+        # oversubscribes the box N-fold and collapses kernel throughput
+        pa_w.set_cpu_count(1)
+        pa_w.set_io_thread_count(2)
+
+        for b in batches:
+            for sid, fpath, rgs_json in zip(b.column("split").to_pylist(),
+                                            b.column("file").to_pylist(),
+                                            b.column("rgs").to_pylist()):
+                fname = f"part-{sid:05d}.parquet"
+                opath = os.path.join(out_dir_, fname)
+                mpath = os.path.join(out_dir_, MANIFEST_DIR, f"part-{sid:05d}.json")
+                if resume and os.path.exists(mpath):
+                    with open(mpath) as fh:
+                        prev = json.load(fh)
+                    prev["skipped"] = True
+                    yield _arrow_manifest_batch(prev)
+                    continue
+                t0 = time.perf_counter()
+                tbl = pq.ParquetFile(fpath).read_row_groups(
+                    json.loads(rgs_json), columns=columns_, use_threads=False)
+                k0 = time.perf_counter()
+                tmp = opath + ".inprogress"
+                with open(tmp, "wb") as sink:
+                    res = write_file(sink, tbl, compression=compression_,
+                                     encodings=encodings_)
+                kernel = time.perf_counter() - k0
+                os.replace(tmp, opath)
+                cols = {c.name: c.encoding for c in res.columns}
+                row = {"partition": sid, "file": fname, "rows": tbl.num_rows,
+                       "input_bytes": tbl.nbytes, "output_bytes": res.file_bytes,
+                       "encode_secs": time.perf_counter() - t0,
+                       "kernel_secs": kernel, "skipped": False,
+                       "columns": json.dumps(cols)}
+                with open(mpath + ".tmp", "w") as fh:
+                    json.dump(row, fh)
+                os.replace(mpath + ".tmp", mpath)
+                yield _arrow_manifest_batch(row)
+
+    return sdf.mapInArrow(run, _manifest_struct())

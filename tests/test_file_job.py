@@ -1,0 +1,73 @@
+"""File-split encode job (the throughput path): plan, encode, resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from fastparquet_spark.engine import encode_files, plan_splits, synthetic_source_table
+
+
+@pytest.fixture(scope="module")
+def src_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("src"))
+    return d
+
+
+def _materialize(spark, d):
+    if not os.listdir(d):
+        synthetic_source_table(spark, 3000, partitions=4) \
+            .write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_plan_splits_packs_row_groups(spark, src_dir):
+    _materialize(spark, src_dir)
+    splits = plan_splits(src_dir, rows_per_task=1000)
+    assert sum(s["rows"] for s in splits) == 3000
+    assert all(s["rows"] <= 1100 for s in splits)  # one rg may exceed slightly
+    # deterministic ids
+    assert [s["split"] for s in splits] == list(range(len(splits)))
+    assert splits == plan_splits(src_dir, rows_per_task=1000)
+
+
+def test_encode_files_roundtrip_and_resume(spark, src_dir, tmp_path):
+    _materialize(spark, src_dir)
+    out = str(tmp_path / "enc")
+    m1 = encode_files(spark, src_dir, out, compression="SNAPPY",
+                      rows_per_task=800, resume=True).collect()
+    assert sum(r["rows"] for r in m1) == 3000
+    assert all(not r["skipped"] for r in m1)
+    back = spark.read.parquet(f"{out}/part-*.parquet")
+    assert back.count() == 3000
+    # content equality through the whole path
+    from pyspark.sql import functions as F
+    src = spark.read.parquet(src_dir)
+    a = src.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
+    b = back.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # resume: second run skips everything
+    m2 = encode_files(spark, src_dir, out, compression="SNAPPY",
+                      rows_per_task=800, resume=True).collect()
+    assert all(r["skipped"] for r in m2)
+    # delete one manifest -> only that split re-runs
+    victim = m1[0]["partition"]
+    os.remove(os.path.join(out, "_manifests", f"part-{victim:05d}.json"))
+    m3 = {r["partition"]: r for r in encode_files(
+        spark, src_dir, out, compression="SNAPPY",
+        rows_per_task=800, resume=True).collect()}
+    assert not m3[victim]["skipped"]
+    assert all(r["skipped"] for p, r in m3.items() if p != victim)
+
+
+def test_encode_files_column_projection(spark, src_dir, tmp_path):
+    _materialize(spark, src_dir)
+    out = str(tmp_path / "enc_proj")
+    m = encode_files(spark, src_dir, out, columns=["repo", "lang"],
+                     rows_per_task=2000, resume=False).collect()
+    back = spark.read.parquet(f"{out}/part-*.parquet")
+    assert set(back.columns) == {"repo", "lang"}
+    assert back.count() == 3000
+    assert sum(r["rows"] for r in m) == 3000
