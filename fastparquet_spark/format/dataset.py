@@ -1,0 +1,198 @@
+"""Dataset-level metadata operators over our encoded outputs.
+
+Re-expresses the reference's metadata "query" surface
+(fastparquet/api.py) against a directory of our part files:
+
+- ``dataset_metadata``    — merged footer view, the `_metadata` /
+                            ``merge`` analog (fastparquet/writer.py:1156-1193,
+                            util.py:115-213): footers only, no data reads;
+- ``dataset_statistics``  — per-column min/max/null_count across all row
+                            groups (fastparquet/api.py:822-902);
+- ``sorted_columns``      — columns whose row-group min/max chains are
+                            globally non-overlapping in file order
+                            (fastparquet/api.py:905-945);
+- ``filter_row_groups``   — DNF stats pruning ``[[(col,op,val),...],...]``
+                            (fastparquet/api.py:948-999, filter_out_stats
+                            :761-819, ops util.py:411-419);
+- ``filtered_read``       — Spark scan of only the surviving files, with
+                            the residual predicate applied (so results
+                            are exact, pruning is just I/O savings — the
+                            same contract as the reference's
+                            ``to_pandas(filters=...)``).
+
+At cluster scale this driver-side footer pass is exactly what an
+Iceberg manifest scan does; part files are listed once and only tails
+are read.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Any
+
+from fastparquet_spark.format.metadata import ConvertedType, Type
+from fastparquet_spark.format.reader import read_footer
+
+OPS = ("==", "=", "!=", "<", "<=", ">", ">=", "in", "not in")
+
+
+def _decode_stat(raw: bytes | None, ptype: int, conv: int | None):
+    if raw is None:
+        return None
+    if ptype == Type.INT32:
+        return struct.unpack("<i", raw)[0]
+    if ptype == Type.INT64:
+        v = struct.unpack("<q", raw)[0]
+        if conv == ConvertedType.TIMESTAMP_MICROS:
+            return v  # compare in raw micros
+        return v
+    if ptype == Type.FLOAT:
+        return struct.unpack("<f", raw)[0]
+    if ptype == Type.DOUBLE:
+        return struct.unpack("<d", raw)[0]
+    if ptype == Type.BOOLEAN:
+        return raw != b"\x00"
+    if ptype == Type.BYTE_ARRAY:
+        try:
+            return raw.decode("utf8")
+        except UnicodeDecodeError:
+            return raw
+    return None
+
+
+def dataset_metadata(out_dir: str) -> list[dict]:
+    """Footer of every part file: [{file, fmd}] in deterministic order."""
+    out = []
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        with open(os.path.join(out_dir, f), "rb") as fh:
+            out.append({"file": f, "fmd": read_footer(fh.read())})
+    return out
+
+
+def _iter_chunks(metas):
+    """Yield (file, rg_index, {col: (min,max,nulls,nvals)}) per row group."""
+    for m in metas:
+        elems = {e["name"]: e for e in m["fmd"]["schema"][1:]
+                 if e.get("num_children") is None}
+        for ri, rg in enumerate(m["fmd"]["row_groups"]):
+            cols: dict[str, tuple] = {}
+            for cc in rg["columns"]:
+                cmd = cc["meta_data"]
+                name = cmd["path_in_schema"][0]
+                elem = elems[name]
+                st = cmd.get("statistics") or {}
+                lo = _decode_stat(st.get("min_value") or st.get("min"),
+                                  elem["type"], elem.get("converted_type"))
+                hi = _decode_stat(st.get("max_value") or st.get("max"),
+                                  elem["type"], elem.get("converted_type"))
+                cols[name] = (lo, hi, st.get("null_count"), cmd["num_values"])
+            yield m["file"], ri, cols, rg["num_rows"]
+
+
+def dataset_statistics(out_dir: str) -> dict[str, dict[str, Any]]:
+    """Global per-column stats across every row group of the dataset."""
+    agg: dict[str, dict[str, Any]] = {}
+    for _f, _ri, cols, _n in _iter_chunks(dataset_metadata(out_dir)):
+        for name, (lo, hi, nulls, nvals) in cols.items():
+            a = agg.setdefault(name, {"min": None, "max": None,
+                                      "null_count": 0, "num_values": 0})
+            if lo is not None and (a["min"] is None or lo < a["min"]):
+                a["min"] = lo
+            if hi is not None and (a["max"] is None or hi > a["max"]):
+                a["max"] = hi
+            if nulls is not None:
+                a["null_count"] += nulls
+            a["num_values"] += nvals
+    return agg
+
+
+def sorted_columns(out_dir: str) -> list[str]:
+    """Columns globally sorted across row groups in file order: every
+    chunk's min >= previous chunk's max, no nulls, stats present."""
+    last: dict[str, Any] = {}
+    ok: dict[str, bool] = {}
+    for _f, _ri, cols, _n in _iter_chunks(dataset_metadata(out_dir)):
+        for name, (lo, hi, nulls, _nv) in cols.items():
+            if name not in ok:
+                ok[name] = True
+            if lo is None or hi is None or (nulls or 0) > 0 or lo > hi:
+                ok[name] = False
+                continue
+            if name in last and lo < last[name]:
+                ok[name] = False
+            last[name] = hi
+    return sorted(n for n, good in ok.items() if good)
+
+
+def _chunk_may_match(cols, clause) -> bool:
+    """Can any row in this chunk satisfy the AND-clause? (conservative)"""
+    for col, op, val in clause:
+        if col not in cols:
+            continue
+        lo, hi, nulls, nvals = cols[col]
+        if lo is None or hi is None:
+            continue  # no stats -> cannot prune
+        if op in ("==", "=") and not (lo <= val <= hi):
+            return False
+        if op == ">" and not (hi > val):
+            return False
+        if op == ">=" and not (hi >= val):
+            return False
+        if op == "<" and not (lo < val):
+            return False
+        if op == "<=" and not (lo <= val):
+            return False
+        if op == "in" and not any(lo <= v <= hi for v in val):
+            return False
+        if op == "!=" and lo == hi == val:
+            return False
+        if op == "not in" and lo == hi and lo in val:
+            return False
+    return True
+
+
+def filter_row_groups(out_dir: str, filters) -> list[tuple[str, int]]:
+    """Surviving (file, row_group) pairs for a DNF filter — a flat
+    AND-list ``[(col,op,val),...]`` or OR-of-ANDs ``[[...],[...]]``."""
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]
+    for clause in filters:
+        for col, op, _v in clause:
+            if op not in OPS:
+                raise ValueError(f"unsupported filter op {op!r}")
+    keep = []
+    for f, ri, cols, _n in _iter_chunks(dataset_metadata(out_dir)):
+        if any(_chunk_may_match(cols, clause) for clause in filters):
+            keep.append((f, ri))
+    return keep
+
+
+def filtered_read(spark, out_dir: str, filters):
+    """Spark DataFrame over only the stats-surviving part files, with the
+    exact residual predicate applied on top."""
+    from pyspark.sql import functions as F
+
+    keep_files = sorted({f for f, _ri in filter_row_groups(out_dir, filters)})
+    if not keep_files:
+        # empty scan with the right schema
+        df = spark.read.parquet(f"{out_dir}/part-*.parquet").limit(0)
+        return df
+    df = spark.read.parquet(*[os.path.join(out_dir, f) for f in keep_files])
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]
+    ors = None
+    for clause in filters:
+        ands = None
+        for col, op, val in clause:
+            c = F.col(col)
+            e = {"==": c == val, "=": c == val, "!=": c != val,
+                 "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
+                 "in": c.isin(*val) if isinstance(val, (list, tuple, set)) else c.isin(val),
+                 "not in": ~c.isin(*val) if isinstance(val, (list, tuple, set)) else ~c.isin(val),
+                 }[op]
+            ands = e if ands is None else (ands & e)
+        ors = ands if ors is None else (ors | ands)
+    return df.filter(ors) if ors is not None else df

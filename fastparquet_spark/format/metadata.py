@@ -102,10 +102,19 @@ SPECS = {
     "DictionaryPageHeader": [
         (1, "num_values", "i32"), (2, "encoding", "i32"), (3, "is_sorted", "bool"),
     ],
+    "DataPageHeaderV2": [
+        (1, "num_values", "i32"), (2, "num_nulls", "i32"),
+        (3, "num_rows", "i32"), (4, "encoding", "i32"),
+        (5, "definition_levels_byte_length", "i32"),
+        (6, "repetition_levels_byte_length", "i32"),
+        (7, "is_compressed", "bool"),
+        (8, "statistics", ("struct", "Statistics")),
+    ],
     "PageHeader": [
         (1, "type", "i32"), (2, "uncompressed_page_size", "i32"),
         (3, "compressed_page_size", "i32"), (4, "crc", "i32"),
         (5, "data_page_header", ("struct", "DataPageHeader")),
         (7, "dictionary_page_header", ("struct", "DictionaryPageHeader")),
+        (8, "data_page_header_v2", ("struct", "DataPageHeaderV2")),
     ],
 }

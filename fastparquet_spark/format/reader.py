@@ -83,21 +83,39 @@ def _read_column_chunk(buf: bytes, cmd: dict) -> tuple[np.ndarray, object]:
     seen = 0
     while seen < n_total:
         ph, pos = thrift.read_struct("PageHeader", buf, pos, SPECS)
-        raw = comp.decompress(buf[pos:pos + ph["compressed_page_size"]],
-                              codec, ph["uncompressed_page_size"])
+        page = buf[pos:pos + ph["compressed_page_size"]]
         pos += ph["compressed_page_size"]
         if ph["type"] == PageType.DICTIONARY_PAGE:
+            raw = comp.decompress(page, codec, ph["uncompressed_page_size"])
             nd = ph["dictionary_page_header"]["num_values"]
             dictionary, _ = decode_plain(raw, ptype, nd)
             continue
-        if ph["type"] != PageType.DATA_PAGE:
+        if ph["type"] == PageType.DATA_PAGE:
+            raw = comp.decompress(page, codec, ph["uncompressed_page_size"])
+            dph = ph["data_page_header"]
+            n = dph["num_values"]
+            # definition levels (OPTIONAL; max_def==1 -> validity bitmap,
+            # the reference's special case fastparquet/core.py:246-261)
+            levels, off = decode_hybrid(raw, 1, n, offset=0, length=None)
+        elif ph["type"] == PageType.DATA_PAGE_V2:
+            # levels sit uncompressed ahead of the (separately compressed)
+            # values section (fastparquet/core.py:195-412)
+            dph = ph["data_page_header_v2"]
+            n = dph["num_values"]
+            dlen = dph.get("definition_levels_byte_length", 0)
+            if dlen:
+                levels, _ = decode_hybrid(page, 1, n, offset=0, length=dlen)
+            else:
+                levels = np.ones(n, dtype=np.uint64)
+            vals_part = page[dlen:]
+            if dph.get("is_compressed", True) and codec != 0:
+                raw = comp.decompress(vals_part, codec,
+                                      ph["uncompressed_page_size"] - dlen)
+            else:
+                raw = bytes(vals_part)
+            off = 0
+        else:
             raise NotImplementedError(f"page type {ph['type']}")
-        dph = ph["data_page_header"]
-        n = dph["num_values"]
-        off = 0
-        # definition levels (OPTIONAL fields; max_def==1 -> validity bitmap,
-        # the reference's special case fastparquet/core.py:246-261)
-        levels, off = decode_hybrid(raw, 1, n, offset=0, length=None)
         valid = levels.astype(bool)
         n_nonnull = int(valid.sum())
         enc = dph["encoding"]

@@ -151,17 +151,21 @@ def _stat_bytes(value, ptype: int):
     return None
 
 
-def _def_levels(arr: pa.Array, n: int) -> tuple[bytes, int]:
-    """v1 definition levels (length-prefixed hybrid) for an OPTIONAL column.
+def _def_levels(arr: pa.Array, n: int, v2: bool = False) -> tuple[bytes, int]:
+    """Definition levels (RLE hybrid) for an OPTIONAL column; v1 carries a
+    uint32 length prefix, v2 stores the length in the page header instead
+    (fastparquet/writer.py:375-408 make_definitions, :564-591 v2 layout).
 
-    Zero-null fast path = single RLE run, exactly the reference's
-    make_definitions (fastparquet/writer.py:375-408)."""
+    Zero-null fast path = single RLE run, exactly the reference's."""
     null_count = arr.null_count
     if null_count == 0:
         body = uvarint_encode(n << 1) + b"\x01"
-        return len(body).to_bytes(4, "little") + body, 0
-    validity = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
-    return encode_hybrid(validity, 1, prepend_length=True), int(null_count)
+    else:
+        validity = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+        body = encode_hybrid(validity, 1)
+    if not v2:
+        body = len(body).to_bytes(4, "little") + body
+    return body, int(null_count)
 
 
 def _encode_values(values, ptype: int, encoding: int):
@@ -175,17 +179,23 @@ def _encode_values(values, ptype: int, encoding: int):
 
 def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
                encodings: dict | None = None, row_group_rows: int | None = None,
-               stats: bool = True) -> FileResult:
+               stats: bool = True, data_page_version: int = 1) -> FileResult:
     """Write an Arrow table as a parquet file to ``sink`` (path or file-like).
 
     ``encodings``: optional {column: 'plain'|'dict'|'delta'} override;
     anything absent is auto-selected from sampled stats.
+    ``data_page_version``: 1 (default, widest compat — the reference's
+    default, fastparquet/writer.py:411) or 2 (levels uncompressed outside
+    the compressed values section, fastparquet/writer.py:564-591).
     Returns a FileResult with per-column lineage metrics.
     """
+    if data_page_version not in (1, 2):
+        raise ValueError("data_page_version must be 1 or 2")
     own = isinstance(sink, (str, bytes))
     f = open(sink, "wb") if own else sink
     try:
-        return _write(f, table, compression, encodings or {}, row_group_rows, stats)
+        return _write(f, table, compression, encodings or {}, row_group_rows,
+                      stats, data_page_version)
     finally:
         if own:
             f.close()
@@ -196,7 +206,8 @@ _ENC_NAMES = {Encoding.PLAIN: "plain", Encoding.PLAIN_DICTIONARY: "dict",
 _ENC_BY_NAME = {v: k for k, v in _ENC_NAMES.items()}
 
 
-def _write(f, table, compression, encodings, row_group_rows, want_stats):
+def _write(f, table, compression, encodings, row_group_rows, want_stats,
+           page_version=1):
     codec = comp.codec_id(compression)
     f.write(MAGIC)
     pos = len(MAGIC)
@@ -227,7 +238,7 @@ def _write(f, table, compression, encodings, row_group_rows, want_stats):
             if cast_to is not None and arr.type != cast_to:
                 arr = arr.cast(cast_to)
             n = len(arr)
-            defs, null_count = _def_levels(arr, n)
+            defs, null_count = _def_levels(arr, n, v2=page_version == 2)
             values = _extract(arr, ptype)
 
             enc_override = encodings.get(name)
@@ -244,10 +255,10 @@ def _write(f, table, compression, encodings, row_group_rows, want_stats):
                 codes, labels = dict_build(nonnull)
                 n_dict = len(labels)
                 dict_page_bytes = encode_plain(_extract_labels(labels, ptype), ptype)
-                body = defs + dict_data_page(codes, n_dict)
+                data = dict_data_page(codes, n_dict)
             else:
                 data, _, _ = _encode_values(values, ptype, encoding)
-                body = defs + data
+            body = defs + data
 
             # statistics over non-null values
             st = None
@@ -271,19 +282,38 @@ def _write(f, table, compression, encodings, row_group_rows, want_stats):
                 f.write(ph); f.write(comp_dict)
                 written += len(ph) + len(comp_dict)
                 pos += len(ph) + len(comp_dict)
-            comp_body = comp.compress(body, codec)
-            dph = {"num_values": n,
-                   "encoding": encoding,
-                   "definition_level_encoding": Encoding.RLE,
-                   "repetition_level_encoding": Encoding.RLE}
-            if st:
-                dph["statistics"] = st
-            ph = thrift.write_struct("PageHeader", {
-                "type": PageType.DATA_PAGE,
-                "uncompressed_page_size": len(body),
-                "compressed_page_size": len(comp_body),
-                "data_page_header": dph,
-            }, SPECS)
+            if page_version == 1:
+                comp_body = comp.compress(body, codec)
+                dph = {"num_values": n,
+                       "encoding": encoding,
+                       "definition_level_encoding": Encoding.RLE,
+                       "repetition_level_encoding": Encoding.RLE}
+                if st:
+                    dph["statistics"] = st
+                ph = thrift.write_struct("PageHeader", {
+                    "type": PageType.DATA_PAGE,
+                    "uncompressed_page_size": len(body),
+                    "compressed_page_size": len(comp_body),
+                    "data_page_header": dph,
+                }, SPECS)
+            else:
+                # v2: levels uncompressed outside the compressed values
+                # section (fastparquet/writer.py:564-591)
+                comp_data = comp.compress(data, codec)
+                comp_body = defs + comp_data
+                dph = {"num_values": n, "num_nulls": null_count,
+                       "num_rows": n, "encoding": encoding,
+                       "definition_levels_byte_length": len(defs),
+                       "repetition_levels_byte_length": 0,
+                       "is_compressed": codec != 0}
+                if st:
+                    dph["statistics"] = st
+                ph = thrift.write_struct("PageHeader", {
+                    "type": PageType.DATA_PAGE_V2,
+                    "uncompressed_page_size": len(body),
+                    "compressed_page_size": len(comp_body),
+                    "data_page_header_v2": dph,
+                }, SPECS)
             data_off = pos
             f.write(ph); f.write(comp_body)
             written += len(ph) + len(comp_body)

@@ -1,0 +1,76 @@
+"""Dataset-level metadata operators: merged footers, global statistics,
+sortedness detection, DNF row-group pruning + exact filtered reads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fastparquet_spark.format import write_file
+from fastparquet_spark.format.dataset import (
+    dataset_metadata,
+    dataset_statistics,
+    filter_row_groups,
+    filtered_read,
+    sorted_columns,
+)
+
+
+@pytest.fixture()
+def dataset_dir(tmp_path, rng):
+    """3 part files x 2 row groups; k globally sorted, v random, s strings."""
+    n_per = 2000
+    for i in range(3):
+        tbl = pa.table({
+            "k": pa.array(np.arange(i * n_per, (i + 1) * n_per)),
+            "v": pa.array(rng.integers(-1000, 1000, n_per), pa.int32()),
+            "s": pa.array([f"s{j % 100:03d}" for j in range(n_per)]),
+        })
+        write_file(str(tmp_path / f"part-{i:05d}.parquet"), tbl,
+                   compression="SNAPPY", row_group_rows=1000)
+    return str(tmp_path)
+
+
+def test_dataset_metadata_and_statistics(dataset_dir):
+    metas = dataset_metadata(dataset_dir)
+    assert len(metas) == 3
+    assert sum(m["fmd"]["num_rows"] for m in metas) == 6000
+    stats = dataset_statistics(dataset_dir)
+    assert stats["k"]["min"] == 0 and stats["k"]["max"] == 5999
+    assert stats["k"]["null_count"] == 0 and stats["k"]["num_values"] == 6000
+    assert stats["s"]["min"] == "s000" and stats["s"]["max"] == "s099"
+
+
+def test_sorted_columns_detection(dataset_dir):
+    cols = sorted_columns(dataset_dir)
+    assert "k" in cols      # globally ascending across files
+    assert "v" not in cols  # random
+
+
+def test_filter_row_groups_prunes(dataset_dir):
+    # k in [2500, 2600] -> only one of six row groups survives
+    keep = filter_row_groups(dataset_dir, [("k", ">=", 2500), ("k", "<=", 2600)])
+    assert keep == [("part-00001.parquet", 0)]
+    # impossible clause -> nothing
+    assert filter_row_groups(dataset_dir, [("k", ">", 10**9)]) == []
+    # DNF: two disjoint ranges -> two row groups
+    keep = filter_row_groups(dataset_dir, [[("k", "==", 500)], [("k", "==", 5500)]])
+    assert keep == [("part-00000.parquet", 0), ("part-00002.parquet", 1)]
+    # string stats prune too
+    assert filter_row_groups(dataset_dir, [("s", ">", "s999")]) == []
+    with pytest.raises(ValueError):
+        filter_row_groups(dataset_dir, [("k", "~", 1)])
+
+
+def test_filtered_read_exact(dataset_dir, spark):
+    got = filtered_read(spark, dataset_dir,
+                        [("k", ">=", 2500), ("k", "<=", 2600)]).collect()
+    assert sorted(r["k"] for r in got) == list(range(2500, 2601))
+    full = spark.read.parquet(f"{dataset_dir}/part-*.parquet")
+    expected = full.filter("v > 900").count()
+    assert filtered_read(spark, dataset_dir, [("v", ">", 900)]).count() == expected
+    assert filtered_read(spark, dataset_dir, [("k", ">", 10**9)]).count() == 0
+    # in / not-in ops
+    got = filtered_read(spark, dataset_dir, [("k", "in", [5, 5999])]).collect()
+    assert sorted(r["k"] for r in got) == [5, 5999]

@@ -145,3 +145,22 @@ def test_all_null_column(tmp_path):
     assert got.column("s").null_count == 50
     ours = read_file(path)
     assert ours.column("a").null_count == 50
+
+
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "ZSTD"])
+def test_data_page_v2_roundtrip(sample_table, codec, tmp_path):
+    """DataPage v2 (levels outside the compressed section) — the
+    reference's env-gated write path (fastparquet/writer.py:564-591) and
+    the only page type its reader accepts DELTA in (core.py:221-227)."""
+    path = str(tmp_path / "v2.parquet")
+    write_file(path, sample_table, compression=codec, row_group_rows=1000,
+               data_page_version=2)
+    _assert_tables_equal(sample_table, pq.read_table(path), f"pa-v2:{codec}")
+    got = duckdb.sql(f"select * from '{path}'").arrow()
+    _assert_tables_equal(sample_table, got, f"duck-v2:{codec}")
+    _assert_tables_equal(sample_table, read_file(path), f"own-v2:{codec}")
+    # delta-encoded sorted ints really are in the file
+    md = pq.ParquetFile(path).metadata
+    encs = {md.row_group(0).column(i).path_in_schema:
+            md.row_group(0).column(i).encodings for i in range(md.row_group(0).num_columns)}
+    assert "DELTA_BINARY_PACKED" in encs["i64sorted"]
