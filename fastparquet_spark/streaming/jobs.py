@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import os
+
+
+def encode_stream(spark, stream_df, out_dir: str, checkpoint_dir: str, *,
+                  compression: str = "ZSTD", partition_cols=("lang",),
+                  num_partitions: int = 4, available_now: bool = True):
+    """Stream -> encode engine, one epoch directory per micro-batch.
+
+    foreachBatch hands us a normal DataFrame per epoch; we run the same
+    salted-repartition + mapInArrow encode as the batch path.  If Spark
+    replays an epoch after a crash, resume=True makes the replay a no-op
+    for already-committed partitions (manifest rename = commit).
+    """
+    from fastparquet_spark.engine import encode_dataset
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def handle(batch_df, epoch_id: int):
+        epoch_dir = os.path.join(out_dir, f"epoch={epoch_id:08d}")
+        encode_dataset(batch_df.sparkSession, batch_df, epoch_dir,
+                       compression=compression, partition_cols=partition_cols,
+                       num_partitions=num_partitions, resume=True).collect()
+
+    writer = (stream_df.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(spark, stream_df, *, window: str = "1 hour",
+                          watermark: str = "2 hours"):
+    """Watermarked tumbling-window counts per event_type — the standard
+    late-data-tolerant streaming aggregation (bounded state: windows
+    older than the watermark are finalized and dropped)."""
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (not NTZ); a fixed session-tz shift is
+    # irrelevant to windowing arithmetic
+    if dict(stream_df.dtypes).get("ts") == "timestamp_ntz":
+        stream_df = stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (stream_df
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events", "total_value"))

@@ -1,0 +1,73 @@
+"""Structured Streaming: encode sink idempotence + watermarked windows."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from fastparquet_spark.streaming import encode_stream, windowed_event_counts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def doc_stream_dir(tmp_path, spark):
+    """documents.parquet split into 2 files in a dir, as a file stream."""
+    d = str(tmp_path / "stream_src")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(2) \
+        .write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_encode_stream_availablenow(spark, doc_stream_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(doc_stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(doc_stream_dir)
+    q = encode_stream(spark, stream, out, ckpt, num_partitions=2)
+    q.awaitTermination(120)
+    # every source row landed exactly once across epoch dirs
+    back = spark.read.parquet(f"{out}/epoch=*/part-*.parquet")
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+    # replaying the same batch (simulated crash) is a no-op: resume skips
+    epochs = [e for e in os.listdir(out) if e.startswith("epoch=")]
+    assert epochs
+    shutil.rmtree(ckpt)  # force full re-read of the source
+    stream2 = spark.readStream.schema(schema).parquet(doc_stream_dir)
+    q2 = encode_stream(spark, stream2, out, str(tmp_path / "ckpt2"),
+                       num_partitions=2)
+    q2.awaitTermination(120)
+    back2 = spark.read.parquet(f"{out}/epoch=*/part-*.parquet")
+    assert back2.count() == 500  # manifests made the replay idempotent
+
+
+def test_windowed_event_counts_matches_batch(spark, tmp_path):
+    d = str(tmp_path / "ev")
+    spark.read.parquet(f"{SF}/events.parquet") \
+        .write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = windowed_event_counts(spark, stream, window="1 day", watermark="2 days")
+    q = (agg.writeStream.format("memory").queryName("wincounts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in spark.sql("select * from wincounts").collect()}
+    from pyspark.sql import functions as F
+    batch = spark.read.parquet(d) \
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type") \
+        .agg(F.count("*").alias("n")).collect()
+    exp = {(r["w"]["start"], r["event_type"]): r["n"] for r in batch}
+    # append mode emits only watermark-closed windows; all emitted rows
+    # must match the batch truth and cover most of it
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+    # append mode holds back windows newer than max_ts - watermark:
+    # with a 2-day watermark and 1-day windows, up to ~3 trailing days
+    # (x event types) stay open — everything older must have flushed
+    n_types = len({k[1] for k in exp})
+    assert len(got) >= len(exp) - 3 * n_types
