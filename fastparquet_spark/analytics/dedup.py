@@ -34,7 +34,13 @@ def _shingles_df(spark, sf_dir, max_doc=None):
                F.expr(f"transform(sequence(0, size(w)-{SHINGLE}), "
                       f"i -> concat_ws(' ', slice(w, i+1, {SHINGLE})))"))
         .otherwise(F.array(F.concat_ws(" ", F.col("w")))))
-    return (sh.select("doc_id", F.explode("shingles").alias("sh")).distinct())
+    # explode_outer, NOT explode: InferFiltersFromGenerate would push a
+    # `size(shingles)>0 AND isnotnull(shingles)` filter below the Generate
+    # that re-evaluates the interpreted higher-order shingle expression
+    # twice more per row (~3x the whole stage); the cheap null filter on
+    # the exploded string replaces it
+    return (sh.select("doc_id", F.explode_outer("shingles").alias("sh"))
+            .filter(F.col("sh").isNotNull()).distinct())
 
 
 def dedup_exact(spark, sf_dir):
@@ -71,11 +77,16 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
                  .agg(F.md5(F.concat_ws(",", F.transform(
                      F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
                      lambda x: x.minhash)).cast("binary")).alias("band_key")))
-    a = band_keys.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = band_keys.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    return (a.join(b, ["band", "band_key"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b").distinct())
+    # pairs are generated INSIDE each bucket with higher-order functions —
+    # a band_keys-vs-band_keys self-join would make Spark execute the whole
+    # signature pipeline twice (no common-subplan reuse across join sides)
+    buckets = (band_keys.groupBy("band", "band_key")
+               .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+               .filter(F.size("docs") > 1))
+    pairs = buckets.select(F.explode(F.flatten(F.expr(
+        "transform(docs, (a, i) -> transform(slice(docs, i + 2, size(docs)), "
+        "b -> struct(a AS doc_a, b AS doc_b)))"))).alias("p"))
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def dedup_simhash(spark, sf_dir):

@@ -358,3 +358,52 @@ QUERIES = {
     "engine_roundtrip_agg": engine_roundtrip_agg,
     "engine_manifest": engine_manifest,
 }
+
+
+def engine_dataset_stats(spark, sf_dir):
+    """Metadata-only statistics over engine output: encode documents,
+    then read ONLY our footers (dataset_statistics — the reference's
+    `statistics` operator, fastparquet/api.py:822-902).  The oracle
+    computes the same numbers from the raw data — so our footer stats
+    must be exactly right."""
+    import pyarrow as pa
+
+    from fastparquet_spark.engine import encode_dataset
+    from fastparquet_spark.format.dataset import dataset_statistics
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_ds_")
+    encode_dataset(spark, docs, out, compression="SNAPPY",
+                   partition_cols=("lang",), num_partitions=4,
+                   sort_within=("doc_id",), resume=False).collect()
+    st = dataset_statistics(out)
+    row = [(int(st["doc_id"]["min"]), int(st["doc_id"]["max"]),
+            int(st["doc_id"]["num_values"]), int(st["doc_id"]["null_count"]),
+            st["lang"]["min"], st["lang"]["max"],
+            int(st["n_chars"]["min"]), int(st["n_chars"]["max"]))]
+    return spark.createDataFrame(
+        row, "min_doc long, max_doc long, n_values long, n_nulls long, "
+             "min_lang string, max_lang string, min_chars long, max_chars long")
+
+
+ORACLES["engine_dataset_stats"] = """
+SELECT CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc,
+       count(*) AS n_values, CAST(0 AS BIGINT) AS n_nulls,
+       min(lang) AS min_lang, max(lang) AS max_lang,
+       CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+"""
+
+ORACLES["sim_neardup_pairs"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+           AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.7
+"""
+
+QUERIES["engine_dataset_stats"] = engine_dataset_stats
+QUERIES["sim_neardup_pairs"] = similarity.sim_neardup_pairs

@@ -79,3 +79,20 @@ def sim_ann_ivf(spark, sf_dir, query_id: int = 0, k: int = 5, n_probe: int = 2):
         F.round(_dot(F.col("emb_d"), F.col("q")) /
                 (_norm(F.col("emb_d")) * _norm(F.col("q"))), 6).alias("cosine"))
     return cos.orderBy(F.desc("cosine"), "vec_id").limit(k)
+
+
+def sim_neardup_pairs(spark, sf_dir, max_id: int = 150, threshold: float = 0.7):
+    """Embedding-cosine near-duplicate pairs — the vector twin of the
+    text dedup operators.  Bounded candidate set here; at scale this runs
+    per LSH bucket (sim_lsh_buckets) instead of all-pairs."""
+    emb = (load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < max_id)
+           .select("vec_id", F.transform("embedding",
+                                         lambda x: x.cast("double")).alias("e")))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = pairs.select(
+        "vec_a", "vec_b",
+        F.round(_dot(F.col("ea"), F.col("eb")) /
+                (_norm(F.col("ea")) * _norm(F.col("eb"))), 6).alias("cosine"))
+    return cos.filter(F.col("cosine") >= threshold)
