@@ -73,3 +73,33 @@ def test_container_empty_and_garbage(tmp_path):
     assert got.num_rows == 0 and got.column_names == ["a", "s"]
     with pytest.raises(ValueError):
         read_container(b"garbage not a container")
+
+
+def test_fpsc_distributed_roundtrip(spark, tmp_path):
+    """Full internal path: salted encode to FPSC containers (FSST on
+    content), distributed decode, per-row sha256 equality vs source."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import synthetic_source_table
+    from fastparquet_spark.engine.fpsc_job import encode_dataset_fpsc, read_fpsc
+
+    out = str(tmp_path / "fpsc")
+    # >=2000 rows per container: below that zstd-over-plain legitimately
+    # beats FSST on this corpus and the best-of selection picks plain
+    src = synthetic_source_table(spark, 5000, partitions=2).cache()
+    m1 = encode_dataset_fpsc(spark, src, out, num_partitions=2).collect()
+    assert sum(r["rows"] for r in m1) == 5000
+    import json as _json
+    codecs_used = set()
+    for r in m1:
+        codecs_used.update(_json.loads(r["columns"]).values())
+    assert "fsst" in codecs_used  # content must pick FSST on code text
+    back = read_fpsc(spark, out)
+    assert back.count() == 5000
+    a = src.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
+    b = back.select(F.sha2("content", 256).alias("h")).groupBy("h").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # resume: replay skips
+    m2 = encode_dataset_fpsc(spark, src, out, num_partitions=2).collect()
+    assert all(r["skipped"] for r in m2)
+    src.unpersist()
