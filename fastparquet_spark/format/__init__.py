@@ -8,6 +8,7 @@ kernels are unbuilt source).
 """
 
 from fastparquet_spark.format.writer import write_file, ColumnResult, FileResult
-from fastparquet_spark.format.reader import read_file, read_footer
+from fastparquet_spark.format.reader import read_file, read_footer, iter_row_groups
 
-__all__ = ["write_file", "read_file", "read_footer", "ColumnResult", "FileResult"]
+__all__ = ["write_file", "read_file", "read_footer", "iter_row_groups",
+           "ColumnResult", "FileResult"]

@@ -194,25 +194,48 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
                                  null_count=int((~validity).sum()) if nulls else 0)
 
 
-def read_file(source) -> pa.Table:
-    """Read a parquet file (path or bytes) written by us (or the reference's
-    flat-schema output) into a pyarrow Table."""
+def _load(source) -> bytes:
     if isinstance(source, str):
         with open(source, "rb") as fh:
-            buf = fh.read()
-    elif isinstance(source, (bytes, bytearray, memoryview)):
-        buf = bytes(source)
-    else:  # file-like
-        buf = source.read()
+            return fh.read()
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        return bytes(source)
+    return source.read()  # file-like
+
+
+def _read_row_group(buf, rg, elems, columns=None) -> pa.Table:
+    arrays, fields = [], []
+    for cc, elem in zip(rg["columns"], elems):
+        if columns is not None and elem["name"] not in columns:
+            continue
+        validity, vals = _read_column_chunk(buf, cc["meta_data"])
+        arr = _to_arrow(validity, vals, elem)
+        arrays.append(arr)
+        fields.append(pa.field(elem["name"], arr.type))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def iter_row_groups(source, columns=None):
+    """Yield one pyarrow Table per row group — the reference's streaming
+    chunk iteration (fastparquet/api.py:321-337 iter_row_groups), with
+    column projection (only the selected chunks are decoded,
+    fastparquet/core.py:570-577)."""
+    buf = _load(source)
     fmd = read_footer(buf)
     elems = [e for e in fmd["schema"][1:] if e.get("num_children") is None]
-    names = [e["name"] for e in elems]
-    cols: dict[str, list[pa.Array]] = {nm: [] for nm in names}
     for rg in fmd["row_groups"]:
-        for cc, elem in zip(rg["columns"], elems):
-            cmd = cc["meta_data"]
-            validity, vals = _read_column_chunk(buf, cmd)
-            cols[elem["name"]].append(_to_arrow(validity, vals, elem))
-    arrays = [pa.chunked_array(cols[nm]) for nm in names]
-    fields = [pa.field(nm, a.type) for nm, a in zip(names, arrays)]
-    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+        yield _read_row_group(buf, rg, elems, columns)
+
+
+def read_file(source, columns=None) -> pa.Table:
+    """Read a parquet file (path or bytes) written by us (or the reference's
+    flat-schema output) into a pyarrow Table, optionally projecting."""
+    buf = _load(source)
+    fmd = read_footer(buf)
+    elems = [e for e in fmd["schema"][1:] if e.get("num_children") is None]
+    parts = [_read_row_group(buf, rg, elems, columns)
+             for rg in fmd["row_groups"]]
+    if not parts:
+        names = [e["name"] for e in elems if columns is None or e["name"] in columns]
+        return pa.table({nm: [] for nm in names})
+    return pa.concat_tables(parts)

@@ -164,3 +164,19 @@ def test_data_page_v2_roundtrip(sample_table, codec, tmp_path):
     encs = {md.row_group(0).column(i).path_in_schema:
             md.row_group(0).column(i).encodings for i in range(md.row_group(0).num_columns)}
     assert "DELTA_BINARY_PACKED" in encs["i64sorted"]
+
+
+def test_iter_row_groups_and_projection(sample_table, tmp_path):
+    """Streaming chunk iteration + column projection through our reader
+    (fastparquet/api.py:321-337, core.py:570-577 analogs)."""
+    from fastparquet_spark.format import iter_row_groups
+    path = str(tmp_path / "t.parquet")
+    write_file(path, sample_table, compression="ZSTD", row_group_rows=1000)
+    chunks = list(iter_row_groups(path))
+    assert len(chunks) == 3
+    assert [c.num_rows for c in chunks] == [1000, 1000, 1000]
+    whole = pa.concat_tables(chunks)
+    _assert_tables_equal(sample_table, whole, "iter")
+    proj = read_file(path, columns=["lang", "i32"])
+    assert proj.column_names == ["i32", "lang"] or set(proj.column_names) == {"lang", "i32"}
+    _assert_tables_equal(sample_table.select(proj.column_names), proj, "proj")
