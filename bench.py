@@ -92,7 +92,9 @@ from bench import make_spark
 from fastparquet_spark.engine import encode_files
 spark = make_spark({cpus})
 best = None
-for i in range(3):
+# pass 0 is warm-up; min over 3 timed passes (this host's spare capacity
+# fluctuates heavily run to run — see BENCH.md "hardware reality")
+for i in range(4):
     out = tempfile.mkdtemp()
     t0 = time.perf_counter()
     m = encode_files(spark, {SRC_DIR!r}, out, compression="ZSTD",

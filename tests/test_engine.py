@@ -84,3 +84,25 @@ def test_encoded_files_are_smaller_than_spark_writer(spark, tmp_path):
                  for f in os.listdir(ref) if f.endswith(".parquet"))
     assert ours <= theirs * 1.1, (ours, theirs)
     src.unpersist()
+
+
+def test_salting_splits_mega_key(spark, tmp_path):
+    """Skew handling: one mega-repo must spread across multiple tasks
+    (count-derived salt width), not hot-spot a single partition."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "skew")
+    # 5000 rows, ~4800 in ONE repo
+    src = (synthetic_source_table(spark, 5000, partitions=4)
+           .withColumn("repo", F.when(F.rand(seed=1) < 0.96, "org/mega")
+                       .otherwise(F.col("repo")))).cache()
+    mega_rows = src.filter(F.col("repo") == "org/mega").count()
+    assert mega_rows > 4000
+    encode_dataset(spark, src, out, compression="SNAPPY",
+                   num_partitions=8, salt_rows=1000, resume=False).collect()
+    back = spark.read.parquet(f"{out}/part-*.parquet")
+    files_with_mega = (back.filter(F.col("repo") == "org/mega")
+                       .select(F.input_file_name().alias("f")).distinct().count())
+    assert files_with_mega >= 3  # ceil(4800/1000)=5 buckets, hashed into >=3 files
+    res = verify_roundtrip(spark, src, out)
+    assert res["mismatches"] == 0
+    src.unpersist()

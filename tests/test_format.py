@@ -180,3 +180,36 @@ def test_iter_row_groups_and_projection(sample_table, tmp_path):
     proj = read_file(path, columns=["lang", "i32"])
     assert proj.column_names == ["i32", "lang"] or set(proj.column_names) == {"lang", "i32"}
     _assert_tables_equal(sample_table.select(proj.column_names), proj, "proj")
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _arrow_tables(draw):
+    n = draw(st.integers(0, 200))
+    def col(elems, typ):
+        vals = draw(st.lists(st.one_of(st.none(), elems), min_size=n, max_size=n))
+        return pa.array(vals, typ)
+    return pa.table({
+        "i": col(st.integers(-2**31, 2**31 - 1), pa.int32()),
+        "l": col(st.integers(-2**62, 2**62), pa.int64()),
+        "d": col(st.floats(allow_nan=False, width=64), pa.float64()),
+        "s": col(st.text(max_size=20), pa.string()),
+        "b": col(st.booleans(), pa.bool_()),
+    })
+
+
+@given(_arrow_tables())
+@settings(max_examples=25, deadline=None)
+def test_writer_fuzz_vs_pyarrow(tbl):
+    """Property fuzz: arbitrary nullable tables round-trip through our
+    writer into pyarrow's reader (the reference's randomized round-trip
+    strategy, test_output.py:104-131, with hypothesis)."""
+    import io
+    buf = io.BytesIO()
+    write_file(buf, tbl, compression="SNAPPY", row_group_rows=64)
+    got = pq.read_table(io.BytesIO(buf.getvalue()))
+    _assert_tables_equal(tbl, got, "fuzz")
+    ours = read_file(buf.getvalue())
+    _assert_tables_equal(tbl, ours, "fuzz-own")
