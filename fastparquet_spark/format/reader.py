@@ -43,6 +43,10 @@ def read_footer(buf: bytes) -> dict:
 def _arrow_type(elem: dict) -> pa.DataType:
     conv = elem.get("converted_type")
     pt = elem["type"]
+    if conv == ConvertedType.DECIMAL:
+        return pa.decimal128(elem.get("precision", 18), elem.get("scale", 0))
+    if pt == Type.FIXED_LEN_BYTE_ARRAY:
+        return pa.binary(elem.get("type_length", 1))
     if conv == ConvertedType.UTF8:
         return pa.string()
     if conv == ConvertedType.TIMESTAMP_MICROS:
@@ -68,7 +72,7 @@ def _arrow_type(elem: dict) -> pa.DataType:
             Type.DOUBLE: pa.float64(), Type.BYTE_ARRAY: pa.binary()}[pt]
 
 
-def _read_column_chunk(buf: bytes, cmd: dict) -> tuple[np.ndarray, object]:
+def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0) -> tuple[np.ndarray, object]:
     """Returns (validity bool array, non-null decoded values)."""
     ptype = cmd["type"]
     codec = cmd["codec"]
@@ -88,7 +92,7 @@ def _read_column_chunk(buf: bytes, cmd: dict) -> tuple[np.ndarray, object]:
         if ph["type"] == PageType.DICTIONARY_PAGE:
             raw = comp.decompress(page, codec, ph["uncompressed_page_size"])
             nd = ph["dictionary_page_header"]["num_values"]
-            dictionary, _ = decode_plain(raw, ptype, nd)
+            dictionary, _ = decode_plain(raw, ptype, nd, type_length=type_length)
             continue
         if ph["type"] == PageType.DATA_PAGE:
             raw = comp.decompress(page, codec, ph["uncompressed_page_size"])
@@ -120,7 +124,8 @@ def _read_column_chunk(buf: bytes, cmd: dict) -> tuple[np.ndarray, object]:
         n_nonnull = int(valid.sum())
         enc = dph["encoding"]
         if enc == Encoding.PLAIN:
-            vals, off = decode_plain(raw, ptype, n_nonnull, offset=off)
+            vals, off = decode_plain(raw, ptype, n_nonnull, offset=off,
+                                     type_length=type_length)
         elif enc in (Encoding.PLAIN_DICTIONARY, Encoding.RLE_DICTIONARY):
             width = raw[off]
             codes, _ = decode_hybrid(raw, width, n_nonnull, offset=off + 1,
@@ -163,6 +168,25 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
     at = _arrow_type(elem)
     n = len(validity)
     nulls = not validity.all()
+    vbuf_ = pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()) if nulls else None
+    nc_ = int((~validity).sum()) if nulls else 0
+    if pa.types.is_decimal(at):
+        # int64 unscaled -> decimal128 storage (low word + sign extension)
+        low = np.zeros(n, dtype=np.int64)
+        if vals is not None:
+            low[validity] = np.asarray(vals, dtype=np.int64)
+        words = np.empty((n, 2), dtype=np.int64)
+        words[:, 0] = low
+        words[:, 1] = low >> 63
+        return pa.Array.from_buffers(at, n, [vbuf_, pa.py_buffer(words.tobytes())],
+                                     null_count=nc_)
+    if elem["type"] == Type.FIXED_LEN_BYTE_ARRAY:
+        width = at.byte_width
+        full = np.zeros((n, width), dtype=np.uint8)
+        if vals is not None:
+            full[validity] = vals
+        return pa.Array.from_buffers(at, n, [vbuf_, pa.py_buffer(full.tobytes())],
+                                     null_count=nc_)
     if elem["type"] == Type.BYTE_ARRAY:
         lengths, data = vals if vals is not None else (np.zeros(0, np.int64), np.zeros(0, np.uint8))
         full_lens = np.zeros(n, dtype=np.int64)
@@ -208,7 +232,8 @@ def _read_row_group(buf, rg, elems, columns=None) -> pa.Table:
     for cc, elem in zip(rg["columns"], elems):
         if columns is not None and elem["name"] not in columns:
             continue
-        validity, vals = _read_column_chunk(buf, cc["meta_data"])
+        validity, vals = _read_column_chunk(buf, cc["meta_data"],
+                                            elem.get("type_length", 0))
         arr = _to_arrow(validity, vals, elem)
         arrays.append(arr)
         fields.append(pa.field(elem["name"], arr.type))

@@ -97,6 +97,14 @@ def _map_type(t: pa.DataType):
         return Type.BYTE_ARRAY, ConvertedType.UTF8, None
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return Type.BYTE_ARRAY, None, None
+    if pa.types.is_fixed_size_binary(t):
+        return Type.FIXED_LEN_BYTE_ARRAY, None, None
+    if pa.types.is_decimal(t):
+        if t.precision <= 18:
+            # int64-backed DECIMAL, like the reference's decimal map
+            # (fastparquet/writer.py:114-154 object-encoding 'decimal')
+            return Type.INT64, ConvertedType.DECIMAL, None
+        raise TypeError(f"decimal precision {t.precision} > 18 unsupported")
     raise TypeError(
         f"unsupported arrow type {t} (flat schemas only, like the reference "
         "writer: 'No nested field handling', fastparquet/writer.py:472)"
@@ -117,12 +125,29 @@ def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return lengths, data
 
 
+def _decimal_unscaled(arr: pa.Array) -> np.ndarray:
+    """Unscaled int64 values of a decimal128 array (p<=18 fits the low
+    word; the high word is pure sign extension)."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    buf = arr.buffers()[1]
+    words = np.frombuffer(buf, dtype="<i8", count=2 * (arr.offset + len(arr)))
+    return words.reshape(-1, 2)[arr.offset:, 0][: len(arr)].copy()
+
+
 def _extract(arr: pa.Array, ptype: int):
     """Non-null physical values as numpy (or (lengths, data))."""
     if arr.null_count:
         arr = arr.drop_null()
     if ptype == Type.BYTE_ARRAY:
         return _binary_parts(arr)
+    if ptype == Type.FIXED_LEN_BYTE_ARRAY:
+        width = arr.type.byte_width
+        buf = arr.buffers()[1]
+        raw = np.frombuffer(buf, np.uint8,
+                            count=(arr.offset + len(arr)) * width)
+        return raw[arr.offset * width:].reshape(len(arr), width)
+    if pa.types.is_decimal(arr.type):
+        return _decimal_unscaled(arr)
     if pa.types.is_timestamp(arr.type):
         arr = arr.cast(pa.int64())
     elif pa.types.is_date32(arr.type):
@@ -222,6 +247,11 @@ def _write(f, table, compression, encodings, row_group_rows, want_stats,
                 "repetition_type": Repetition.OPTIONAL}
         if conv is not None:
             elem["converted_type"] = conv
+        if ptype == Type.FIXED_LEN_BYTE_ARRAY:
+            elem["type_length"] = fld.type.byte_width
+        if conv == ConvertedType.DECIMAL:
+            elem["scale"] = fld.type.scale
+            elem["precision"] = fld.type.precision
         schema_elems.append(elem)
         col_meta.append((ptype, cast_to, fld.name))
 
@@ -244,6 +274,8 @@ def _write(f, table, compression, encodings, row_group_rows, want_stats,
             enc_override = encodings.get(name)
             if enc_override is not None:
                 encoding = _ENC_BY_NAME[enc_override]
+            elif ptype == Type.FIXED_LEN_BYTE_ARRAY or pa.types.is_decimal(arr.type):
+                encoding = Encoding.PLAIN
             else:
                 encoding = choose_encoding(column_stats(values, ptype), ptype,
                                            parquet_compat=True)
@@ -355,13 +387,7 @@ def _write(f, table, compression, encodings, row_group_rows, want_stats,
 
 
 def _extract_labels(labels: pa.Array, ptype: int):
-    if ptype == Type.BYTE_ARRAY:
-        return _binary_parts(labels)
-    if pa.types.is_timestamp(labels.type):
-        labels = labels.cast(pa.int64())
-    elif pa.types.is_date32(labels.type):
-        labels = labels.cast(pa.int32())
-    return labels.to_numpy(zero_copy_only=False)
+    return _extract(labels, ptype)
 
 
 def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int):
@@ -369,6 +395,8 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
     if n_dict:
         st["distinct_count"] = n_dict
     try:
+        if ptype == Type.FIXED_LEN_BYTE_ARRAY or pa.types.is_decimal(arr.type):
+            return st  # unsupported stat shapes: emit only null_count
         if len(arr) - null_count > 0:
             if ptype == Type.BYTE_ARRAY:
                 mm = pa.compute.min_max(arr)

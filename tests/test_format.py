@@ -213,3 +213,29 @@ def test_writer_fuzz_vs_pyarrow(tbl):
     _assert_tables_equal(tbl, got, "fuzz")
     ours = read_file(buf.getvalue())
     _assert_tables_equal(tbl, ours, "fuzz-own")
+
+
+@pytest.mark.parametrize("v", [1, 2])
+def test_decimal_and_fixed_roundtrip(v, tmp_path, rng):
+    """DECIMAL (int64-backed, reference's decimal object-encoding,
+    fastparquet/writer.py:114-154) and FIXED_LEN_BYTE_ARRAY."""
+    from decimal import Decimal
+    n = 800
+    tbl = pa.table({
+        "dec": pa.array(
+            [None if rng.random() < 0.1 else
+             Decimal(f"{int(x)}.{int(abs(x)) % 100:02d}")
+             for x in rng.integers(-10**6, 10**6, n)], pa.decimal128(12, 2)),
+        "fsb": pa.array(
+            [None if rng.random() < 0.05 else
+             bytes(rng.integers(0, 256, 8, dtype=np.uint8))
+             for _ in range(n)], pa.binary(8)),
+        "k": pa.array(np.arange(n)),
+    })
+    path = str(tmp_path / "dec.parquet")
+    write_file(path, tbl, compression="ZSTD", row_group_rows=300,
+               data_page_version=v)
+    _assert_tables_equal(tbl, pq.read_table(path), f"pa-dec-v{v}")
+    got = duckdb.sql(f"select * from '{path}'").arrow()
+    _assert_tables_equal(tbl, got, f"duck-dec-v{v}")
+    _assert_tables_equal(tbl, read_file(path), f"own-dec-v{v}")
