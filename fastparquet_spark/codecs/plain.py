@@ -117,4 +117,10 @@ def decode_plain(buf, ptype: int, count: int, offset: int = 0, type_length: int 
         nbytes = count * type_length
         raw = np.frombuffer(buf, np.uint8, count=nbytes, offset=offset)
         return raw.reshape(count, type_length), offset + nbytes
+    if ptype == INT96:
+        # 12-byte rows: 8 bytes nanos-of-day + 4 bytes Julian day
+        # (reference fastparquet/encoding.py:24-41 'S12' path)
+        nbytes = count * 12
+        raw = np.frombuffer(buf, np.uint8, count=nbytes, offset=offset)
+        return raw.reshape(count, 12), offset + nbytes
     raise ValueError(f"unsupported physical type {ptype}")

@@ -102,8 +102,13 @@ def decode_hybrid(buf, width: int, count: int, offset: int = 0,
             groups = header >> 1
             nvals = groups * 8
             nbytes = (nvals * width + 7) // 8
+            # writers may truncate the final run at the byte holding the
+            # last real value (e.g. Impala); clamp like the reference
+            # reader (cencoding.pyx:141-167)
+            avail = min(nbytes, end - pos)
+            nvals = min(nvals, (avail * 8) // width)
             vals = unpack_bits(buf, width, nvals, offset=pos)
-            pos += nbytes
+            pos += avail
             take = min(nvals, count - filled)
             out[filled:filled + take] = vals[:take]
             filled += take

@@ -68,12 +68,18 @@ def _arrow_type(elem: dict) -> pa.DataType:
     if conv in (ConvertedType.UINT_64,):
         return pa.uint64()
     return {Type.BOOLEAN: pa.bool_(), Type.INT32: pa.int32(),
-            Type.INT64: pa.int64(), Type.FLOAT: pa.float32(),
+            Type.INT64: pa.int64(), Type.INT96: pa.timestamp("ns"),
+            Type.FLOAT: pa.float32(),
             Type.DOUBLE: pa.float64(), Type.BYTE_ARRAY: pa.binary()}[pt]
 
 
-def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0) -> tuple[np.ndarray, object]:
-    """Returns (validity bool array, non-null decoded values)."""
+def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
+                       required: bool = False) -> tuple[np.ndarray, object]:
+    """Returns (validity bool array, non-null decoded values).
+
+    ``required=True`` -> no definition levels precede the values (e.g.
+    Impala-written REQUIRED columns, fastparquet/test/test_read.py:70-127
+    interop matrix)."""
     ptype = cmd["type"]
     codec = cmd["codec"]
     n_total = cmd["num_values"]
@@ -98,16 +104,19 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0) -> tuple[np.
             raw = comp.decompress(page, codec, ph["uncompressed_page_size"])
             dph = ph["data_page_header"]
             n = dph["num_values"]
-            # definition levels (OPTIONAL; max_def==1 -> validity bitmap,
-            # the reference's special case fastparquet/core.py:246-261)
-            levels, off = decode_hybrid(raw, 1, n, offset=0, length=None)
+            if required:
+                levels, off = np.ones(n, dtype=np.uint64), 0
+            else:
+                # definition levels (OPTIONAL; max_def==1 -> validity bitmap,
+                # the reference's special case fastparquet/core.py:246-261)
+                levels, off = decode_hybrid(raw, 1, n, offset=0, length=None)
         elif ph["type"] == PageType.DATA_PAGE_V2:
             # levels sit uncompressed ahead of the (separately compressed)
             # values section (fastparquet/core.py:195-412)
             dph = ph["data_page_header_v2"]
             n = dph["num_values"]
             dlen = dph.get("definition_levels_byte_length", 0)
-            if dlen:
+            if dlen and not required:
                 levels, _ = decode_hybrid(page, 1, n, offset=0, length=dlen)
             else:
                 levels = np.ones(n, dtype=np.uint64)
@@ -133,6 +142,10 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0) -> tuple[np.
             vals = ("codes", codes.astype(np.int64))
         elif enc == Encoding.DELTA_BINARY_PACKED:
             vals, off = delta_decode(raw, offset=off, count=n_nonnull)
+        elif enc == Encoding.RLE and ptype == Type.BOOLEAN:
+            # RLE-encoded boolean values (length-prefixed hybrid, width 1)
+            bits, off = decode_hybrid(raw, 1, n_nonnull, offset=off, length=None)
+            vals = bits.astype(bool)
         else:
             raise NotImplementedError(f"encoding {enc}")
         validity[seen:seen + n] = valid
@@ -171,6 +184,17 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
     vbuf_ = pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()) if nulls else None
     nc_ = int((~validity).sum()) if nulls else 0
     if pa.types.is_decimal(at):
+        if vals is not None and getattr(vals, "ndim", 1) == 2:
+            # FIXED-backed decimal: big-endian two's complement bytes ->
+            # 16-byte little-endian decimal128 storage with sign extension
+            w = vals.shape[1]
+            sign = np.where(vals[:, 0] >= 128, 255, 0).astype(np.uint8)
+            full16 = np.repeat(sign[:, None], 16, axis=1)
+            full16[:, :w] = vals[:, ::-1]
+            storage = np.zeros((n, 16), dtype=np.uint8)
+            storage[validity] = full16
+            return pa.Array.from_buffers(
+                at, n, [vbuf_, pa.py_buffer(storage.tobytes())], null_count=nc_)
         # int64 unscaled -> decimal128 storage (low word + sign extension)
         low = np.zeros(n, dtype=np.int64)
         if vals is not None:
@@ -186,6 +210,18 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
         if vals is not None:
             full[validity] = vals
         return pa.Array.from_buffers(at, n, [vbuf_, pa.py_buffer(full.tobytes())],
+                                     null_count=nc_)
+    if elem["type"] == Type.INT96:
+        # INT96 -> datetime64[ns]: nanos-of-day (low 8B LE) + Julian day
+        # (reference fastparquet/converted_types.py:159-162)
+        full = np.zeros(n, dtype=np.int64)
+        if vals is not None and len(vals):
+            raw = np.ascontiguousarray(vals, dtype=np.uint8)
+            nanos = raw[:, :8].copy().view("<i8").ravel()
+            julian = raw[:, 8:].copy().view("<i4").ravel().astype(np.int64)
+            full[validity] = (julian - 2440588) * 86_400_000_000_000 + nanos
+        return pa.Array.from_buffers(pa.timestamp("ns"), n,
+                                     [vbuf_, pa.py_buffer(full.tobytes())],
                                      null_count=nc_)
     if elem["type"] == Type.BYTE_ARRAY:
         lengths, data = vals if vals is not None else (np.zeros(0, np.int64), np.zeros(0, np.uint8))
@@ -232,12 +268,23 @@ def _read_row_group(buf, rg, elems, columns=None) -> pa.Table:
     for cc, elem in zip(rg["columns"], elems):
         if columns is not None and elem["name"] not in columns:
             continue
-        validity, vals = _read_column_chunk(buf, cc["meta_data"],
-                                            elem.get("type_length", 0))
+        validity, vals = _read_column_chunk(
+            buf, cc["meta_data"], elem.get("type_length", 0),
+            required=elem.get("repetition_type", 1) == 0)
         arr = _to_arrow(validity, vals, elem)
         arrays.append(arr)
         fields.append(pa.field(elem["name"], arr.type))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _leaf_elems(fmd: dict) -> list[dict]:
+    elems = [e for e in fmd["schema"][1:] if e.get("num_children") is None]
+    if len(fmd["schema"]) - 1 != len(elems):
+        raise NotImplementedError(
+            "nested schemas (LIST/MAP groups) are out of scope for this "
+            "reader — flat input only (SURVEY.md §1.5); Spark's native "
+            "scan reads nested parquet")
+    return elems
 
 
 def iter_row_groups(source, columns=None):
@@ -247,7 +294,7 @@ def iter_row_groups(source, columns=None):
     fastparquet/core.py:570-577)."""
     buf = _load(source)
     fmd = read_footer(buf)
-    elems = [e for e in fmd["schema"][1:] if e.get("num_children") is None]
+    elems = _leaf_elems(fmd)
     for rg in fmd["row_groups"]:
         yield _read_row_group(buf, rg, elems, columns)
 
@@ -257,7 +304,12 @@ def read_file(source, columns=None) -> pa.Table:
     flat-schema output) into a pyarrow Table, optionally projecting."""
     buf = _load(source)
     fmd = read_footer(buf)
-    elems = [e for e in fmd["schema"][1:] if e.get("num_children") is None]
+    elems = _leaf_elems(fmd)
+    if not elems:
+        # zero-column file: rows exist only as a count
+        empty_rows = pa.array([{}] * fmd["num_rows"], type=pa.struct([]))
+        return pa.Table.from_batches(
+            [pa.RecordBatch.from_struct_array(empty_rows)])
     parts = [_read_row_group(buf, rg, elems, columns)
              for rg in fmd["row_groups"]]
     if not parts:

@@ -1,0 +1,60 @@
+"""Cross-engine interop: our reader must decode third-party-written
+parquet files (the reference's own test corpus) identically to pyarrow —
+the read-side half of the reference's interop matrix
+(fastparquet/test/test_read.py:70-127 Impala files,
+test_aroundtrips.py:74-137)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from fastparquet_spark.format import read_file
+
+TD = "/root/reference/test-data"
+
+# flat-schema files from the reference corpus: writer in comment
+FLAT_FILES = [
+    "nation.plain.parquet",          # fastparquet, PLAIN
+    "nation.dict.parquet",           # fastparquet, dictionary
+    "nation.impala.parquet",         # Impala, dict + truncated bitpack runs
+    "snappy-nation.impala.parquet",  # Impala, snappy
+    "gzip-nation.impala.parquet",    # Impala, gzip
+    "decimals.parquet",              # Parquet.NET, INT96 + FIXED(16) DECIMAL
+    "test.parquet",                  # pyarrow
+    "test-null.parquet",             # nulls
+    "test-null-dictionary.parquet",  # dictionary with nulls
+    "test-converted-type-null.parquet",
+    "empty.parquet",
+    "no_columns.parquet",
+]
+
+NESTED_FILES = ["nested1.parquet", "map-test.snappy.parquet",
+                "repeated_no_annotation.parquet", "datapage_v2.snappy.parquet"]
+
+
+@pytest.mark.parametrize("fname", FLAT_FILES)
+def test_reads_third_party_file_identically(fname):
+    path = os.path.join(TD, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"{fname} not in snapshot")
+    expected = pq.read_table(path)
+    got = read_file(path)
+    assert got.num_rows == expected.num_rows
+    for col in expected.column_names:
+        a = expected.column(col).combine_chunks()
+        b = got.column(col).combine_chunks().cast(a.type)
+        pd.testing.assert_series_equal(a.to_pandas(), b.to_pandas(),
+                                       check_names=False, obj=f"{fname}:{col}")
+
+
+@pytest.mark.parametrize("fname", NESTED_FILES)
+def test_nested_schema_raises_cleanly(fname):
+    path = os.path.join(TD, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"{fname} not in snapshot")
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_file(path)
