@@ -35,7 +35,13 @@ VALUES_PER_MINIBLOCK = BLOCK_SIZE // MINIBLOCKS
 
 
 def delta_encode(values: np.ndarray) -> bytes:
-    """Encode an int array (int32/int64) as DELTA_BINARY_PACKED."""
+    """Encode an int array (int32/int64) as DELTA_BINARY_PACKED.
+
+    Vectorized across blocks: per-block min/width via one reshape, then
+    ONE ``pack_bits`` call per distinct miniblock width (values of equal
+    width are flattened together and re-split) — no per-block numpy
+    round-trips in the hot path.
+    """
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
     header = (
@@ -47,27 +53,40 @@ def delta_encode(values: np.ndarray) -> bytes:
     if n <= 1:
         return header
     deltas = np.diff(v)
-    nblocks = (len(deltas) + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nd = len(deltas)
+    nblocks = (nd + BLOCK_SIZE - 1) // BLOCK_SIZE
     padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.int64)
-    padded[: len(deltas)] = deltas
+    padded[:nd] = deltas
+    blocks = padded.reshape(nblocks, BLOCK_SIZE)
+    # real (non-padding) deltas per block; padding must not affect min
+    nreal = np.minimum(nd - BLOCK_SIZE * np.arange(nblocks), BLOCK_SIZE)
+    mask = np.arange(BLOCK_SIZE) < nreal[:, None]
+    min_delta = np.where(mask, blocks, np.int64(2**62)).min(axis=1)
+    shifted = np.where(mask, blocks - min_delta[:, None], 0).astype(np.uint64)
+    mbs = shifted.reshape(nblocks, MINIBLOCKS, VALUES_PER_MINIBLOCK)
+    used = (nreal + VALUES_PER_MINIBLOCK - 1) // VALUES_PER_MINIBLOCK
+    mb_used = np.arange(MINIBLOCKS) < used[:, None]          # (nblocks, MB)
+    mb_max = mbs.max(axis=2)
+    # bit width per miniblock: ceil(log2(max+1)), 0 for unused/zero blocks
+    widths = np.zeros((nblocks, MINIBLOCKS), dtype=np.uint8)
+    nz = (mb_max > 0) & mb_used
+    widths[nz] = np.floor(np.log2(mb_max[nz].astype(np.float64))).astype(np.uint8) + 1
+    # one pack per distinct width, then split back per miniblock
+    payload: dict[tuple[int, int], bytes] = {}
+    for w in np.unique(widths[nz]):
+        sel = np.argwhere((widths == w) & nz)
+        flat = mbs[sel[:, 0], sel[:, 1]].reshape(-1)
+        packed = pack_bits(flat, int(w))
+        step = VALUES_PER_MINIBLOCK * int(w) // 8
+        for i, (bi, mi) in enumerate(sel):
+            payload[(int(bi), int(mi))] = packed[i * step:(i + 1) * step]
     parts = [header]
     for b in range(nblocks):
-        blk = padded[b * BLOCK_SIZE : (b + 1) * BLOCK_SIZE]
-        nreal = min(len(deltas) - b * BLOCK_SIZE, BLOCK_SIZE)
-        min_delta = int(blk[:nreal].min())
-        blk = blk - min_delta
-        # padding deltas must also be >= 0 after FoR shift
-        blk[nreal:] = 0
-        mb = blk.reshape(MINIBLOCKS, VALUES_PER_MINIBLOCK).astype(np.uint64)
-        used_mbs = (nreal + VALUES_PER_MINIBLOCK - 1) // VALUES_PER_MINIBLOCK
-        widths = np.zeros(MINIBLOCKS, dtype=np.uint8)
-        for m in range(used_mbs):
-            widths[m] = int(mb[m].max()).bit_length()
-        parts.append(uvarint_encode(int(zigzag_encode(min_delta))))
-        parts.append(widths.tobytes())
-        for m in range(used_mbs):
-            if widths[m]:
-                parts.append(pack_bits(mb[m], int(widths[m])))
+        parts.append(uvarint_encode(int(zigzag_encode(int(min_delta[b])))))
+        parts.append(widths[b].tobytes())
+        for m in range(int(used[b])):
+            if widths[b, m]:
+                parts.append(payload[(b, m)])
     return b"".join(parts)
 
 
