@@ -34,8 +34,23 @@ MINIBLOCKS = 4
 VALUES_PER_MINIBLOCK = BLOCK_SIZE // MINIBLOCKS
 
 
-def delta_encode(values: np.ndarray) -> bytes:
+def _wrap(x: np.ndarray, bit_width: int) -> np.ndarray:
+    """Modular wrap into the signed ``bit_width`` range (the spec's
+    overflow semantics: deltas are computed modulo the type width, so
+    stored deltas never exceed it)."""
+    if bit_width >= 64:
+        return x
+    span = 1 << bit_width
+    half = span >> 1
+    return ((x + half) % span) - half
+
+
+def delta_encode(values: np.ndarray, bit_width: int = 64) -> bytes:
     """Encode an int array (int32/int64) as DELTA_BINARY_PACKED.
+
+    ``bit_width``: physical type width (32 for INT32 pages) — deltas use
+    modular arithmetic at that width so miniblock widths never exceed it
+    (readers reject e.g. 33-bit deltas on an INT32 column).
 
     Vectorized across blocks: per-block min/width via one reshape, then
     ONE ``pack_bits`` call per distinct miniblock width (values of equal
@@ -52,7 +67,8 @@ def delta_encode(values: np.ndarray) -> bytes:
     )
     if n <= 1:
         return header
-    deltas = np.diff(v)
+    with np.errstate(over="ignore"):
+        deltas = _wrap(np.diff(v), bit_width)
     nd = len(deltas)
     nblocks = (nd + BLOCK_SIZE - 1) // BLOCK_SIZE
     padded = np.zeros(nblocks * BLOCK_SIZE, dtype=np.int64)
@@ -62,7 +78,11 @@ def delta_encode(values: np.ndarray) -> bytes:
     nreal = np.minimum(nd - BLOCK_SIZE * np.arange(nblocks), BLOCK_SIZE)
     mask = np.arange(BLOCK_SIZE) < nreal[:, None]
     min_delta = np.where(mask, blocks, np.int64(2**62)).min(axis=1)
-    shifted = np.where(mask, blocks - min_delta[:, None], 0).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        shifted = np.where(mask, blocks - min_delta[:, None], 0)
+        if bit_width < 64:
+            shifted &= (1 << bit_width) - 1  # stored deltas mod 2^width
+        shifted = shifted.astype(np.uint64)
     mbs = shifted.reshape(nblocks, MINIBLOCKS, VALUES_PER_MINIBLOCK)
     used = (nreal + VALUES_PER_MINIBLOCK - 1) // VALUES_PER_MINIBLOCK
     mb_used = np.arange(MINIBLOCKS) < used[:, None]          # (nblocks, MB)
@@ -90,8 +110,10 @@ def delta_encode(values: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
-def delta_decode(buf, offset: int = 0, count: int | None = None) -> tuple[np.ndarray, int]:
-    """Decode DELTA_BINARY_PACKED; returns (int64 ndarray, next_pos)."""
+def delta_decode(buf, offset: int = 0, count: int | None = None,
+                 bit_width: int = 64) -> tuple[np.ndarray, int]:
+    """Decode DELTA_BINARY_PACKED; returns (int64 ndarray, next_pos).
+    ``bit_width=32`` applies INT32 modular reconstruction."""
     pos = offset
     block_size, pos = uvarint_decode(buf, pos)
     miniblocks, pos = uvarint_decode(buf, pos)
@@ -125,5 +147,8 @@ def delta_decode(buf, offset: int = 0, count: int | None = None) -> tuple[np.nda
             deltas[got : got + take] = vals[:take] + min_delta
             got += take
     if total > 1:
-        out[1:] = first + np.cumsum(deltas)
+        with np.errstate(over="ignore"):
+            out[1:] = first + np.cumsum(deltas)
+    if total and bit_width < 64:
+        out = _wrap(out, bit_width)
     return out, pos

@@ -139,7 +139,7 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 if ptype in (Type.INT32, Type.INT64) and (
                         st.sorted_frac > 0.95 or st.delta_bits < st.plain_bits * 0.6):
                     codec_name = "delta"
-                    raw = delta_encode(vals)
+                    raw = delta_encode(vals, bit_width=32 if ptype == Type.INT32 else 64)
                 else:
                     codec_name = "plain"
                     raw = encode_plain(vals, ptype)
@@ -203,7 +203,8 @@ def read_container(source) -> pa.Table:
             blen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
             body = comp.decompress(buf[pos:pos + blen], bcodec, rawlen)
             if cm["codec"] == "delta":
-                vals, _ = delta_decode(body, count=n_nn)
+                vals, _ = delta_decode(body, count=n_nn,
+                                       bit_width=32 if ptype == Type.INT32 else 64)
             else:
                 vals, _ = decode_plain(body, ptype, n_nn)
         arrays[cm["name"]] = _assemble(validity, vals, cm)

@@ -141,7 +141,8 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
                                      length=len(raw) - off - 1)
             vals = ("codes", codes.astype(np.int64))
         elif enc == Encoding.DELTA_BINARY_PACKED:
-            vals, off = delta_decode(raw, offset=off, count=n_nonnull)
+            vals, off = delta_decode(raw, offset=off, count=n_nonnull,
+                                     bit_width=32 if ptype == Type.INT32 else 64)
         elif enc == Encoding.RLE and ptype == Type.BOOLEAN:
             # RLE-encoded boolean values (length-prefixed hybrid, width 1)
             bits, off = decode_hybrid(raw, 1, n_nonnull, offset=off, length=None)

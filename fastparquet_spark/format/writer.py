@@ -198,7 +198,7 @@ def _encode_values(values, ptype: int, encoding: int):
     if encoding == Encoding.PLAIN:
         return encode_plain(values, ptype), None, 0
     if encoding == Encoding.DELTA_BINARY_PACKED:
-        return delta_encode(values), None, 0
+        return delta_encode(values, bit_width=32 if ptype == Type.INT32 else 64), None, 0
     raise ValueError(f"encoding {encoding} handled elsewhere")
 
 
