@@ -90,7 +90,15 @@ def delta_encode(values: np.ndarray, bit_width: int = 64) -> bytes:
     # bit width per miniblock: ceil(log2(max+1)), 0 for unused/zero blocks
     widths = np.zeros((nblocks, MINIBLOCKS), dtype=np.uint8)
     nz = (mb_max > 0) & mb_used
-    widths[nz] = np.floor(np.log2(mb_max[nz].astype(np.float64))).astype(np.uint8) + 1
+    # float64 log2 can only OVERestimate the width (x >= 2^(k-1) rounds to
+    # a float >= 2^(k-1), so floor(log2) >= k-1), and only by crossing a
+    # power of two — clipping to the type width is therefore exact.  A max
+    # shifted delta within ~2048 of 2^64 otherwise yields width 65 and a
+    # pack_bits ValueError on legal int64 input.
+    widths[nz] = np.minimum(
+        np.floor(np.log2(mb_max[nz].astype(np.float64))).astype(np.uint64) + 1,
+        bit_width,
+    ).astype(np.uint8)
     # one pack per distinct width, then split back per miniblock
     payload: dict[tuple[int, int], bytes] = {}
     for w in np.unique(widths[nz]):

@@ -63,14 +63,24 @@ def _arrow_type_name(t: pa.DataType) -> str:
     return str(t)
 
 
+_SIMPLE_TYPES = {
+    "string": pa.string(), "large_string": pa.large_string(),
+    "binary": pa.binary(), "large_binary": pa.large_binary(),
+    "bool": pa.bool_(),
+    "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(), "uint16": pa.uint16(), "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float": pa.float32(), "double": pa.float64(),
+    "timestamp[s]": pa.timestamp("s"), "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us]": pa.timestamp("us"), "timestamp[ns]": pa.timestamp("ns"),
+    "date32[day]": pa.date32(),
+}
+
+
 def _type_from_name(name: str) -> pa.DataType:
-    simple = {"string": pa.string(), "large_string": pa.large_string(),
-              "binary": pa.binary(), "bool": pa.bool_(),
-              "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
-              "int64": pa.int64(), "float": pa.float32(), "double": pa.float64(),
-              "timestamp[us]": pa.timestamp("us"), "date32[day]": pa.date32()}
-    if name in simple:
-        return simple[name]
+    if name in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[name]
     raise ValueError(f"unsupported container type {name}")
 
 
@@ -87,6 +97,9 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
         blocks: list[ColumnBlock] = []
         for field in table.schema:
             arr = table.column(field.name).combine_chunks()
+            # fail fast: anything the read path can't restore is rejected at
+            # write time instead of producing an unreadable container
+            _type_from_name(_arrow_type_name(field.type))
             ptype, _, cast_to = _map_type(field.type)
             n = len(arr)
             null_count = arr.null_count
@@ -97,7 +110,11 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 arr_nn = arr.drop_null()
             else:
                 arr_nn = arr
-            if cast_to is not None and arr_nn.type != cast_to and ptype != Type.BYTE_ARRAY:
+            if (cast_to is not None and arr_nn.type != cast_to
+                    and ptype != Type.BYTE_ARRAY
+                    and not pa.types.is_timestamp(arr_nn.type)):
+                # timestamps keep their native unit (int64 either way);
+                # parquet's cast-to-µs would truncate ns and is not needed here
                 arr_nn = arr_nn.cast(cast_to)
 
             parts: list[bytes] = [validity_b]
@@ -134,6 +151,10 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 elif pa.types.is_date32(arr_nn.type):
                     arr_nn = arr_nn.cast(pa.int32())
                 vals = arr_nn.to_numpy(zero_copy_only=False)
+                if vals.dtype == np.uint32:
+                    vals = vals.view(np.int32)  # bit-reinterpret, like parquet
+                elif vals.dtype == np.uint64:
+                    vals = vals.view(np.int64)
                 raw_bytes = vals.nbytes
                 st = column_stats(vals, ptype)
                 if ptype in (Type.INT32, Type.INT64) and (
@@ -234,8 +255,10 @@ def _assemble(validity: np.ndarray, vals, cm: dict) -> pa.Array:
         return pa.Array.from_buffers(at, n, [vbuf, dbuf], null_count=nc)
     np_dt = {pa.int8(): np.int8, pa.int16(): np.int16, pa.int32(): np.int32,
              pa.int64(): np.int64, pa.float32(): np.float32,
-             pa.float64(): np.float64}.get(at, np.int64)
-    if at in (pa.timestamp("us"),):
+             pa.float64(): np.float64,
+             pa.uint8(): np.uint8, pa.uint16(): np.uint16,
+             pa.uint32(): np.uint32, pa.uint64(): np.uint64}.get(at, np.int64)
+    if pa.types.is_timestamp(at):
         np_dt = np.int64
     elif at == pa.date32():
         np_dt = np.int32

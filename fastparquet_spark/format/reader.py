@@ -35,6 +35,15 @@ def read_footer(buf: bytes) -> dict:
     """Parse the FileMetaData footer (fastparquet/api.py:164-190 semantics)."""
     if buf[:4] != MAGIC or buf[-4:] != MAGIC:
         raise ValueError("not a parquet file (missing PAR1 magic)")
+    return read_footer_tail(buf)
+
+
+def read_footer_tail(buf: bytes) -> dict:
+    """Parse a footer from a TAIL slice (footer + u4 length + magic) —
+    what :func:`fastparquet_spark.io.read_tail_footer` returns, so
+    metadata operators never load page data."""
+    if buf[-4:] != MAGIC:
+        raise ValueError("missing trailing PAR1 magic")
     flen = int.from_bytes(buf[-8:-4], "little")
     fmd, _ = thrift.read_struct("FileMetaData", buf, len(buf) - 8 - flen, SPECS)
     return fmd

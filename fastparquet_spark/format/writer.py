@@ -80,11 +80,14 @@ def _map_type(t: pa.DataType):
     if pa.types.is_uint16(t):
         return Type.INT32, ConvertedType.UINT_16, pa.int32()
     if pa.types.is_uint32(t):
-        return Type.INT64, ConvertedType.UINT_32, pa.int64()
+        # UINT_32 may only annotate physical INT32 (spec); values are
+        # bit-reinterpreted, not range-cast — see _extract.
+        return Type.INT32, ConvertedType.UINT_32, None
     if pa.types.is_int64(t):
         return Type.INT64, None, None
     if pa.types.is_uint64(t):
-        return Type.INT64, ConvertedType.UINT_64, pa.int64()
+        # bit-reinterpret (a checked cast rejects values >= 2^63)
+        return Type.INT64, ConvertedType.UINT_64, None
     if pa.types.is_float32(t):
         return Type.FLOAT, None, None
     if pa.types.is_float64(t):
@@ -148,6 +151,10 @@ def _extract(arr: pa.Array, ptype: int):
         return raw[arr.offset * width:].reshape(len(arr), width)
     if pa.types.is_decimal(arr.type):
         return _decimal_unscaled(arr)
+    if pa.types.is_uint32(arr.type):
+        return arr.to_numpy(zero_copy_only=False).view(np.int32)
+    if pa.types.is_uint64(arr.type):
+        return arr.to_numpy(zero_copy_only=False).view(np.int64)
     if pa.types.is_timestamp(arr.type):
         arr = arr.cast(pa.int64())
     elif pa.types.is_date32(arr.type):
@@ -397,12 +404,27 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
     try:
         if ptype == Type.FIXED_LEN_BYTE_ARRAY or pa.types.is_decimal(arr.type):
             return st  # unsupported stat shapes: emit only null_count
+        if ptype in (Type.FLOAT, Type.DOUBLE) and len(arr) - null_count > 0 \
+                and bool(np.isnan(values).any()):
+            # NaN poisons min/max ordering (NaN compares false everywhere),
+            # making engines' stats pushdown skip valid rows — the spec tells
+            # writers to omit min/max for pages containing NaN.
+            return st
         if len(arr) - null_count > 0:
             if ptype == Type.BYTE_ARRAY:
                 mm = pa.compute.min_max(arr)
                 lo, hi = mm["min"].as_py(), mm["max"].as_py()
                 if isinstance(lo, str):
                     lo, hi = lo.encode("utf8"), hi.encode("utf8")
+            elif pa.types.is_unsigned_integer(arr.type):
+                # values are the signed bit-reinterpretation; min/max must
+                # use UNSIGNED order, stored as the same reinterpreted bits
+                u = values.view(np.uint32 if ptype == Type.INT32 else np.uint64)
+                fmt = "<I" if ptype == Type.INT32 else "<Q"
+                lob = struct.pack(fmt, int(u.min()))
+                hib = struct.pack(fmt, int(u.max()))
+                st.update(min=lob, max=hib, min_value=lob, max_value=hib)
+                return st
             else:
                 v = values
                 lo, hi = v.min(), v.max()

@@ -1,0 +1,222 @@
+"""Filesystem seam: one place where paths become bytes.
+
+The reference routes every open/list through fsspec so the same code
+reads local disk, S3, GCS or HDFS (fastparquet/api.py:95-162 open_with,
+fastparquet/util.py:146-167).  fsspec is not available in this sandbox,
+so the seam is built on ``pyarrow.fs`` — the public, baked-in
+equivalent: ``FileSystem.from_uri`` resolves ``s3://``/``gs://``/
+``hdfs://``/``file://`` URIs to the matching C++ filesystem, and plain
+paths fall back to a thin local implementation (os + open) with true
+atomic rename.
+
+Every engine module resolves paths through :func:`get_fs` and talks to
+the small ``FS`` protocol below, so pointing a job at object storage is
+a URI change, not a code change.  ``CountingFS`` wraps any FS and
+tallies bytes read — tests use it to PROVE metadata operators touch
+only file tails.
+
+Object-store caveat, encoded here once: S3-style stores have no atomic
+rename, so ``replace`` degrades to copy+delete there.  The manifest
+commit protocol stays correct because manifests are tiny and written
+once (worst case on failure: a re-run re-encodes one split — the same
+idempotence the reference's overwrite path relies on).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+
+def _is_uri(path: str) -> bool:
+    return "://" in path
+
+
+class LocalFS:
+    """Plain-local FS: zero overhead over os/open, atomic os.replace."""
+
+    def open_read(self, path: str):
+        return open(path, "rb")
+
+    def open_write(self, path: str):
+        return open(path, "wb")
+
+    def size(self, path: str) -> int:
+        return os.stat(path).st_size
+
+    def listdir(self, path: str) -> list[str]:
+        return sorted(os.path.join(path, f) for f in os.listdir(path))
+
+    def glob(self, pattern: str) -> list[str]:
+        return sorted(_glob.glob(pattern))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def replace(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def walk_files(self, path: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in files)
+        return sorted(out)
+
+
+class ArrowFS:
+    """pyarrow.fs-backed FS for URIs (s3://, gs://, hdfs://, file://).
+
+    Paths passed in/out keep their scheme so downstream code (Spark
+    reads, manifests) sees the same address space the caller used.
+    """
+
+    def __init__(self, fs, scheme: str):
+        self._fs = fs
+        self._scheme = scheme  # e.g. "file://" — prepended on returns
+
+    def _strip(self, path: str) -> str:
+        return path[len(self._scheme):] if path.startswith(self._scheme) else path
+
+    def _unstrip(self, path: str) -> str:
+        return self._scheme + path
+
+    def open_read(self, path: str):
+        return self._fs.open_input_file(self._strip(path))
+
+    def open_write(self, path: str):
+        return self._fs.open_output_stream(self._strip(path))
+
+    def size(self, path: str) -> int:
+        return self._fs.get_file_info(self._strip(path)).size
+
+    def listdir(self, path: str) -> list[str]:
+        from pyarrow.fs import FileSelector
+
+        infos = self._fs.get_file_info(FileSelector(self._strip(path)))
+        return sorted(self._unstrip(i.path) for i in infos)
+
+    def glob(self, pattern: str) -> list[str]:
+        # object stores have no server-side glob; emulate on the parent
+        import fnmatch
+
+        base = pattern.rsplit("/", 1)[0]
+        return sorted(p for p in self.listdir(base) if fnmatch.fnmatch(p, pattern))
+
+    def exists(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._fs.get_file_info(self._strip(path)).type != FileType.NotFound
+
+    def makedirs(self, path: str) -> None:
+        self._fs.create_dir(self._strip(path), recursive=True)
+
+    def replace(self, src: str, dst: str) -> None:
+        # atomic where the store supports it (local/HDFS); copy+delete
+        # semantics on S3-likes — see module docstring
+        self._fs.move(self._strip(src), self._strip(dst))
+
+    def remove(self, path: str) -> None:
+        self._fs.delete_file(self._strip(path))
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self._fs.get_file_info(self._strip(path)).type == FileType.Directory
+
+    def walk_files(self, path: str) -> list[str]:
+        from pyarrow.fs import FileSelector, FileType
+
+        infos = self._fs.get_file_info(
+            FileSelector(self._strip(path), recursive=True))
+        return sorted(self._unstrip(i.path) for i in infos
+                      if i.type == FileType.File)
+
+
+class CountingFS:
+    """Wraps an FS; counts bytes actually read (for tail-read proofs)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.bytes_read = 0
+        self.opens = 0
+
+    def open_read(self, path: str):
+        self.opens += 1
+        return _CountingFile(self.inner.open_read(path), self)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+class _CountingFile:
+    def __init__(self, f, counter: CountingFS):
+        self._f = f
+        self._c = counter
+
+    def read(self, n=-1):
+        data = self._f.read(n)
+        self._c.bytes_read += len(data)
+        return data
+
+    def __getattr__(self, name):
+        return getattr(self._f, name)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+
+
+def get_fs(path: str, fs=None):
+    """Resolve a path (or URI) to an FS. An explicit ``fs`` wins."""
+    if fs is not None:
+        return fs
+    if _is_uri(path):
+        from pyarrow.fs import FileSystem
+
+        arrow_fs, _inner = FileSystem.from_uri(path)
+        scheme = path.split("://", 1)[0] + "://"
+        return ArrowFS(arrow_fs, scheme)
+    return LocalFS()
+
+
+def read_tail_footer(path: str, fs=None) -> bytes:
+    """Read ONLY a parquet file's footer: 8-byte tail for the length,
+    then the thrift footer itself (fastparquet/api.py:164-190 does the
+    same two tail reads).  Never touches page data."""
+    fs = get_fs(path, fs)
+    size = fs.size(path)
+    if size < 12:
+        raise ValueError(f"{path}: too small to be a parquet file")
+    with fs.open_read(path) as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{path}: missing trailing PAR1 magic")
+        flen = int.from_bytes(tail[:4], "little")
+        if flen + 8 > size:
+            raise ValueError(f"{path}: footer length {flen} exceeds file")
+        f.seek(size - 8 - flen)
+        return f.read(flen + 8)
+
+
+def fetch_footers(paths: list[str], fs=None, max_workers: int = 16) -> list[bytes]:
+    """Concurrent footer fetch — the reference's metadata_from_many
+    thread pool (fastparquet/util.py:146-167).  Sequential driver loops
+    over 100k files burn minutes of idle cluster before a job starts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(paths) <= 1:
+        return [read_tail_footer(p, fs) for p in paths]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
+        return list(ex.map(lambda p: read_tail_footer(p, fs), paths))
