@@ -78,13 +78,21 @@ _PAYLOAD_NAMES = {"content", "text", "payload", "body", "blob", "props"}
 
 def _salted(df, partition_cols, salt_rows: int, num_partitions: int):
     """Repartition by partition_cols + salt; salt width per key comes from a
-    broadcast-joined count so skewed keys split across tasks."""
+    broadcast-joined count so skewed keys split across tasks.
+
+    Only SKEWED keys (count > salt_rows) enter the broadcast: at 10^8
+    distinct keys a full count table exceeds any sane broadcast limit,
+    while the skewed head is small by definition (non-skewed keys default
+    to 1 bucket anyway via the left join's null)."""
     from pyspark.sql import functions as F
 
     cols = list(partition_cols)
-    counts = df.groupBy(*cols).agg(F.count("*").alias("__key_rows"))
+    counts = (df.groupBy(*cols).agg(F.count("*").alias("__key_rows"))
+              .filter(F.col("__key_rows") > salt_rows))
     df = df.join(F.broadcast(counts), on=cols, how="left")
-    buckets = F.greatest(F.lit(1), F.ceil(F.col("__key_rows") / F.lit(salt_rows)))
+    buckets = F.when(
+        F.col("__key_rows").isNull(), F.lit(1)
+    ).otherwise(F.ceil(F.col("__key_rows") / F.lit(salt_rows)))
     salt_cols = [c for c in df.columns
                  if c != "__key_rows" and c.lower() not in _PAYLOAD_NAMES] or cols
     df = df.withColumn(
@@ -94,20 +102,44 @@ def _salted(df, partition_cols, salt_rows: int, num_partitions: int):
     return df.repartition(num_partitions, *cols, F.col("__salt")).drop("__salt")
 
 
+def _hive_dir(pcols: list[str], key: tuple) -> str:
+    """``key=value`` path segment per partition column (the reference's
+    partition layout, fastparquet/writer.py:969-1047), values URL-escaped
+    the way Spark/Hive escape them; None -> the Hive default marker."""
+    from urllib.parse import quote
+
+    parts = []
+    for c, v in zip(pcols, key):
+        sv = "__HIVE_DEFAULT_PARTITION__" if v is None else quote(str(v), safe="")
+        parts.append(f"{c}={sv}")
+    return "/".join(parts)
+
+
 def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                    partition_cols=("repo", "lang"), num_partitions: int | None = None,
                    salt_rows: int = 250_000, sort_within: tuple = ("repo", "path"),
                    row_group_rows: int = 1_000_000, resume: bool = True,
-                   encodings: dict | None = None):
+                   encodings: dict | None = None, layout: str = "flat"):
     """Encode ``df`` into ``out_dir`` as parquet files + lineage manifests.
 
-    Returns the manifest DataFrame (one row per written partition file).
-    Designed for 1000-executor scale: the only shuffles are the tiny
-    key-count aggregate (map-side combined, broadcast back) and the one
-    repartition that ALSO provides the physical file layout; encode is
-    pipelined per task with bounded memory (row-group batching).
+    Returns the manifest DataFrame (one row per written file).  Designed
+    for 1000-executor scale: the only shuffles are the skewed-key count
+    aggregate (filtered before broadcast) and the one repartition that
+    ALSO provides the physical file layout; encode streams row groups,
+    so task memory is bounded by ~``row_group_rows`` buffered rows, not
+    by partition size.
+
+    ``layout="hive"`` writes ``col=value/`` directories (partition
+    columns removed from the file data, like the reference's partitioned
+    writer fastparquet/writer.py:969-1047) so Spark/DuckDB/pyarrow can
+    partition-prune the output; ``"flat"`` writes ``part-*.parquet``
+    directly under ``out_dir``.
     """
-    from pyspark.sql import functions as F  # noqa: F401 (doc parity)
+    if layout not in ("flat", "hive"):
+        raise ValueError("layout must be 'flat' or 'hive'")
+    pcols = [c for c in partition_cols if c in df.columns]
+    if layout == "hive" and not pcols:
+        raise ValueError("hive layout needs at least one partition column")
 
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
@@ -116,6 +148,10 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)
     work = _salted(df, partition_cols, salt_rows, num_partitions)
     sort_cols = [c for c in (sort_within or ()) if c in df.columns]
+    if layout == "hive":
+        # cluster keys contiguously inside the task: one open writer at a
+        # time instead of one per live key
+        sort_cols = pcols + [c for c in sort_cols if c not in pcols]
     if sort_cols:
         work = work.sortWithinPartitions(*sort_cols)
 
@@ -125,68 +161,146 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     row_group_rows_ = row_group_rows
     out_dir_ = out_dir
     resume_ = resume
+    layout_ = layout
+    pcols_ = pcols
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
         from pyspark import TaskContext
 
-        from fastparquet_spark.format.writer import write_file
+        from fastparquet_spark.format.writer import ParquetWriter
 
         pa_w.set_cpu_count(1)  # see file_job.run: avoid pool oversubscription
 
         pid = TaskContext.get().partitionId()
         fname = f"part-{pid:05d}.parquet"
-        fpath = os.path.join(out_dir_, fname)
         mpath = os.path.join(out_dir_, MANIFEST_DIR, f"part-{pid:05d}.json")
         if resume_ and os.path.exists(mpath):
-            # checkpoint hit: partition already committed -> skip (drain input lazily)
+            # checkpoint hit: partition already committed -> skip
             with open(mpath) as fh:
                 prev = json.load(fh)
-            prev["skipped"] = True
-            yield _arrow_manifest_batch(prev)
+            for row in prev if isinstance(prev, list) else [prev]:
+                row["skipped"] = True
+                yield _arrow_manifest_batch(row)
             return
-        collected: list[pa.RecordBatch] = []
-        n_rows = 0
-        in_bytes = 0
+
         t0 = time.perf_counter()
-        tmp = fpath + ".inprogress"
-        sink = open(tmp, "wb")
+        kernel_secs = 0.0
+
+        class _Out:
+            """One in-progress output file (lazy-opened on first rows)."""
+
+            def __init__(self, rel: str, schema_: pa.Schema):
+                self.rel = rel
+                self.final = os.path.join(out_dir_, rel)
+                os.makedirs(os.path.dirname(self.final), exist_ok=True)
+                self.tmp = self.final + ".inprogress"
+                self.sink = open(self.tmp, "wb")
+                self.writer = ParquetWriter(self.sink, schema_,
+                                            compression=compression_,
+                                            encodings=encodings_)
+                self.buf: list[pa.Table] = []
+                self.buf_rows = 0
+                self.rows = 0
+                self.in_bytes = 0
+
+            def add(self, tbl: pa.Table):
+                self.buf.append(tbl)
+                self.buf_rows += tbl.num_rows
+                self.rows += tbl.num_rows
+                self.in_bytes += tbl.nbytes
+                if self.buf_rows >= row_group_rows_:
+                    self.flush()
+
+            def flush(self, final: bool = False):
+                nonlocal kernel_secs
+                if not self.buf_rows:
+                    return
+                tbl = pa.concat_tables(self.buf)
+                n = tbl.num_rows
+                # emit only FULL row groups; the remainder stays buffered so
+                # steady-state groups are uniformly row_group_rows wide
+                end = n if final else (n // row_group_rows_) * row_group_rows_
+                k0 = time.perf_counter()
+                for start in range(0, end, row_group_rows_):
+                    self.writer.write_row_group(tbl.slice(start, row_group_rows_))
+                kernel_secs += time.perf_counter() - k0
+                if end < n:
+                    self.buf, self.buf_rows = [tbl.slice(end)], n - end
+                else:
+                    self.buf, self.buf_rows = [], 0  # release buffered batches
+
+            def finish(self) -> dict:
+                self.flush(final=True)
+                res = self.writer.close()
+                self.sink.close()
+                os.replace(self.tmp, self.final)  # atomic publish
+                cols = {c.name: c.encoding for c in res.columns}
+                return {"partition": pid, "file": self.rel, "rows": self.rows,
+                        "input_bytes": self.in_bytes,
+                        "output_bytes": res.file_bytes,
+                        "encode_secs": 0.0, "kernel_secs": 0.0,
+                        "skipped": False, "columns": json.dumps(cols)}
+
+            def abort(self):
+                try:
+                    self.sink.close()
+                finally:
+                    if os.path.exists(self.tmp):
+                        os.remove(self.tmp)
+
+        outs: dict[tuple, _Out] = {}
+        done_rows: list[dict] = []
         try:
-            # task memory is bounded by partition size, which the salting
-            # stage caps at ~salt_rows rows per key; row groups within the
-            # file are capped separately by row_group_rows
             for b in batches:
-                collected.append(b)
-                n_rows += b.num_rows
-                in_bytes += b.nbytes
-            if n_rows == 0:
-                sink.close()
-                os.remove(tmp)
-                return
-            tbl = pa.Table.from_batches(collected)
-            k0 = time.perf_counter()
-            res = write_file(sink, tbl, compression=compression_,
-                             encodings=encodings_,
-                             row_group_rows=min(row_group_rows_, max(n_rows, 1)))
-            kernel_secs = time.perf_counter() - k0
-            sink.close()
-            os.replace(tmp, fpath)  # atomic publish of data file
-            cols = {c.name: c.encoding for c in res.columns}
-            row = {"partition": pid, "file": fname, "rows": n_rows,
-                   "input_bytes": in_bytes, "output_bytes": res.file_bytes,
-                   "encode_secs": time.perf_counter() - t0,
-                   "kernel_secs": kernel_secs,
-                   "skipped": False, "columns": json.dumps(cols)}
-            # manifest written AFTER data: its existence == commit
+                tbl = pa.Table.from_batches([b])
+                if layout_ == "flat":
+                    out = outs.get(())
+                    if out is None:
+                        out = outs[()] = _Out(fname, tbl.schema)
+                    out.add(tbl)
+                    continue
+                # hive: split the batch by partition-key combination
+                # (vectorized: distinct combos via Arrow group_by, then one
+                # boolean-mask take per combo — combos per task are few by
+                # construction, the repartition clusters them)
+                import pyarrow.compute as pc
+
+                combos = tbl.select(pcols_).group_by(pcols_).aggregate([])
+                data_schema = pa.schema(
+                    [f for f in tbl.schema if f.name not in pcols_])
+                for combo in combos.to_pylist():
+                    mask = None
+                    for c in pcols_:
+                        m = (pc.is_null(tbl.column(c)) if combo[c] is None
+                             else pc.equal(tbl.column(c), combo[c]))
+                        mask = m if mask is None else pc.and_kleene(mask, m)
+                    part = tbl.filter(mask).drop_columns(pcols_)
+                    key = tuple(combo[c] for c in pcols_)
+                    out = outs.get(key)
+                    if out is None:
+                        rel = f"{_hive_dir(pcols_, key)}/{fname}"
+                        out = outs[key] = _Out(rel, data_schema)
+                    out.add(part)
+            if not outs:
+                return  # empty partition: nothing to commit
+            for out in outs.values():
+                row = out.finish()
+                row["encode_secs"] = time.perf_counter() - t0
+                row["kernel_secs"] = kernel_secs
+                done_rows.append(row)
+            # manifest written AFTER all data files: its existence == commit
+            payload = done_rows[0] if (layout_ == "flat" and len(done_rows) == 1) \
+                else done_rows
             with open(mpath + ".tmp", "w") as fh:
-                json.dump(row, fh)
+                json.dump(payload, fh)
             os.replace(mpath + ".tmp", mpath)
-            yield _arrow_manifest_batch(row)
-        finally:
-            if not sink.closed:
-                sink.close()
-            if os.path.exists(tmp):
-                os.remove(tmp)
+            for row in done_rows:
+                yield _arrow_manifest_batch(row)
+        except BaseException:
+            for out in outs.values():
+                out.abort()
+            raise
 
     return work.mapInArrow(encode_partition, schema)
 

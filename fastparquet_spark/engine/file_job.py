@@ -31,16 +31,21 @@ import pyarrow as pa
 from fastparquet_spark.engine.encode_job import MANIFEST_DIR, _arrow_manifest_batch, _manifest_struct
 
 
-def plan_splits(input_dir: str, rows_per_task: int = 2_000_000) -> list[dict]:
+def plan_splits(input_dir: str, rows_per_task: int = 2_000_000,
+                fs=None) -> list[dict]:
     """Footer-only planning: pack row groups of all parquet files under
     ``input_dir`` into splits of ~rows_per_task rows.  Only metadata is
     read (the reference's `_metadata` trick, fastparquet/util.py:115-213,
-    done with footers instead of a sidecar)."""
-    import pyarrow.parquet as pq
+    done with footers instead of a sidecar), and footers are fetched
+    CONCURRENTLY (fastparquet/util.py:146-167) — a sequential driver
+    loop over 100k object-store files burns minutes of idle cluster
+    before the first task launches."""
+    from fastparquet_spark.format.reader import read_footer_tail
+    from fastparquet_spark.io import fetch_footers, get_fs
 
-    files = sorted(
-        os.path.join(input_dir, f) for f in os.listdir(input_dir)
-        if f.endswith(".parquet"))
+    fs = get_fs(input_dir, fs)
+    files = [p for p in fs.listdir(input_dir) if p.endswith(".parquet")]
+    tails = fetch_footers(files, fs)
     splits: list[dict] = []
     cur_file, cur_rgs, cur_rows = None, [], 0
 
@@ -51,16 +56,16 @@ def plan_splits(input_dir: str, rows_per_task: int = 2_000_000) -> list[dict]:
                            "row_groups": list(cur_rgs), "rows": cur_rows})
             cur_rgs, cur_rows = [], 0
 
-    for path in files:
-        md = pq.ParquetFile(path).metadata
+    for path, tail in zip(files, tails):
+        fmd = read_footer_tail(tail)
         if cur_file != path:
             flush()
             cur_file = path
-        for rg in range(md.num_row_groups):
-            n = md.row_group(rg).num_rows
+        for rgi, rg in enumerate(fmd["row_groups"]):
+            n = rg["num_rows"]
             if cur_rows and cur_rows + n > rows_per_task:
                 flush()
-            cur_rgs.append(rg)
+            cur_rgs.append(rgi)
             cur_rows += n
     flush()
     return splits

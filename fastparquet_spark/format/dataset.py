@@ -32,7 +32,8 @@ import struct
 from typing import Any
 
 from fastparquet_spark.format.metadata import ConvertedType, Type
-from fastparquet_spark.format.reader import read_footer
+from fastparquet_spark.format.reader import read_footer_tail
+from fastparquet_spark.io import fetch_footers, get_fs
 
 OPS = ("==", "=", "!=", "<", "<=", ">", ">=", "in", "not in")
 
@@ -61,19 +62,64 @@ def _decode_stat(raw: bytes | None, ptype: int, conv: int | None):
     return None
 
 
-def dataset_metadata(out_dir: str) -> list[dict]:
-    """Footer of every part file: [{file, fmd}] in deterministic order."""
-    out = []
-    for f in sorted(os.listdir(out_dir)):
-        if not f.endswith(".parquet"):
+def _partition_values(rel_path: str) -> dict[str, Any]:
+    """Parse hive ``key=value`` path segments into {col: value}
+    (the reference's partition parsing, fastparquet/api.py:700-758).
+    Values are coerced int -> float -> str, like Spark's discovery."""
+    from urllib.parse import unquote
+
+    out: dict[str, Any] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" not in seg:
             continue
-        with open(os.path.join(out_dir, f), "rb") as fh:
-            out.append({"file": f, "fmd": read_footer(fh.read())})
+        k, _, raw = seg.partition("=")
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out[k] = None
+            continue
+        v: Any = unquote(raw)
+        for conv in (int, float):
+            try:
+                v = conv(v)
+                break
+            except ValueError:
+                pass
+        out[k] = v
+    return out
+
+
+def dataset_metadata(out_dir: str, fs=None) -> list[dict]:
+    """Footer of every part file: [{file, fmd, partitions}] in
+    deterministic order.  Footers are TAIL reads fetched concurrently
+    (io.read_tail_footer / io.fetch_footers) — page data is never
+    touched, so this stays a metadata pass at any dataset size.  Files
+    under hive ``key=value`` directories carry their partition values."""
+    fs = get_fs(out_dir, fs)
+    prefix = out_dir.rstrip("/") + "/"
+
+    def rel_of(p: str) -> str:
+        return p[len(prefix):] if p.startswith(prefix) else os.path.basename(p)
+
+    def is_data(rel: str) -> bool:
+        segs = rel.split("/")
+        return segs[-1].endswith(".parquet") and \
+            not any(s.startswith(("_", ".")) for s in segs)
+
+    files = [p for p in fs.walk_files(out_dir) if is_data(rel_of(p))]
+    tails = fetch_footers(files, fs)
+    out = []
+    for p, t in zip(files, tails):
+        rel = rel_of(p)
+        out.append({"file": rel, "fmd": read_footer_tail(t),
+                    "partitions": _partition_values(rel)})
     return out
 
 
 def _iter_chunks(metas):
-    """Yield (file, rg_index, {col: (min,max,nulls,nvals)}) per row group."""
+    """Yield (file, rg_index, {col: (min,max,nulls,nvals)}) per row group.
+
+    Hive partition values appear as pseudo-stats columns with
+    min == max == value (and null_count == nvals for the default
+    partition), so stats pruning covers them with no extra code path."""
     for m in metas:
         elems = {e["name"]: e for e in m["fmd"]["schema"][1:]
                  if e.get("num_children") is None}
@@ -89,13 +135,18 @@ def _iter_chunks(metas):
                 hi = _decode_stat(st.get("max_value") or st.get("max"),
                                   elem["type"], elem.get("converted_type"))
                 cols[name] = (lo, hi, st.get("null_count"), cmd["num_values"])
+            for name, v in (m.get("partitions") or {}).items():
+                nvals = rg["num_rows"]
+                cols.setdefault(
+                    name,
+                    (v, v, nvals if v is None else 0, nvals))
             yield m["file"], ri, cols, rg["num_rows"]
 
 
-def dataset_statistics(out_dir: str) -> dict[str, dict[str, Any]]:
+def dataset_statistics(out_dir: str, fs=None) -> dict[str, dict[str, Any]]:
     """Global per-column stats across every row group of the dataset."""
     agg: dict[str, dict[str, Any]] = {}
-    for _f, _ri, cols, _n in _iter_chunks(dataset_metadata(out_dir)):
+    for _f, _ri, cols, _n in _iter_chunks(dataset_metadata(out_dir, fs=fs)):
         for name, (lo, hi, nulls, nvals) in cols.items():
             a = agg.setdefault(name, {"min": None, "max": None,
                                       "null_count": 0, "num_values": 0})
@@ -109,12 +160,12 @@ def dataset_statistics(out_dir: str) -> dict[str, dict[str, Any]]:
     return agg
 
 
-def sorted_columns(out_dir: str) -> list[str]:
+def sorted_columns(out_dir: str, fs=None) -> list[str]:
     """Columns globally sorted across row groups in file order: every
     chunk's min >= previous chunk's max, no nulls, stats present."""
     last: dict[str, Any] = {}
     ok: dict[str, bool] = {}
-    for _f, _ri, cols, _n in _iter_chunks(dataset_metadata(out_dir)):
+    for _f, _ri, cols, _n in _iter_chunks(dataset_metadata(out_dir, fs=fs)):
         for name, (lo, hi, nulls, _nv) in cols.items():
             if name not in ok:
                 ok[name] = True
@@ -135,26 +186,29 @@ def _chunk_may_match(cols, clause) -> bool:
         lo, hi, nulls, nvals = cols[col]
         if lo is None or hi is None:
             continue  # no stats -> cannot prune
-        if op in ("==", "=") and not (lo <= val <= hi):
-            return False
-        if op == ">" and not (hi > val):
-            return False
-        if op == ">=" and not (hi >= val):
-            return False
-        if op == "<" and not (lo < val):
-            return False
-        if op == "<=" and not (lo <= val):
-            return False
-        if op == "in" and not any(lo <= v <= hi for v in val):
-            return False
-        if op == "!=" and lo == hi == val:
-            return False
-        if op == "not in" and lo == hi and lo in val:
-            return False
+        try:
+            if op in ("==", "=") and not (lo <= val <= hi):
+                return False
+            if op == ">" and not (hi > val):
+                return False
+            if op == ">=" and not (hi >= val):
+                return False
+            if op == "<" and not (lo < val):
+                return False
+            if op == "<=" and not (lo <= val):
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in val):
+                return False
+            if op == "!=" and lo == hi == val:
+                return False
+            if op == "not in" and lo == hi and lo in val:
+                return False
+        except TypeError:
+            continue  # incomparable stat/filter types -> cannot prune
     return True
 
 
-def filter_row_groups(out_dir: str, filters) -> list[tuple[str, int]]:
+def filter_row_groups(out_dir: str, filters, fs=None) -> list[tuple[str, int]]:
     """Surviving (file, row_group) pairs for a DNF filter — a flat
     AND-list ``[(col,op,val),...]`` or OR-of-ANDs ``[[...],[...]]``."""
     if filters and isinstance(filters[0], tuple):
@@ -164,7 +218,7 @@ def filter_row_groups(out_dir: str, filters) -> list[tuple[str, int]]:
             if op not in OPS:
                 raise ValueError(f"unsupported filter op {op!r}")
     keep = []
-    for f, ri, cols, _n in _iter_chunks(dataset_metadata(out_dir)):
+    for f, ri, cols, _n in _iter_chunks(dataset_metadata(out_dir, fs=fs)):
         if any(_chunk_may_match(cols, clause) for clause in filters):
             keep.append((f, ri))
     return keep
@@ -177,10 +231,12 @@ def filtered_read(spark, out_dir: str, filters):
 
     keep_files = sorted({f for f, _ri in filter_row_groups(out_dir, filters)})
     if not keep_files:
-        # empty scan with the right schema
-        df = spark.read.parquet(f"{out_dir}/part-*.parquet").limit(0)
-        return df
-    df = spark.read.parquet(*[os.path.join(out_dir, f) for f in keep_files])
+        # empty scan with the right schema (hive partition cols included)
+        return spark.read.option("basePath", out_dir).parquet(out_dir).limit(0)
+    # basePath keeps hive key=value partition columns in the schema when
+    # individual files are listed explicitly
+    df = (spark.read.option("basePath", out_dir)
+          .parquet(*[os.path.join(out_dir, f) for f in keep_files]))
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
     ors = None

@@ -238,39 +238,78 @@ _ENC_NAMES = {Encoding.PLAIN: "plain", Encoding.PLAIN_DICTIONARY: "dict",
 _ENC_BY_NAME = {v: k for k, v in _ENC_NAMES.items()}
 
 
-def _write(f, table, compression, encodings, row_group_rows, want_stats,
-           page_version=1):
-    codec = comp.codec_id(compression)
-    f.write(MAGIC)
-    pos = len(MAGIC)
-    n_rows = table.num_rows
-    rg_rows = row_group_rows or max(n_rows, 1)
+class ParquetWriter:
+    """Incremental writer: ``write_row_group`` per buffered slice, then
+    ``close``.  This is what lets encode tasks stream a partition of any
+    size with memory bounded by ONE row group (the reference's analog is
+    its paged writer loop, fastparquet/writer.py:930-967); ``write_file``
+    is the one-shot convenience on top."""
 
-    schema_elems = [{"name": "schema", "num_children": table.num_columns}]
-    col_meta = []  # (ptype, converted, name)
-    for fld in table.schema:
-        ptype, conv, cast_to = _map_type(fld.type)
-        elem = {"name": fld.name, "type": ptype,
-                "repetition_type": Repetition.OPTIONAL}
-        if conv is not None:
-            elem["converted_type"] = conv
-        if ptype == Type.FIXED_LEN_BYTE_ARRAY:
-            elem["type_length"] = fld.type.byte_width
-        if conv == ConvertedType.DECIMAL:
-            elem["scale"] = fld.type.scale
-            elem["precision"] = fld.type.precision
-        schema_elems.append(elem)
-        col_meta.append((ptype, cast_to, fld.name))
+    def __init__(self, f, schema: pa.Schema, compression: str | int = "SNAPPY",
+                 encodings: dict | None = None, stats: bool = True,
+                 data_page_version: int = 1):
+        if data_page_version not in (1, 2):
+            raise ValueError("data_page_version must be 1 or 2")
+        self.f = f
+        self.codec = comp.codec_id(compression)
+        self.encodings = encodings or {}
+        self.want_stats = stats
+        self.page_version = data_page_version
+        self.schema_elems = [{"name": "schema", "num_children": len(schema)}]
+        self.col_meta = []  # (ptype, cast-to, name)
+        for fld in schema:
+            ptype, conv, cast_to = _map_type(fld.type)
+            elem = {"name": fld.name, "type": ptype,
+                    "repetition_type": Repetition.OPTIONAL}
+            if conv is not None:
+                elem["converted_type"] = conv
+            if ptype == Type.FIXED_LEN_BYTE_ARRAY:
+                elem["type_length"] = fld.type.byte_width
+            if conv == ConvertedType.DECIMAL:
+                elem["scale"] = fld.type.scale
+                elem["precision"] = fld.type.precision
+            self.schema_elems.append(elem)
+            self.col_meta.append((ptype, cast_to, fld.name))
+        f.write(MAGIC)
+        self.pos = len(MAGIC)
+        self.row_groups: list[dict] = []
+        self.result = FileResult(rows=0, file_bytes=0)
+        self._closed = False
 
-    result = FileResult(rows=n_rows, file_bytes=0)
-    row_groups = []
-    for start in range(0, max(n_rows, 1), rg_rows):
-        chunk = table.slice(start, rg_rows)
-        if chunk.num_rows == 0 and n_rows > 0:
-            break
+    def write_row_group(self, chunk: pa.Table) -> None:
+        """Encode one row group from an Arrow table/batch slice."""
+        if isinstance(chunk, pa.RecordBatch):
+            chunk = pa.Table.from_batches([chunk])
+        if chunk.num_rows == 0:
+            return
+        self._write_row_group(chunk)
+        self.result.rows += chunk.num_rows
+
+    def close(self) -> FileResult:
+        """Write footer + magic; returns the accumulated FileResult."""
+        if self._closed:
+            return self.result
+        fmd = {"version": 1, "schema": self.schema_elems,
+               "num_rows": self.result.rows,
+               "row_groups": self.row_groups, "created_by": CREATED_BY}
+        footer = thrift.write_struct("FileMetaData", fmd, SPECS)
+        self.f.write(footer)
+        self.f.write(len(footer).to_bytes(4, "little"))
+        self.f.write(MAGIC)
+        self.result.file_bytes = self.pos + len(footer) + 8
+        self._closed = True
+        return self.result
+
+    def _write_row_group(self, chunk: pa.Table) -> None:
+        f = self.f
+        codec = self.codec
+        encodings = self.encodings
+        want_stats = self.want_stats
+        page_version = self.page_version
+        pos = self.pos
         chunks_cols = []
         rg_bytes = 0
-        for ci, (ptype, cast_to, name) in enumerate(col_meta):
+        for ci, (ptype, cast_to, name) in enumerate(self.col_meta):
             arr = chunk.column(ci).combine_chunks()
             if cast_to is not None and arr.type != cast_to:
                 arr = arr.cast(cast_to)
@@ -375,22 +414,25 @@ def _write(f, table, compression, encodings, row_group_rows, want_stats,
             if st:
                 cmd["statistics"] = st
             chunks_cols.append({"file_offset": chunk_offset, "meta_data": cmd})
-            result.columns.append(ColumnResult(
+            self.result.columns.append(ColumnResult(
                 name=name, encoding=_ENC_NAMES[encoding], num_values=n,
                 null_count=null_count, uncompressed_size=uncomp_total,
                 compressed_size=written, dict_entries=n_dict))
-        row_groups.append({"columns": chunks_cols,
-                           "total_byte_size": rg_bytes,
-                           "num_rows": chunk.num_rows})
+        self.row_groups.append({"columns": chunks_cols,
+                                "total_byte_size": rg_bytes,
+                                "num_rows": chunk.num_rows})
+        self.pos = pos
 
-    fmd = {"version": 1, "schema": schema_elems, "num_rows": n_rows,
-           "row_groups": row_groups, "created_by": CREATED_BY}
-    footer = thrift.write_struct("FileMetaData", fmd, SPECS)
-    f.write(footer)
-    f.write(len(footer).to_bytes(4, "little"))
-    f.write(MAGIC)
-    result.file_bytes = pos + len(footer) + 8
-    return result
+
+def _write(f, table, compression, encodings, row_group_rows, want_stats,
+           page_version=1):
+    n_rows = table.num_rows
+    rg_rows = row_group_rows or max(n_rows, 1)
+    w = ParquetWriter(f, table.schema, compression, encodings,
+                      stats=want_stats, data_page_version=page_version)
+    for start in range(0, n_rows, rg_rows):
+        w.write_row_group(table.slice(start, rg_rows))
+    return w.close()
 
 
 def _extract_labels(labels: pa.Array, ptype: int):
