@@ -17,6 +17,7 @@ from fastparquet_spark.analytics.relational import load
 N_HASHES = 8          # minhash signature length
 BANDS = 2             # LSH bands (N_HASHES / BANDS rows per band)
 SHINGLE = 3           # words per shingle
+MAX_BUCKET = 1024     # docs considered per LSH bucket (smallest doc_ids)
 
 
 def _words(col="text"):
@@ -79,8 +80,18 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
                      lambda x: x.minhash)).cast("binary")).alias("band_key")))
     # pairs are generated INSIDE each bucket with higher-order functions —
     # a band_keys-vs-band_keys self-join would make Spark execute the whole
-    # signature pipeline twice (no common-subplan reuse across join sides)
-    buckets = (band_keys.groupBy("band", "band_key")
+    # signature pipeline twice (no common-subplan reuse across join sides).
+    # Buckets are CAPPED at MAX_BUCKET docs (the smallest doc_ids) BEFORE
+    # aggregation: a degenerate bucket (mass-duplicate crawl corpus) would
+    # otherwise collect unboundedly into one array value.  The rank filter
+    # is a spillable window, so the agg buffer itself is bounded; the
+    # DuckDB oracle applies the identical cap.
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    capped = (band_keys.withColumn("rn", F.row_number().over(wb))
+              .filter(F.col("rn") <= MAX_BUCKET))
+    buckets = (capped.groupBy("band", "band_key")
                .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
                .filter(F.size("docs") > 1))
     pairs = buckets.select(F.explode(F.flatten(F.expr(

@@ -160,9 +160,15 @@ FROM documents GROUP BY md5(text)
     "dedup_minhash_lsh_pairs": _MINHASH_CTE + f""",
 bands AS (SELECT doc_id, CAST(floor(seed / {dedup.N_HASHES // dedup.BANDS}) AS INT) AS band,
                  md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-          FROM mh GROUP BY doc_id, band)
+          FROM mh GROUP BY doc_id, band),
+-- bucket membership capped at the MAX_BUCKET smallest doc_ids, exactly
+-- like the Spark side's rank filter
+bkt AS (SELECT band, band_key,
+               list_sort(list(doc_id))[1:{dedup.MAX_BUCKET}] AS docs
+        FROM bands GROUP BY band, band_key HAVING count(*) > 1),
+bd AS (SELECT band, band_key, unnest(docs) AS doc_id FROM bkt)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
 WHERE a.doc_id < b.doc_id
 """,
     "dedup_simhash": _simhash_sql(),
@@ -215,14 +221,39 @@ c AS (SELECT e.vec_id, e.label,
 SELECT vec_id, label, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10
 """,
     "sim_lsh_buckets": None,  # filled below (generated)
-    "sim_ann_ivf": None,      # positional array agg: rows-only check
+    "sim_ann_ivf": """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ed FROM embeddings),
+pos AS (SELECT label, gs.i AS pos, ed[gs.i] AS v
+        FROM e, generate_series(1, 64) gs(i)),
+cp AS (SELECT label, pos,
+              round(CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*), 6) AS c
+       FROM pos GROUP BY label, pos),
+cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cp GROUP BY label),
+q AS (SELECT ed AS qe FROM e WHERE vec_id = 0),
+probe AS (SELECT label FROM cent, q
+          ORDER BY list_dot_product(centroid, qe)
+                   / (sqrt(list_dot_product(centroid, centroid))
+                      * sqrt(list_dot_product(qe, qe))) DESC, label
+          LIMIT 2),
+c AS (SELECT e.vec_id, e.label,
+             round(list_dot_product(e.ed, q.qe)
+                   / (sqrt(list_dot_product(e.ed, e.ed))
+                      * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+      FROM e JOIN probe USING (label) CROSS JOIN q WHERE e.vec_id != 0)
+SELECT vec_id, label, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 5
+""",
     "mm_binary_meta": """
 SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
        ascii(substr(text, 1, 1)) AS first_byte,
        substr(md5(text), 1, 8) AS blob_key
 FROM documents
 """,
-    "mm_decode_features": None,  # mapInPandas stub: rows-only check
+    "mm_decode_features": """
+SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       CAST(octet_length(text::BLOB) // 1024 + 1 AS INT) AS n_frames,
+       'stub-decoded' AS status
+FROM documents
+""",  # the decode stub is deterministic (len // 1024 + 1), so it oracles
 }
 
 
@@ -312,6 +343,43 @@ FROM documents GROUP BY lang
 """
 
 
+def engine_hive_prune(spark, sf_dir):
+    """Hive key=value layout end-to-end: encode documents partitioned by
+    lang (partition column lives in directory names, not file data), read
+    back with a partition predicate that Spark turns into PartitionFilters
+    (file-level pruning — the biggest query-time win at scale), aggregate.
+    The oracle computes the same aggregate from the raw table, so both
+    the layout and the values must be exactly right."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import encode_dataset
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_hv_")
+    encode_dataset(spark, docs, out, compression="ZSTD",
+                   partition_cols=("lang",), layout="hive",
+                   num_partitions=4, sort_within=("doc_id",),
+                   resume=False).collect()
+    back = spark.read.parquet(out)
+    return (back.filter(F.col("lang").isin("en", "zh"))
+            .groupBy("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.md5(F.concat_ws(",", F.array_sort(
+                     F.collect_list(F.col("doc_id").cast("string"))))
+                     .cast("binary")).alias("doc_set_h")))
+
+
+ORACLES["engine_hive_prune"] = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+           ORDER BY CAST(doc_id AS VARCHAR))) AS doc_set_h
+FROM documents WHERE lang IN ('en', 'zh')
+GROUP BY lang, source
+"""
+
+
 def engine_manifest(spark, sf_dir):
     """Lineage manifest surface (rows-only check: content is wall-clock
     dependent)."""
@@ -356,6 +424,7 @@ QUERIES = {
     "mm_decode_features": multimodal.mm_decode_features,
     "engine_roundtrip_hashes": engine_roundtrip_hashes,
     "engine_roundtrip_agg": engine_roundtrip_agg,
+    "engine_hive_prune": engine_hive_prune,
     "engine_manifest": engine_manifest,
 }
 

@@ -135,16 +135,34 @@ def q_dict_codes(spark, sf_dir):
             .withColumn("code", (F.dense_rank().over(w) - 1).cast("int")))
 
 
-def q_rle_runs(spark, sf_dir):
+def q_rle_runs(spark, sf_dir, chunk_rows: int = 65536):
     """Run-length statistics over an ordered column — the encoder's RLE
-    run detection (codecs/rle.py) expressed relationally."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    runs = (ev.select("event_id", "event_type")
-            .withColumn("prev", F.lag("event_type").over(w))
-            .withColumn("is_start",
-                        F.when(F.col("prev").isNull() |
-                               (F.col("prev") != F.col("event_type")), 1).otherwise(0)))
+    run detection (codecs/rle.py) expressed relationally.
+
+    NOT a global window (that funnels the whole table through one task):
+    runs are detected per event_id-range chunk in parallel, and chunk
+    boundaries are stitched with a tiny per-chunk last-value table (one
+    row per non-empty chunk) joined back broadcast — same answer, no
+    single-partition sort at any scale."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    ev = ev.withColumn("chunk", F.floor(F.col("event_id") / chunk_rows))
+    w = Window.partitionBy("chunk").orderBy("event_id")
+    runs = ev.withColumn("prev", F.lag("event_type").over(w))
+    # last value of each non-empty chunk; lag over chunk order gives each
+    # chunk the value preceding its first row (gap-safe: empty chunks
+    # simply don't appear)
+    wc = Window.orderBy("chunk")  # one row per chunk: tiny by construction
+    lastc = (ev.groupBy("chunk")
+             .agg(F.max(F.struct("event_id", "event_type")).alias("m"))
+             .select("chunk", F.col("m.event_type").alias("last_type"))
+             .withColumn("prev_chunk_last", F.lag("last_type").over(wc))
+             .select("chunk", "prev_chunk_last"))
+    runs = runs.join(F.broadcast(lastc), "chunk", "left")
+    boundary_prev = F.coalesce(F.col("prev"), F.col("prev_chunk_last"))
+    runs = runs.withColumn(
+        "is_start",
+        F.when(boundary_prev.isNull() |
+               (boundary_prev != F.col("event_type")), 1).otherwise(0))
     return runs.groupBy("event_type").agg(
         F.sum("is_start").cast("long").alias("n_runs"),
         F.count("*").alias("n_values"))

@@ -57,13 +57,18 @@ def sim_lsh_buckets(spark, sf_dir, n_bits: int = 8):
 def sim_ann_ivf(spark, sf_dir, query_id: int = 0, k: int = 5, n_probe: int = 2):
     """IVF-style ANN: centroids = per-label mean vectors (the synthetic
     labels stand in for k-means cells); probe the n_probe nearest cells,
-    exact cosine only within them.  Non-SQL-expressible (positional array
-    aggregation) -> rows-only correctness check."""
+    exact cosine only within them.
+
+    Cross-engine determinism: centroid components are decimal-exact sums
+    divided in double and rounded to 6 decimals, so Spark and the DuckDB
+    oracle fold identical doubles in identical positional order."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "emb_d", F.transform("embedding", lambda x: x.cast("double")))
     # centroid per label: element-wise mean via posexplode + pivot-free agg
     pos = emb.select("label", F.posexplode("emb_d").alias("pos", "v"))
-    cent = (pos.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    cent = (pos.groupBy("label", "pos")
+            .agg(F.round(F.sum(F.col("v").cast("decimal(30,10)")).cast("double")
+                         / F.count("*"), 6).alias("c"))
             .groupBy("label")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select("label", F.transform("pc", lambda x: x.c).alias("centroid")))
@@ -72,7 +77,7 @@ def sim_ann_ivf(spark, sf_dir, query_id: int = 0, k: int = 5, n_probe: int = 2):
     probe = (cent.crossJoin(F.broadcast(q))
              .select("label", (_dot(F.col("centroid"), F.col("q")) /
                                (_norm(F.col("centroid")) * _norm(F.col("q")))).alias("cc"))
-             .orderBy(F.desc("cc")).limit(n_probe).select("label"))
+             .orderBy(F.desc("cc"), "label").limit(n_probe).select("label"))
     cands = emb.join(F.broadcast(probe), "label").filter(F.col("vec_id") != query_id)
     cos = cands.crossJoin(F.broadcast(q)).select(
         "vec_id", "label",
