@@ -20,7 +20,12 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
         return b""
     if width > 64:
         raise ValueError(f"width {width} > 64")
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v = np.ascontiguousarray(values, dtype="<u8")
+    if width % 8 == 0:
+        # byte-multiple widths: the LSB-first layout IS the low bytes of
+        # each little-endian word — slice, no bit matrix (8x less temp)
+        nb = width >> 3
+        return v.view(np.uint8).reshape(-1, 8)[:, :nb].tobytes()
     shifts = np.arange(width, dtype=np.uint64)
     bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
@@ -35,7 +40,24 @@ def unpack_bits(buf, width: int, count: int, offset: int = 0) -> np.ndarray:
     if width == 0 or count == 0:
         return np.zeros(count, dtype=np.uint64)
     nbytes = (count * width + 7) // 8
+    if width % 8 == 0:
+        nb = width >> 3
+        raw = np.frombuffer(buf, dtype=np.uint8, count=count * nb, offset=offset)
+        words = np.zeros((count, 8), dtype=np.uint8)
+        words[:, :nb] = raw.reshape(count, nb)
+        return words.view("<u8").ravel()
     raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes, offset=offset)
+    if width <= 57:
+        # every value fits in an 8-byte window starting at its first byte:
+        # gather the window, view as uint64, shift, mask — no bit matrix
+        padded = np.zeros(nbytes + 8, dtype=np.uint8)
+        padded[:nbytes] = raw
+        bitpos = np.arange(count, dtype=np.int64) * width
+        byte0 = bitpos >> 3
+        words = np.ascontiguousarray(
+            padded[byte0[:, None] + np.arange(8)]).view("<u8").ravel()
+        return (words >> (bitpos & 7).astype(np.uint64)) & \
+            np.uint64((1 << width) - 1)
     bits = np.unpackbits(raw, bitorder="little")[: count * width]
     weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
     return bits.reshape(count, width).astype(np.uint64) @ weights

@@ -13,8 +13,15 @@ standard readers (pyarrow, DuckDB, Spark) accept our pages:
 
 Deltas stored are ``delta - min_delta`` (non-negative).  We use the
 conventional block_size=128, miniblocks=4 (32 values per miniblock).
-Everything is numpy: deltas via ``np.diff``, per-block min/width via a
-reshape, packing via ``pack_bits``.
+
+Everything is numpy END TO END — including the per-block byte assembly:
+block sizes are computed up front, one output buffer is allocated, and
+varint headers / width bytes / packed payloads are SCATTERED into place
+(one gather/scatter per distinct miniblock width).  The previous
+per-block Python loop was the slowest kernel in BENCH r1 (37 MB/s
+encode); this removes every per-block Python operation from the hot
+path.  Decode mirrors it: one light header walk, then one unpack per
+distinct width across ALL miniblocks.
 """
 
 from __future__ import annotations
@@ -45,17 +52,44 @@ def _wrap(x: np.ndarray, bit_width: int) -> np.ndarray:
     return ((x + half) % span) - half
 
 
+def _uvarint_encode_array(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ULEB128-encode every uint64 in ``v``; returns (flat_bytes, lengths)
+    with each value's bytes contiguous in order — fully vectorized."""
+    v = np.ascontiguousarray(v, dtype=np.uint64)
+    n = len(v)
+    nb = np.ones(n, dtype=np.int64)
+    x = v >> np.uint64(7)
+    while x.any():
+        nb += (x > 0)
+        x >>= np.uint64(7)
+    maxb = int(nb.max()) if n else 1
+    j = np.arange(maxb, dtype=np.uint64)
+    chunks = ((v[:, None] >> (j * np.uint64(7))) & np.uint64(0x7F)).astype(np.uint8)
+    cont = j[None, :] < (nb[:, None] - 1).astype(np.uint64)
+    chunks |= cont.astype(np.uint8) << 7
+    mask = j[None, :] < nb[:, None].astype(np.uint64)
+    return chunks[mask], nb  # row-major selection keeps per-value order
+
+
+def _excl_cumsum(a: np.ndarray, axis=None) -> np.ndarray:
+    c = np.cumsum(a, axis=axis)
+    if axis is None or a.ndim == 1:
+        out = np.empty_like(c)
+        out[0] = 0
+        out[1:] = c[:-1]
+        return out
+    out = np.empty_like(c)
+    out[..., 0] = 0
+    out[..., 1:] = c[..., :-1]
+    return out
+
+
 def delta_encode(values: np.ndarray, bit_width: int = 64) -> bytes:
     """Encode an int array (int32/int64) as DELTA_BINARY_PACKED.
 
     ``bit_width``: physical type width (32 for INT32 pages) — deltas use
     modular arithmetic at that width so miniblock widths never exceed it
     (readers reject e.g. 33-bit deltas on an INT32 column).
-
-    Vectorized across blocks: per-block min/width via one reshape, then
-    ONE ``pack_bits`` call per distinct miniblock width (values of equal
-    width are flattened together and re-split) — no per-block numpy
-    round-trips in the hot path.
     """
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
@@ -87,41 +121,57 @@ def delta_encode(values: np.ndarray, bit_width: int = 64) -> bytes:
     used = (nreal + VALUES_PER_MINIBLOCK - 1) // VALUES_PER_MINIBLOCK
     mb_used = np.arange(MINIBLOCKS) < used[:, None]          # (nblocks, MB)
     mb_max = mbs.max(axis=2)
-    # bit width per miniblock: ceil(log2(max+1)), 0 for unused/zero blocks
-    widths = np.zeros((nblocks, MINIBLOCKS), dtype=np.uint8)
-    nz = (mb_max > 0) & mb_used
+    # bit width per miniblock: ceil(log2(max+1)), 0 for unused/zero blocks.
     # float64 log2 can only OVERestimate the width (x >= 2^(k-1) rounds to
     # a float >= 2^(k-1), so floor(log2) >= k-1), and only by crossing a
     # power of two — clipping to the type width is therefore exact.  A max
     # shifted delta within ~2048 of 2^64 otherwise yields width 65 and a
     # pack_bits ValueError on legal int64 input.
+    widths = np.zeros((nblocks, MINIBLOCKS), dtype=np.uint8)
+    nz = (mb_max > 0) & mb_used
     widths[nz] = np.minimum(
         np.floor(np.log2(mb_max[nz].astype(np.float64))).astype(np.uint64) + 1,
         bit_width,
     ).astype(np.uint8)
-    # one pack per distinct width, then split back per miniblock
-    payload: dict[tuple[int, int], bytes] = {}
+
+    # ---- vectorized assembly: sizes -> offsets -> three scatters --------
+    vflat, vlen = _uvarint_encode_array(zigzag_encode(min_delta))
+    pay_sizes = (widths.astype(np.int64) * VALUES_PER_MINIBLOCK) >> 3
+    block_sizes = vlen + MINIBLOCKS + pay_sizes.sum(axis=1)
+    hlen = len(header)
+    starts = hlen + _excl_cumsum(block_sizes)
+    out = np.empty(hlen + int(block_sizes.sum()), dtype=np.uint8)
+    out[:hlen] = np.frombuffer(header, np.uint8)
+    # 1) min_delta varints
+    vpos = np.repeat(starts, vlen) + \
+        (np.arange(int(vlen.sum())) - np.repeat(_excl_cumsum(vlen), vlen))
+    out[vpos] = vflat
+    # 2) width bytes
+    wpos = (starts + vlen)[:, None] + np.arange(MINIBLOCKS)
+    out[wpos.ravel()] = widths.ravel()
+    # 3) packed payloads, one pack + one scatter per distinct width
+    pay_start = (starts + vlen + MINIBLOCKS)[:, None] + \
+        _excl_cumsum(pay_sizes, axis=1)
     for w in np.unique(widths[nz]):
-        sel = np.argwhere((widths == w) & nz)
-        flat = mbs[sel[:, 0], sel[:, 1]].reshape(-1)
-        packed = pack_bits(flat, int(w))
-        step = VALUES_PER_MINIBLOCK * int(w) // 8
-        for i, (bi, mi) in enumerate(sel):
-            payload[(int(bi), int(mi))] = packed[i * step:(i + 1) * step]
-    parts = [header]
-    for b in range(nblocks):
-        parts.append(uvarint_encode(int(zigzag_encode(int(min_delta[b])))))
-        parts.append(widths[b].tobytes())
-        for m in range(int(used[b])):
-            if widths[b, m]:
-                parts.append(payload[(b, m)])
-    return b"".join(parts)
+        sel = (widths == w) & nz
+        flat = mbs[sel].reshape(-1)
+        packed = np.frombuffer(pack_bits(flat, int(w)), np.uint8)
+        step = (VALUES_PER_MINIBLOCK * int(w)) >> 3
+        tgt = pay_start[sel][:, None] + np.arange(step)
+        out[tgt.ravel()] = packed
+    return out.tobytes()
 
 
 def delta_decode(buf, offset: int = 0, count: int | None = None,
                  bit_width: int = 64) -> tuple[np.ndarray, int]:
     """Decode DELTA_BINARY_PACKED; returns (int64 ndarray, next_pos).
-    ``bit_width=32`` applies INT32 modular reconstruction."""
+    ``bit_width=32`` applies INT32 modular reconstruction.
+
+    Two passes: a light header walk (varint + widths per block — the only
+    sequential part, since varints are variable-length), then ONE
+    ``unpack_bits`` per distinct width across all miniblocks, scattered
+    into place.  Handles any (block_size, miniblocks) the header declares
+    (third-party writers vary)."""
     pos = offset
     block_size, pos = uvarint_decode(buf, pos)
     miniblocks, pos = uvarint_decode(buf, pos)
@@ -135,28 +185,38 @@ def delta_decode(buf, offset: int = 0, count: int | None = None,
     if total:
         out[0] = first
     ndeltas = total - 1 if total else 0
-    deltas = np.empty(ndeltas, dtype=np.int64)
-    got = 0
-    while got < ndeltas:
+    if ndeltas == 0:
+        return out, pos
+    nblocks = (ndeltas + block_size - 1) // block_size
+    min_deltas = np.empty(nblocks, dtype=np.int64)
+    widths = np.zeros((nblocks, miniblocks), dtype=np.uint8)
+    used = np.zeros((nblocks, miniblocks), dtype=bool)
+    mini_off = np.zeros((nblocks, miniblocks), dtype=np.int64)
+    for b in range(nblocks):
         zz_md, pos = uvarint_decode(buf, pos)
-        min_delta = int(zigzag_decode(zz_md))
-        widths = np.frombuffer(buf, np.uint8, count=miniblocks, offset=pos)
+        min_deltas[b] = zigzag_decode(zz_md)
+        wb = np.frombuffer(buf, np.uint8, count=miniblocks, offset=pos)
+        widths[b] = wb
         pos += miniblocks
-        for m in range(miniblocks):
-            if got >= ndeltas:
-                break
-            w = int(widths[m])
-            if w:
-                vals = unpack_bits(buf, w, vpm, offset=pos).astype(np.int64)
-                pos += (vpm * w + 7) // 8
-            else:
-                vals = np.zeros(vpm, dtype=np.int64)
-            take = min(vpm, ndeltas - got)
-            deltas[got : got + take] = vals[:take] + min_delta
-            got += take
-    if total > 1:
-        with np.errstate(over="ignore"):
-            out[1:] = first + np.cumsum(deltas)
-    if total and bit_width < 64:
+        remaining = ndeltas - b * block_size
+        used_b = min(miniblocks, -(-remaining // vpm))
+        used[b, :used_b] = True
+        pay = (wb[:used_b].astype(np.int64) * vpm) >> 3
+        mini_off[b, :used_b] = pos + _excl_cumsum(pay)
+        pos += int(pay.sum())
+    src = np.frombuffer(buf, np.uint8)
+    vals = np.zeros((nblocks, miniblocks, vpm), dtype=np.int64)
+    nzsel = used & (widths > 0)
+    for w in np.unique(widths[nzsel]):
+        sel = nzsel & (widths == w)
+        step = (vpm * int(w)) >> 3
+        gathered = src[mini_off[sel][:, None] + np.arange(step)]
+        flat = unpack_bits(gathered.tobytes(), int(w), int(sel.sum()) * vpm)
+        vals[sel] = flat.reshape(-1, vpm).astype(np.int64)
+    with np.errstate(over="ignore"):
+        deltas = (vals.reshape(nblocks, block_size) +
+                  min_deltas[:, None]).reshape(-1)[:ndeltas]
+        out[1:] = first + np.cumsum(deltas)
+    if bit_width < 64:
         out = _wrap(out, bit_width)
     return out, pos
