@@ -7,8 +7,12 @@ per-row Python anywhere (SURVEY.md §3.1 "Spark translation").
 """
 
 from fastparquet_spark.engine.datagen import synthetic_source_table
-from fastparquet_spark.engine.encode_job import encode_dataset, verify_roundtrip
+from fastparquet_spark.engine.encode_job import (
+    append_dataset,
+    encode_dataset,
+    verify_roundtrip,
+)
 from fastparquet_spark.engine.file_job import encode_files, plan_splits
 
-__all__ = ["synthetic_source_table", "encode_dataset", "verify_roundtrip",
-           "encode_files", "plan_splits"]
+__all__ = ["synthetic_source_table", "encode_dataset", "append_dataset",
+           "verify_roundtrip", "encode_files", "plan_splits"]

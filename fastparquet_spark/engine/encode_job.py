@@ -119,7 +119,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                    partition_cols=("repo", "lang"), num_partitions: int | None = None,
                    salt_rows: int = 250_000, sort_within: tuple = ("repo", "path"),
                    row_group_rows: int = 1_000_000, resume: bool = True,
-                   encodings: dict | None = None, layout: str = "flat"):
+                   encodings: dict | None = None, layout: str = "flat",
+                   file_prefix: str = "part"):
     """Encode ``df`` into ``out_dir`` as parquet files + lineage manifests.
 
     Returns the manifest DataFrame (one row per written file).  Designed
@@ -163,6 +164,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     resume_ = resume
     layout_ = layout
     pcols_ = pcols
+    file_prefix_ = file_prefix
 
     def encode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -173,8 +175,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
         pa_w.set_cpu_count(1)  # see file_job.run: avoid pool oversubscription
 
         pid = TaskContext.get().partitionId()
-        fname = f"part-{pid:05d}.parquet"
-        mpath = os.path.join(out_dir_, MANIFEST_DIR, f"part-{pid:05d}.json")
+        fname = f"{file_prefix_}-{pid:05d}.parquet"
+        mpath = os.path.join(out_dir_, MANIFEST_DIR, f"{file_prefix_}-{pid:05d}.json")
         if resume_ and os.path.exists(mpath):
             # checkpoint hit: partition already committed -> skip
             with open(mpath) as fh:
@@ -303,6 +305,69 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
             raise
 
     return work.mapInArrow(encode_partition, schema)
+
+
+def append_dataset(spark, df, out_dir: str, **kwargs):
+    """Append ``df`` to an EXISTING dataset (the reference's
+    ``write(..., append=True)``, fastparquet/writer.py:773-807):
+
+    - schema compatibility is checked against the existing footers
+      (same leaf names/physical types/converted types);
+    - new files get a fresh generation prefix ``part-g{N}``, so nothing
+      collides and resume stays per-generation idempotent;
+    - on success the ``_metadata`` sidecar is re-merged, so footer-only
+      readers see old+new in one fetch.
+
+    EAGER (runs the job) — append is a commit, not a plan.  Returns the
+    collected manifest rows."""
+    import pyarrow as pa_s
+
+    from fastparquet_spark.format.dataset import (
+        dataset_metadata, schema_signature, write_metadata_sidecar,
+    )
+    from fastparquet_spark.format.writer import ParquetWriter
+
+    existing = dataset_metadata(out_dir)
+    if not existing:
+        raise ValueError(f"append target {out_dir} has no existing dataset")
+    # the schema our writer WOULD produce for df, minus hive partition cols
+    layout = kwargs.get("layout", "flat")
+    pcols = [c for c in kwargs.get("partition_cols", ("repo", "lang"))
+             if c in df.columns]
+    import io as _io
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema)
+    if layout == "hive" and pcols:
+        arrow_schema = pa_s.schema(
+            [f for f in arrow_schema if f.name not in pcols])
+    probe = ParquetWriter(_io.BytesIO(), arrow_schema)
+    new_sig = [(e["name"], e.get("type"), e.get("converted_type"),
+                e.get("type_length"))
+               for e in probe.schema_elems[1:]]
+    old_sig = schema_signature(existing[0]["fmd"])
+    # order-insensitive: the salting repartition fronts the partition
+    # columns, so physical column order is an artifact, not the contract
+    if set(new_sig) != set(old_sig):
+        raise ValueError(
+            f"append schema mismatch: existing {old_sig} vs new {new_sig}")
+    # next generation: one past the highest existing g-prefix
+    gens = [0]
+    for m in existing:
+        base = os.path.basename(m["file"])
+        if base.startswith("part-g"):
+            try:
+                gens.append(int(base.split("-")[1][1:]) + 1)
+            except ValueError:
+                pass
+        else:
+            gens.append(1)
+    gen = max(gens)
+    rows = encode_dataset(spark, df, out_dir,
+                          file_prefix=f"part-g{gen:03d}", **kwargs).collect()
+    write_metadata_sidecar(out_dir)
+    return rows
 
 
 def verify_roundtrip(spark, src_df, out_dir: str, key_cols=("repo", "path")) -> dict:

@@ -32,7 +32,7 @@ import struct
 from typing import Any
 
 from fastparquet_spark.format.metadata import ConvertedType, Type
-from fastparquet_spark.format.reader import read_footer_tail
+from fastparquet_spark.format.reader import read_footer, read_footer_tail
 from fastparquet_spark.io import fetch_footers, get_fs
 
 OPS = ("==", "=", "!=", "<", "<=", ">", ">=", "in", "not in")
@@ -87,13 +87,43 @@ def _partition_values(rel_path: str) -> dict[str, Any]:
     return out
 
 
-def dataset_metadata(out_dir: str, fs=None) -> list[dict]:
+def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[dict]:
     """Footer of every part file: [{file, fmd, partitions}] in
     deterministic order.  Footers are TAIL reads fetched concurrently
     (io.read_tail_footer / io.fetch_footers) — page data is never
     touched, so this stays a metadata pass at any dataset size.  Files
-    under hive ``key=value`` directories carry their partition values."""
+    under hive ``key=value`` directories carry their partition values.
+
+    When a ``_metadata`` sidecar exists (written by
+    :func:`write_metadata_sidecar` / ``append_dataset``), the whole
+    dataset's metadata comes from that ONE fetch — no listing, no
+    per-file footer reads (the reference's merged-footer trick,
+    fastparquet/writer.py:1156-1193 / util.py:115-213).  Writers that
+    add files must refresh the sidecar (append_dataset does)."""
     fs = get_fs(out_dir, fs)
+    sidecar = _join(out_dir, "_metadata")
+    if use_sidecar and fs.exists(sidecar):
+        with fs.open_read(sidecar) as f:
+            fmd = read_footer(f.read())
+        by_file: dict[str, list] = {}
+        for rg in fmd["row_groups"]:
+            fp = rg["columns"][0].get("file_path") or ""
+            by_file.setdefault(fp, []).append(rg)
+        out = []
+        for rel in sorted(by_file):
+            rgs = []
+            for rg in by_file[rel]:
+                rg2 = dict(rg)
+                rg2["columns"] = [
+                    {k: v for k, v in cc.items() if k != "file_path"}
+                    for cc in rg["columns"]]
+                rgs.append(rg2)
+            sub = {"version": fmd.get("version", 1), "schema": fmd["schema"],
+                   "num_rows": sum(r["num_rows"] for r in rgs),
+                   "row_groups": rgs}
+            out.append({"file": rel, "fmd": sub,
+                        "partitions": _partition_values(rel)})
+        return out
     prefix = out_dir.rstrip("/") + "/"
 
     def rel_of(p: str) -> str:
@@ -112,6 +142,58 @@ def dataset_metadata(out_dir: str, fs=None) -> list[dict]:
         out.append({"file": rel, "fmd": read_footer_tail(t),
                     "partitions": _partition_values(rel)})
     return out
+
+
+def _join(out_dir: str, name: str) -> str:
+    return out_dir.rstrip("/") + "/" + name
+
+
+def schema_signature(fmd: dict) -> list[tuple]:
+    """Comparable shape of a footer's leaf schema: (name, type, converted,
+    type_length) per column — what append compatibility is judged on."""
+    return [(e["name"], e.get("type"), e.get("converted_type"),
+             e.get("type_length"))
+            for e in fmd["schema"][1:] if e.get("num_children") is None]
+
+
+def write_metadata_sidecar(out_dir: str, fs=None) -> int:
+    """Merge every part footer into a ``_metadata`` sidecar (the
+    reference's ``merge``, fastparquet/writer.py:1156-1193): one
+    FileMetaData whose row groups carry ``file_path`` relative to the
+    dataset root.  Atomic publish via temp + rename.  Returns the number
+    of row groups merged."""
+    from fastparquet_spark.format import thrift
+    from fastparquet_spark.format.metadata import MAGIC, SPECS
+    from fastparquet_spark.format.writer import CREATED_BY
+
+    fs = get_fs(out_dir, fs)
+    metas = dataset_metadata(out_dir, fs=fs, use_sidecar=False)
+    if not metas:
+        raise ValueError(f"no part files under {out_dir}")
+    schema = metas[0]["fmd"]["schema"]
+    sig0 = schema_signature(metas[0]["fmd"])
+    rgs, num_rows = [], 0
+    for m in metas:
+        if schema_signature(m["fmd"]) != sig0:
+            raise ValueError(
+                f"schema mismatch across parts: {m['file']} != {metas[0]['file']}")
+        for rg in m["fmd"]["row_groups"]:
+            rg2 = dict(rg)
+            rg2["columns"] = [dict(cc, file_path=m["file"])
+                              for cc in rg["columns"]]
+            rgs.append(rg2)
+            num_rows += rg["num_rows"]
+    fmd = {"version": 1, "schema": schema, "num_rows": num_rows,
+           "row_groups": rgs, "created_by": CREATED_BY}
+    body = thrift.write_struct("FileMetaData", fmd, SPECS)
+    tmp = _join(out_dir, "_metadata.inprogress")
+    with fs.open_write(tmp) as f:
+        f.write(MAGIC)
+        f.write(body)
+        f.write(len(body).to_bytes(4, "little"))
+        f.write(MAGIC)
+    fs.replace(tmp, _join(out_dir, "_metadata"))
+    return len(rgs)
 
 
 def _iter_chunks(metas):

@@ -1,0 +1,104 @@
+"""Dataset append + `_metadata` sidecar (reference writer.py:773-807
+append, :1156-1193 merge):
+
+- write_metadata_sidecar merges every part footer with file_path set;
+- dataset_metadata reads the WHOLE dataset's metadata from that one
+  file (proved by open/read counting);
+- append_dataset adds a new generation, re-merges the sidecar, and
+  statistics reflect old+new;
+- incompatible schemas are rejected before any file is written.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from fastparquet_spark.format.dataset import (
+    dataset_metadata,
+    dataset_statistics,
+    filter_row_groups,
+    write_metadata_sidecar,
+)
+from fastparquet_spark.io import CountingFS, LocalFS
+
+
+def _df(spark, lo, hi):
+    rows = [(f"org/repo{i % 5}", f"src/f{i}.py", f"c{i:040d}",
+             ["python", "rust", "go"][i % 3], f"def f{i}(): pass\n")
+            for i in range(lo, hi)]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string")
+
+
+def test_sidecar_single_fetch_and_equal_stats(spark, tmp_path):
+    from fastparquet_spark.engine import encode_dataset
+
+    out = str(tmp_path / "ds")
+    encode_dataset(spark, _df(spark, 0, 4000), out, num_partitions=3,
+                   salt_rows=10**9, sort_within=("path",)).collect()
+    st_walk = dataset_statistics(out)  # no sidecar yet: per-file footers
+    n_rg = write_metadata_sidecar(out)
+    assert n_rg >= 3
+    counting = CountingFS(LocalFS())
+    st_side = dataset_statistics(out, fs=counting)
+    assert counting.opens == 1  # the sidecar IS the dataset metadata
+    assert st_side == st_walk
+    # pruning through the sidecar still names real files
+    kept = filter_row_groups(out, [("lang", "==", "rust")])
+    assert all(f.endswith(".parquet") for f, _ in kept)
+
+
+def test_append_generations_and_merged_stats(spark, tmp_path):
+    from fastparquet_spark.engine import append_dataset, encode_dataset
+
+    out = str(tmp_path / "ds")
+    encode_dataset(spark, _df(spark, 0, 3000), out, num_partitions=2,
+                   salt_rows=10**9).collect()
+    write_metadata_sidecar(out)
+    rows = append_dataset(spark, _df(spark, 3000, 5000), out,
+                          num_partitions=2, salt_rows=10**9, resume=False)
+    assert sum(r.rows for r in rows) == 2000
+    assert glob.glob(f"{out}/part-g001-*.parquet")
+    # sidecar reflects old+new in one fetch
+    counting = CountingFS(LocalFS())
+    st = dataset_statistics(out, fs=counting)
+    assert counting.opens == 1
+    assert st["content"]["num_values"] == 5000
+    # Spark sees the union (underscore sidecar ignored by the scan)
+    assert spark.read.parquet(out).count() == 5000
+    # a second append gets generation 2
+    append_dataset(spark, _df(spark, 5000, 5500), out,
+                   num_partitions=2, salt_rows=10**9, resume=False)
+    assert glob.glob(f"{out}/part-g002-*.parquet")
+    assert dataset_statistics(out)["content"]["num_values"] == 5500
+
+
+def test_append_rejects_schema_mismatch(spark, tmp_path):
+    from fastparquet_spark.engine import append_dataset, encode_dataset
+
+    out = str(tmp_path / "ds")
+    encode_dataset(spark, _df(spark, 0, 1000), out, num_partitions=1,
+                   salt_rows=10**9).collect()
+    bad = spark.createDataFrame([(1, "x")], "repo long, content string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_dataset(spark, bad, out, num_partitions=1, salt_rows=10**9)
+    assert not glob.glob(f"{out}/part-g*.parquet")  # nothing written
+
+
+def test_sidecar_files_readable_by_pyarrow_dataset(spark, tmp_path):
+    """External engines ignore _metadata but must still read the files."""
+    from fastparquet_spark.engine import encode_dataset
+
+    out = str(tmp_path / "ds")
+    encode_dataset(spark, _df(spark, 0, 1200), out, num_partitions=2,
+                   salt_rows=10**9).collect()
+    write_metadata_sidecar(out)
+    total = sum(pq.read_table(f).num_rows
+                for f in glob.glob(f"{out}/part-*.parquet"))
+    assert total == 1200
+    # the sidecar itself parses as a parquet footer for pyarrow
+    md = pq.read_metadata(f"{out}/_metadata")
+    assert md.num_rows == 1200
