@@ -209,8 +209,11 @@ def _iter_chunks(metas):
             cols: dict[str, tuple] = {}
             for cc in rg["columns"]:
                 cmd = cc["meta_data"]
-                name = cmd["path_in_schema"][0]
-                elem = elems[name]
+                path = cmd["path_in_schema"]
+                name = ".".join(path)
+                elem = elems.get(path[-1])
+                if elem is None:
+                    continue  # nested leaf under a group we can't key by name
                 st = cmd.get("statistics") or {}
                 lo = _decode_stat(st.get("min_value") or st.get("min"),
                                   elem["type"], elem.get("converted_type"))

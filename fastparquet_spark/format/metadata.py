@@ -39,6 +39,7 @@ class Repetition:
 class ConvertedType:
     UTF8 = 0
     MAP = 1
+    MAP_KEY_VALUE = 2
     LIST = 3
     DECIMAL = 5
     DATE = 6

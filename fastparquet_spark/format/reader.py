@@ -83,21 +83,28 @@ def _arrow_type(elem: dict) -> pa.DataType:
 
 
 def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
-                       required: bool = False) -> tuple[np.ndarray, object]:
-    """Returns (validity bool array, non-null decoded values).
+                       required: bool = False, max_def: int = 1,
+                       max_rep: int = 0):
+    """Returns (def_levels, rep_levels_or_None, non-null decoded values).
 
-    ``required=True`` -> no definition levels precede the values (e.g.
-    Impala-written REQUIRED columns, fastparquet/test/test_read.py:70-127
-    interop matrix)."""
+    ``required=True`` (or ``max_def=0``) -> no definition levels precede
+    the values (e.g. Impala-written REQUIRED columns,
+    fastparquet/test/test_read.py:70-127 interop matrix).  ``max_rep>0``
+    reads repetition levels too (nested columns — assembled by
+    format/assembly.py)."""
     ptype = cmd["type"]
     codec = cmd["codec"]
     n_total = cmd["num_values"]
-    pos = cmd.get("dictionary_page_offset") or cmd["data_page_offset"]
+    if required:
+        max_def = 0
+    def_width = int(max_def).bit_length()
+    rep_width = int(max_rep).bit_length()
     # fastparquet sometimes stores data_page_offset < dictionary_page_offset
     pos = min(p for p in (cmd.get("dictionary_page_offset"), cmd["data_page_offset"]) if p is not None)
 
     dictionary = None
-    validity = np.ones(n_total, dtype=bool)
+    all_defs: list[np.ndarray] = []
+    all_reps: list[np.ndarray] = []
     out_vals = None
     seen = 0
     while seen < n_total:
@@ -113,41 +120,55 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
             raw = comp.decompress(page, codec, ph["uncompressed_page_size"])
             dph = ph["data_page_header"]
             n = dph["num_values"]
-            if required:
-                levels, off = np.ones(n, dtype=np.uint64), 0
+            off = 0
+            reps = None
+            if max_rep:
+                # u4-length-prefixed hybrid (fastparquet/core.py:108-143)
+                reps, off = decode_hybrid(raw, rep_width, n, offset=off,
+                                          length=None)
+            if max_def:
+                levels, off = decode_hybrid(raw, def_width, n, offset=off,
+                                            length=None)
             else:
-                # definition levels (OPTIONAL; max_def==1 -> validity bitmap,
-                # the reference's special case fastparquet/core.py:246-261)
-                levels, off = decode_hybrid(raw, 1, n, offset=0, length=None)
+                levels = np.full(n, max_def, dtype=np.uint64)
         elif ph["type"] == PageType.DATA_PAGE_V2:
             # levels sit uncompressed ahead of the (separately compressed)
             # values section (fastparquet/core.py:195-412)
             dph = ph["data_page_header_v2"]
             n = dph["num_values"]
+            rlen = dph.get("repetition_levels_byte_length", 0)
             dlen = dph.get("definition_levels_byte_length", 0)
-            if dlen and not required:
-                levels, _ = decode_hybrid(page, 1, n, offset=0, length=dlen)
+            reps = None
+            if rlen and max_rep:
+                reps, _ = decode_hybrid(page, rep_width, n, offset=0,
+                                        length=rlen)
+            if dlen and max_def:
+                levels, _ = decode_hybrid(page, def_width, n, offset=rlen,
+                                          length=dlen)
             else:
-                levels = np.ones(n, dtype=np.uint64)
-            vals_part = page[dlen:]
+                levels = np.full(n, max_def, dtype=np.uint64)
+            vals_part = page[rlen + dlen:]
             if dph.get("is_compressed", True) and codec != 0:
                 raw = comp.decompress(vals_part, codec,
-                                      ph["uncompressed_page_size"] - dlen)
+                                      ph["uncompressed_page_size"] - rlen - dlen)
             else:
                 raw = bytes(vals_part)
             off = 0
         else:
             raise NotImplementedError(f"page type {ph['type']}")
-        valid = levels.astype(bool)
-        n_nonnull = int(valid.sum())
+        n_nonnull = int((levels == max_def).sum()) if max_def else n
         enc = dph["encoding"]
         if enc == Encoding.PLAIN:
             vals, off = decode_plain(raw, ptype, n_nonnull, offset=off,
                                      type_length=type_length)
         elif enc in (Encoding.PLAIN_DICTIONARY, Encoding.RLE_DICTIONARY):
             width = raw[off]
-            codes, _ = decode_hybrid(raw, width, n_nonnull, offset=off + 1,
-                                     length=len(raw) - off - 1)
+            if width == 0:
+                # single-entry dictionary: every code is 0
+                codes = np.zeros(n_nonnull, dtype=np.uint64)
+            else:
+                codes, _ = decode_hybrid(raw, width, n_nonnull, offset=off + 1,
+                                         length=len(raw) - off - 1)
             vals = ("codes", codes.astype(np.int64))
         elif enc == Encoding.DELTA_BINARY_PACKED:
             vals, off = delta_decode(raw, offset=off, count=n_nonnull,
@@ -158,11 +179,17 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
             vals = bits.astype(bool)
         else:
             raise NotImplementedError(f"encoding {enc}")
-        validity[seen:seen + n] = valid
+        all_defs.append(np.asarray(levels, dtype=np.int64))
+        if max_rep:
+            all_reps.append(np.asarray(
+                reps if reps is not None else np.zeros(n, np.uint64),
+                dtype=np.int64))
         piece = _materialize(vals, dictionary, ptype)
         out_vals = piece if out_vals is None else _concat(out_vals, piece, ptype)
         seen += n
-    return validity, out_vals
+    defs = np.concatenate(all_defs) if all_defs else np.zeros(0, np.int64)
+    reps_out = np.concatenate(all_reps) if (max_rep and all_reps) else None
+    return defs, reps_out, out_vals
 
 
 def _materialize(vals, dictionary, ptype):
@@ -273,28 +300,39 @@ def _load(source) -> bytes:
     return source.read()  # file-like
 
 
-def _read_row_group(buf, rg, elems, columns=None) -> pa.Table:
+def _read_row_group(buf, rg, tree, columns=None) -> pa.Table:
+    from fastparquet_spark.format.assembly import assemble_column, leaves
+
+    lvs = leaves(tree)
+    chunks = {tuple(cc["meta_data"]["path_in_schema"]): cc["meta_data"]
+              for cc in rg["columns"]}
     arrays, fields = [], []
-    for cc, elem in zip(rg["columns"], elems):
-        if columns is not None and elem["name"] not in columns:
+    for child in tree.children:
+        if columns is not None and child.name not in columns:
             continue
-        validity, vals = _read_column_chunk(
-            buf, cc["meta_data"], elem.get("type_length", 0),
-            required=elem.get("repetition_type", 1) == 0)
-        arr = _to_arrow(validity, vals, elem)
+        if child.is_leaf and child.r == 0:
+            # flat column: the common fast path (no assembly layer)
+            cmd = chunks[(child.name,)]
+            defs, _reps, vals = _read_column_chunk(
+                buf, cmd, child.elem.get("type_length", 0),
+                required=child.repetition == 0)
+            validity = defs.astype(bool) if child.d else \
+                np.ones(rg["num_rows"], dtype=bool)
+            arr = _to_arrow(validity, vals, child.elem)
+        else:
+            streams = {}
+            for path, leaf in lvs:
+                if path[0] != child.name:
+                    continue
+                cmd = chunks[path]
+                streams[path] = _read_column_chunk(
+                    buf, cmd, leaf.elem.get("type_length", 0),
+                    max_def=leaf.d, max_rep=leaf.r)
+            arr = assemble_column(child, streams, _to_arrow)
         arrays.append(arr)
-        fields.append(pa.field(elem["name"], arr.type))
+        fields.append(pa.field(child.name, arr.type,
+                               nullable=child.repetition != 0))
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
-
-
-def _leaf_elems(fmd: dict) -> list[dict]:
-    elems = [e for e in fmd["schema"][1:] if e.get("num_children") is None]
-    if len(fmd["schema"]) - 1 != len(elems):
-        raise NotImplementedError(
-            "nested schemas (LIST/MAP groups) are out of scope for this "
-            "reader — flat input only (SURVEY.md §1.5); Spark's native "
-            "scan reads nested parquet")
-    return elems
 
 
 def iter_row_groups(source, columns=None):
@@ -302,27 +340,33 @@ def iter_row_groups(source, columns=None):
     chunk iteration (fastparquet/api.py:321-337 iter_row_groups), with
     column projection (only the selected chunks are decoded,
     fastparquet/core.py:570-577)."""
+    from fastparquet_spark.format.assembly import build_tree
+
     buf = _load(source)
     fmd = read_footer(buf)
-    elems = _leaf_elems(fmd)
+    tree = build_tree(fmd["schema"])
     for rg in fmd["row_groups"]:
-        yield _read_row_group(buf, rg, elems, columns)
+        yield _read_row_group(buf, rg, tree, columns)
 
 
 def read_file(source, columns=None) -> pa.Table:
-    """Read a parquet file (path or bytes) written by us (or the reference's
-    flat-schema output) into a pyarrow Table, optionally projecting."""
+    """Read a parquet file (path or bytes) into a pyarrow Table,
+    optionally projecting — flat columns plus nested LIST/MAP/struct
+    schemas (Dremel assembly, format/assembly.py)."""
+    from fastparquet_spark.format.assembly import build_tree
+
     buf = _load(source)
     fmd = read_footer(buf)
-    elems = _leaf_elems(fmd)
-    if not elems:
+    tree = build_tree(fmd["schema"])
+    if not tree.children:
         # zero-column file: rows exist only as a count
         empty_rows = pa.array([{}] * fmd["num_rows"], type=pa.struct([]))
         return pa.Table.from_batches(
             [pa.RecordBatch.from_struct_array(empty_rows)])
-    parts = [_read_row_group(buf, rg, elems, columns)
+    parts = [_read_row_group(buf, rg, tree, columns)
              for rg in fmd["row_groups"]]
     if not parts:
-        names = [e["name"] for e in elems if columns is None or e["name"] in columns]
+        names = [c.name for c in tree.children
+                 if columns is None or c.name in columns]
         return pa.table({nm: [] for nm in names})
     return pa.concat_tables(parts)

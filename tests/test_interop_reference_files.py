@@ -51,10 +51,31 @@ def test_reads_third_party_file_identically(fname):
                                        check_names=False, obj=f"{fname}:{col}")
 
 
+def _eq(a, b):
+    """Recursive equality with NaN == NaN (nested pylist compare)."""
+    import math
+
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_eq(a[k], b[k]) for k in a)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+
 @pytest.mark.parametrize("fname", NESTED_FILES)
-def test_nested_schema_raises_cleanly(fname):
+def test_reads_nested_file_identically(fname):
+    """Dremel assembly (format/assembly.py) must reconstruct LIST/MAP/
+    struct columns value-identical to pyarrow — the read surface the
+    reference covers with _assemble_objects (cencoding.pyx:376-439)."""
     path = os.path.join(TD, fname)
     if not os.path.exists(path):
         pytest.skip(f"{fname} not in snapshot")
-    with pytest.raises(NotImplementedError, match="nested"):
-        read_file(path)
+    expected = pq.read_table(path)
+    got = read_file(path)
+    assert got.num_rows == expected.num_rows
+    for col in expected.column_names:
+        a = expected.column(col).combine_chunks()
+        b = got.column(col).combine_chunks().cast(a.type)
+        assert _eq(a.to_pylist(), b.to_pylist()), f"{fname}:{col}"
