@@ -31,6 +31,11 @@ import pyarrow as pa
 
 MANIFEST_DIR = "_manifests"
 
+
+def _u_join(base: str, rel: str) -> str:
+    """Path join that preserves URI schemes (s3://... stays s3://...)."""
+    return base.rstrip("/") + "/" + rel
+
 MANIFEST_SCHEMA_JSON = {
     "partition": "int", "file": "string", "rows": "long",
     "input_bytes": "long", "output_bytes": "long", "encode_secs": "double",
@@ -142,8 +147,11 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     if layout == "hive" and not pcols:
         raise ValueError("hive layout needs at least one partition column")
 
-    os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    from fastparquet_spark.io import get_fs
+
+    drv_fs = get_fs(out_dir)
+    drv_fs.makedirs(out_dir)
+    drv_fs.makedirs(_u_join(out_dir, MANIFEST_DIR))
 
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)
@@ -171,16 +179,18 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
         from pyspark import TaskContext
 
         from fastparquet_spark.format.writer import ParquetWriter
+        from fastparquet_spark.io import get_fs
 
         pa_w.set_cpu_count(1)  # see file_job.run: avoid pool oversubscription
 
+        fs = get_fs(out_dir_)  # same seam as the driver: URIs work end to end
         pid = TaskContext.get().partitionId()
         fname = f"{file_prefix_}-{pid:05d}.parquet"
-        mpath = os.path.join(out_dir_, MANIFEST_DIR, f"{file_prefix_}-{pid:05d}.json")
-        if resume_ and os.path.exists(mpath):
+        mpath = _u_join(out_dir_, f"{MANIFEST_DIR}/{file_prefix_}-{pid:05d}.json")
+        if resume_ and fs.exists(mpath):
             # checkpoint hit: partition already committed -> skip
-            with open(mpath) as fh:
-                prev = json.load(fh)
+            with fs.open_read(mpath) as fh:
+                prev = json.loads(fh.read())
             for row in prev if isinstance(prev, list) else [prev]:
                 row["skipped"] = True
                 yield _arrow_manifest_batch(row)
@@ -194,10 +204,11 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
 
             def __init__(self, rel: str, schema_: pa.Schema):
                 self.rel = rel
-                self.final = os.path.join(out_dir_, rel)
-                os.makedirs(os.path.dirname(self.final), exist_ok=True)
+                self.final = _u_join(out_dir_, rel)
+                if "/" in rel:
+                    fs.makedirs(self.final.rsplit("/", 1)[0])
                 self.tmp = self.final + ".inprogress"
-                self.sink = open(self.tmp, "wb")
+                self.sink = fs.open_write(self.tmp)
                 self.writer = ParquetWriter(self.sink, schema_,
                                             compression=compression_,
                                             encodings=encodings_)
@@ -236,7 +247,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 self.flush(final=True)
                 res = self.writer.close()
                 self.sink.close()
-                os.replace(self.tmp, self.final)  # atomic publish
+                fs.replace(self.tmp, self.final)  # atomic publish
                 cols = {c.name: c.encoding for c in res.columns}
                 return {"partition": pid, "file": self.rel, "rows": self.rows,
                         "input_bytes": self.in_bytes,
@@ -248,8 +259,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 try:
                     self.sink.close()
                 finally:
-                    if os.path.exists(self.tmp):
-                        os.remove(self.tmp)
+                    if fs.exists(self.tmp):
+                        fs.remove(self.tmp)
 
         outs: dict[tuple, _Out] = {}
         done_rows: list[dict] = []
@@ -294,9 +305,9 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
             # manifest written AFTER all data files: its existence == commit
             payload = done_rows[0] if (layout_ == "flat" and len(done_rows) == 1) \
                 else done_rows
-            with open(mpath + ".tmp", "w") as fh:
-                json.dump(payload, fh)
-            os.replace(mpath + ".tmp", mpath)
+            with fs.open_write(mpath + ".tmp") as fh:
+                fh.write(json.dumps(payload).encode())
+            fs.replace(mpath + ".tmp", mpath)
             for row in done_rows:
                 yield _arrow_manifest_batch(row)
         except BaseException:

@@ -44,7 +44,10 @@ def plan_splits(input_dir: str, rows_per_task: int = 2_000_000,
     from fastparquet_spark.io import fetch_footers, get_fs
 
     fs = get_fs(input_dir, fs)
-    files = [p for p in fs.listdir(input_dir) if p.endswith(".parquet")]
+    if any(c in input_dir for c in "*?["):
+        files = [p for p in fs.glob(input_dir) if p.endswith(".parquet")]
+    else:
+        files = [p for p in fs.listdir(input_dir) if p.endswith(".parquet")]
     tails = fetch_footers(files, fs)
     splits: list[dict] = []
     cur_file, cur_rgs, cur_rows = None, [], 0
@@ -78,8 +81,11 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
     """Encode every parquet file under ``input_dir`` into ``out_dir``
     (our writer, auto-selected codecs), distributing (file, row-group)
     splits.  Returns the manifest DataFrame."""
-    os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    from fastparquet_spark.io import get_fs
+
+    drv_fs = get_fs(out_dir)
+    drv_fs.makedirs(out_dir)
+    drv_fs.makedirs(out_dir.rstrip("/") + "/" + MANIFEST_DIR)
     splits = plan_splits(input_dir, rows_per_task)
     if not splits:
         return spark.createDataFrame([], _manifest_struct())
@@ -101,6 +107,9 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
         import pyarrow.parquet as pq
 
         from fastparquet_spark.format.writer import write_file
+        from fastparquet_spark.io import get_fs
+
+        fs = get_fs(out_dir_)
 
         # one Arrow thread per worker: N workers x default pool (ncpus)
         # oversubscribes the box N-fold and collapses kernel throughput
@@ -112,11 +121,11 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
                                             b.column("file").to_pylist(),
                                             b.column("rgs").to_pylist()):
                 fname = f"part-{sid:05d}.parquet"
-                opath = os.path.join(out_dir_, fname)
-                mpath = os.path.join(out_dir_, MANIFEST_DIR, f"part-{sid:05d}.json")
-                if resume and os.path.exists(mpath):
-                    with open(mpath) as fh:
-                        prev = json.load(fh)
+                opath = out_dir_.rstrip("/") + "/" + fname
+                mpath = out_dir_.rstrip("/") + f"/{MANIFEST_DIR}/part-{sid:05d}.json"
+                if resume and fs.exists(mpath):
+                    with fs.open_read(mpath) as fh:
+                        prev = json.loads(fh.read())
                     prev["skipped"] = True
                     yield _arrow_manifest_batch(prev)
                     continue
@@ -125,20 +134,20 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
                     json.loads(rgs_json), columns=columns_, use_threads=False)
                 k0 = time.perf_counter()
                 tmp = opath + ".inprogress"
-                with open(tmp, "wb") as sink:
+                with fs.open_write(tmp) as sink:
                     res = write_file(sink, tbl, compression=compression_,
                                      encodings=encodings_)
                 kernel = time.perf_counter() - k0
-                os.replace(tmp, opath)
+                fs.replace(tmp, opath)
                 cols = {c.name: c.encoding for c in res.columns}
                 row = {"partition": sid, "file": fname, "rows": tbl.num_rows,
                        "input_bytes": tbl.nbytes, "output_bytes": res.file_bytes,
                        "encode_secs": time.perf_counter() - t0,
                        "kernel_secs": kernel, "skipped": False,
                        "columns": json.dumps(cols)}
-                with open(mpath + ".tmp", "w") as fh:
-                    json.dump(row, fh)
-                os.replace(mpath + ".tmp", mpath)
+                with fs.open_write(mpath + ".tmp") as fh:
+                    fh.write(json.dumps(row).encode())
+                fs.replace(mpath + ".tmp", mpath)
                 yield _arrow_manifest_batch(row)
 
     return sdf.mapInArrow(run, _manifest_struct())

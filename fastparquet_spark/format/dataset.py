@@ -101,6 +101,13 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
     fastparquet/writer.py:1156-1193 / util.py:115-213).  Writers that
     add files must refresh the sidecar (append_dataset does)."""
     fs = get_fs(out_dir, fs)
+    if any(c in out_dir for c in "*?["):
+        # glob input (the reference's ParquetFile(glob), api.py:95-162)
+        files = sorted(p for p in fs.glob(out_dir) if p.endswith(".parquet"))
+        tails = fetch_footers(files, fs)
+        return [{"file": os.path.basename(p), "fmd": read_footer_tail(t),
+                 "partitions": _partition_values(p)}
+                for p, t in zip(files, tails)]
     sidecar = _join(out_dir, "_metadata")
     if use_sidecar and fs.exists(sidecar):
         with fs.open_read(sidecar) as f:

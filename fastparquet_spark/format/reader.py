@@ -64,6 +64,14 @@ def _arrow_type(elem: dict) -> pa.DataType:
         return pa.timestamp("ms")
     if conv == ConvertedType.DATE:
         return pa.date32()
+    if conv == ConvertedType.TIME_MILLIS:
+        return pa.time32("ms")
+    if conv == ConvertedType.TIME_MICROS:
+        return pa.time64("us")
+    if conv == ConvertedType.JSON:
+        return pa.string()  # JSON annotates utf8 byte arrays
+    if conv == ConvertedType.BSON:
+        return pa.binary()
     if conv in (ConvertedType.INT_8,):
         return pa.int8()
     if conv in (ConvertedType.INT_16,):
@@ -273,9 +281,9 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
         return arr
     np_dtype = {pa.bool_(): np.bool_, pa.int32(): np.int32, pa.int64(): np.int64,
                 pa.float32(): np.float32, pa.float64(): np.float64}.get(at)
-    if at == pa.timestamp("us") or at == pa.timestamp("ms"):
+    if at in (pa.timestamp("us"), pa.timestamp("ms"), pa.time64("us")):
         np_dtype = np.int64
-    elif at == pa.date32():
+    elif at in (pa.date32(), pa.time32("ms")):
         np_dtype = np.int32
     elif np_dtype is None:
         np_dtype = np.dtype(at.to_pandas_dtype())

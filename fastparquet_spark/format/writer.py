@@ -88,6 +88,10 @@ def _map_type(t: pa.DataType):
     if pa.types.is_uint64(t):
         # bit-reinterpret (a checked cast rejects values >= 2^63)
         return Type.INT64, ConvertedType.UINT_64, None
+    if pa.types.is_float16(t):
+        # parquet has no half float pre-2.x; upcast like the reference
+        # (fastparquet/writer.py:35-57 float16 handling)
+        return Type.FLOAT, None, pa.float32()
     if pa.types.is_float32(t):
         return Type.FLOAT, None, None
     if pa.types.is_float64(t):
@@ -96,6 +100,10 @@ def _map_type(t: pa.DataType):
         return Type.INT64, ConvertedType.TIMESTAMP_MICROS, pa.timestamp("us")
     if pa.types.is_date32(t):
         return Type.INT32, ConvertedType.DATE, None
+    if pa.types.is_time32(t):
+        return Type.INT32, ConvertedType.TIME_MILLIS, pa.time32("ms")
+    if pa.types.is_time64(t):
+        return Type.INT64, ConvertedType.TIME_MICROS, pa.time64("us")
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return Type.BYTE_ARRAY, ConvertedType.UTF8, None
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -155,9 +163,9 @@ def _extract(arr: pa.Array, ptype: int):
         return arr.to_numpy(zero_copy_only=False).view(np.int32)
     if pa.types.is_uint64(arr.type):
         return arr.to_numpy(zero_copy_only=False).view(np.int64)
-    if pa.types.is_timestamp(arr.type):
+    if pa.types.is_timestamp(arr.type) or pa.types.is_time64(arr.type):
         arr = arr.cast(pa.int64())
-    elif pa.types.is_date32(arr.type):
+    elif pa.types.is_date32(arr.type) or pa.types.is_time32(arr.type):
         arr = arr.cast(pa.int32())
     return arr.to_numpy(zero_copy_only=False)
 
