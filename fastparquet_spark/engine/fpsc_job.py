@@ -29,8 +29,14 @@ from fastparquet_spark.engine.encode_job import (
 def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
                         partition_cols=("repo", "lang"),
                         num_partitions: int | None = None,
-                        salt_rows: int = 250_000, resume: bool = True):
-    """Encode ``df`` into FPSC containers (one per task) + manifests."""
+                        salt_rows: int = 250_000, resume: bool = True,
+                        rows_per_container: int = 1_000_000):
+    """Encode ``df`` into FPSC containers + manifests.
+
+    Containers are written per ~``rows_per_container`` buffered rows, so
+    task memory is bounded by the chunk, not the partition; the FSST
+    symbol table is trained ONCE per column on the first chunk and
+    reused for the rest of the task (training is the expensive half)."""
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     if num_partitions is None:
@@ -40,6 +46,7 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
     out_dir_ = out_dir
     compression_ = compression
     resume_ = resume
+    rows_per_ = rows_per_container
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -49,36 +56,67 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
 
         pa_w.set_cpu_count(1)
         pid = TaskContext.get().partitionId()
-        fname = f"part-{pid:05d}.fpsc"
-        fpath = os.path.join(out_dir_, fname)
         mpath = os.path.join(out_dir_, MANIFEST_DIR, f"part-{pid:05d}.json")
         if resume_ and os.path.exists(mpath):
             with open(mpath) as fh:
                 prev = json.load(fh)
-            prev["skipped"] = True
-            yield _arrow_manifest_batch(prev)
+            for row in prev if isinstance(prev, list) else [prev]:
+                row["skipped"] = True
+                yield _arrow_manifest_batch(row)
             return
-        collected = [b for b in batches]
-        n_rows = sum(b.num_rows for b in collected)
-        if n_rows == 0:
+
+        fsst_cache: dict = {}
+        done_rows: list[dict] = []
+        buf: list[pa.RecordBatch] = []
+        buf_rows = 0
+
+        def write_one(tbl: pa.Table):
+            k = len(done_rows)
+            fname = f"part-{pid:05d}-{k:03d}.fpsc"
+            fpath = os.path.join(out_dir_, fname)
+            t0 = time.perf_counter()
+            tmp = fpath + ".inprogress"
+            with open(tmp, "wb") as sink:
+                blocks = write_container(sink, tbl, compression=compression_,
+                                         fsst_cache=fsst_cache)
+            kernel = time.perf_counter() - t0
+            os.replace(tmp, fpath)
+            done_rows.append(
+                {"partition": pid, "file": fname, "rows": tbl.num_rows,
+                 "input_bytes": tbl.nbytes,
+                 "output_bytes": os.path.getsize(fpath),
+                 "encode_secs": kernel, "kernel_secs": kernel,
+                 "skipped": False,
+                 "columns": json.dumps({b.name: b.codec for b in blocks})})
+
+        def flush_chunk(final: bool = False):
+            nonlocal buf, buf_rows
+            if not buf_rows:
+                return
+            tbl = pa.Table.from_batches(buf)
+            n = tbl.num_rows
+            end = n if final else (n // rows_per_) * rows_per_
+            for start in range(0, end, rows_per_):
+                write_one(tbl.slice(start, rows_per_))
+            if end < n:
+                buf, buf_rows = tbl.slice(end).to_batches(), n - end
+            else:
+                buf, buf_rows = [], 0  # release buffered batches
+
+        for b in batches:
+            buf.append(b)
+            buf_rows += b.num_rows
+            if buf_rows >= rows_per_:
+                flush_chunk()
+        flush_chunk(final=True)
+        if not done_rows:
             return
-        tbl = pa.Table.from_batches(collected)
-        t0 = time.perf_counter()
-        tmp = fpath + ".inprogress"
-        with open(tmp, "wb") as sink:
-            blocks = write_container(sink, tbl, compression=compression_)
-        kernel = time.perf_counter() - t0
-        os.replace(tmp, fpath)
-        row = {"partition": pid, "file": fname, "rows": n_rows,
-               "input_bytes": tbl.nbytes,
-               "output_bytes": os.path.getsize(fpath),
-               "encode_secs": kernel, "kernel_secs": kernel,
-               "skipped": False,
-               "columns": json.dumps({b.name: b.codec for b in blocks})}
+        # manifest written AFTER all containers: its existence == commit
         with open(mpath + ".tmp", "w") as fh:
-            json.dump(row, fh)
+            json.dump(done_rows, fh)
         os.replace(mpath + ".tmp", mpath)
-        yield _arrow_manifest_batch(row)
+        for row in done_rows:
+            yield _arrow_manifest_batch(row)
 
     return work.mapInArrow(run, _manifest_struct())
 

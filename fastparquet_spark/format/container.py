@@ -85,8 +85,15 @@ def _type_from_name(name: str) -> pa.DataType:
 
 
 def write_container(sink, table: pa.Table, compression: str = "ZSTD",
-                    min_fsst_gain: float = 0.9) -> list[ColumnBlock]:
-    """Write an Arrow table as an FPSC container; returns per-column lineage."""
+                    min_fsst_gain: float = 0.9,
+                    fsst_cache: dict | None = None) -> list[ColumnBlock]:
+    """Write an Arrow table as an FPSC container; returns per-column lineage.
+
+    ``fsst_cache`` ({column: FsstTable}) reuses symbol tables across
+    containers of the same stream — training is the expensive half of
+    FSST, and a table trained on the first chunk stays valid for later
+    chunks (the escape byte covers anything unseen; only the ratio can
+    drift).  The cache is consulted AND populated."""
     own = isinstance(sink, str)
     f = open(sink, "wb") if own else sink
     codec = comp.codec_id(compression)
@@ -126,7 +133,12 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 # auto-selection mandate
                 raw_plain = encode_plain((lengths, data), ptype)
                 body_plain = comp.compress(raw_plain, codec)
-                ftab = fsst_train(data)
+                if fsst_cache is not None and field.name in fsst_cache:
+                    ftab = fsst_cache[field.name]
+                else:
+                    ftab = fsst_train(data)
+                    if fsst_cache is not None:
+                        fsst_cache[field.name] = ftab
                 blob = fsst_encode(data, ftab)
                 blob_z = comp.compress(blob, codec)
                 blob_codec, blob_stored = (codec, blob_z) if len(blob_z) < len(blob) \

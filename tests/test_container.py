@@ -103,3 +103,28 @@ def test_fpsc_distributed_roundtrip(spark, tmp_path):
     m2 = encode_dataset_fpsc(spark, src, out, num_partitions=2).collect()
     assert all(r["skipped"] for r in m2)
     src.unpersist()
+
+
+def test_fpsc_chunked_streaming_and_resume(spark, tmp_path):
+    """Containers flush per rows_per_container (bounded task memory),
+    FSST tables are trained once per column per task, and resume replays
+    the multi-file manifest."""
+    import glob
+
+    from fastparquet_spark.engine.fpsc_job import encode_dataset_fpsc, read_fpsc
+
+    df = spark.createDataFrame(
+        [(f"r{i % 3}", f"p{i}", "c", "python",
+          f"some repeated source body {i % 40}\n" * 5) for i in range(4000)],
+        "repo string, path string, commit string, lang string, content string")
+    out = str(tmp_path / "fpsc")
+    man = encode_dataset_fpsc(spark, df, out, num_partitions=2,
+                              salt_rows=10**9, rows_per_container=600).collect()
+    assert sum(m.rows for m in man) == 4000
+    files = glob.glob(f"{out}/part-*.fpsc")
+    assert len(files) >= 4  # ~2000 rows/task at 600/container
+    back = read_fpsc(spark, out)
+    assert back.count() == 4000
+    man2 = encode_dataset_fpsc(spark, df, out, num_partitions=2,
+                               salt_rows=10**9, rows_per_container=600).collect()
+    assert all(m.skipped for m in man2) and sum(m.rows for m in man2) == 4000
