@@ -149,6 +149,11 @@ def main():
     # analytics queries at the sf dir (single warm session)
     import __spark_entry__ as em
     spark = make_spark(CPUS)
+    # warm the session (JVM codegen + scan machinery + Python workers)
+    # so q1 doesn't absorb ~5s of cold-start that belongs to no query
+    spark.read.parquet(f"{SF_DIR}/nation.parquet") \
+        .groupBy("n_regionkey").count().collect()
+    spark.range(10_000).selectExpr("sum(id)").collect()
     queries = em.queries()
     qsecs = {}
     for name in BENCH_QUERIES:

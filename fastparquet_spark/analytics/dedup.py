@@ -56,14 +56,25 @@ def dedup_exact(spark, sf_dir):
 
 def dedup_minhash_signatures(spark, sf_dir):
     """MinHash signatures: min over shingles of md5(seed||shingle) per
-    (doc, seed).  One explode + one groupBy; signature width N_HASHES."""
+    (doc, seed).
+
+    All N_HASHES mins are computed as parallel aggregates of ONE
+    groupBy(doc_id) — not a seeds crossJoin, which multiplies the
+    shuffle volume N_HASHES-fold.  Map-side partial min means each task
+    ships N_HASHES values per doc, not one row per (shingle, seed).
+    The (doc_id, seed, minhash) row shape is restored by an unpivot."""
     sh = _shingles_df(spark, sf_dir)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    return (sh.crossJoin(F.broadcast(seeds))
-            .select("doc_id", "seed",
-                    F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"),
-                                   F.col("sh")).cast("binary")).alias("mh"))
-            .groupBy("doc_id", "seed").agg(F.min("mh").alias("minhash")))
+    mins = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))
+                        .cast("binary"))).alias(f"m{s}")
+            for s in range(N_HASHES)]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    stacked = per_doc.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).cast("int").alias("seed"),
+                     F.col(f"m{s}").alias("minhash"))
+            for s in range(N_HASHES)])).alias("x"))
+    return stacked.select("doc_id", "x.seed", "x.minhash")
 
 
 def dedup_minhash_lsh_pairs(spark, sf_dir):
