@@ -147,6 +147,16 @@ FROM (SELECT user_id,
 WHERE delta_ms IS NOT NULL
 GROUP BY user_id
 """,
+    "q_rollup_pricing": """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "q_cube_volumes": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
     "q_cardinality_stats": """
 SELECT count(DISTINCT lang) AS nd_lang, count(DISTINCT source) AS nd_source,
        count(DISTINCT text) AS nd_text, count(*) AS n_rows
@@ -404,6 +414,8 @@ QUERIES = {
     "q_count_filters": relational.q_count_filters,
     "q_head": relational.q_head,
     "q_partition_values": relational.q_partition_values,
+    "q_rollup_pricing": relational.q_rollup_pricing,
+    "q_cube_volumes": relational.q_cube_volumes,
     "q_dict_codes": relational.q_dict_codes,
     "q_rle_runs": relational.q_rle_runs,
     "q_delta_stats": relational.q_delta_stats,

@@ -184,6 +184,24 @@ def q_delta_stats(spark, sf_dir):
         F.max("delta_ms").alias("max_delta"))
 
 
+def q_rollup_pricing(spark, sf_dir):
+    """Hierarchical totals via ROLLUP — subtotal rows per returnflag and
+    a grand total (grouping-set coverage for SURVEY §2.5; the reference
+    has no aggregation at all)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n_rows"),
+                 _dsum("l_quantity").alias("sum_qty")))
+
+
+def q_cube_volumes(spark, sf_dir):
+    """CUBE over two dims — every grouping-set combination."""
+    orders = load(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 _dsum("o_totalprice").alias("total_price")))
+
+
 def q_cardinality_stats(spark, sf_dir):
     """Distinct-ratio inputs to codec selection, per documents column."""
     docs = load(spark, sf_dir, "documents")

@@ -49,3 +49,41 @@ def windowed_event_counts(spark, stream_df, *, window: str = "1 hour",
                  F.sum("value").alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     "event_type", "n_events", "total_value"))
+
+
+def running_user_totals(spark, stream_df):
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (event count, value total) maintained ACROSS
+    micro-batches — the arbitrary-state API the built-in windowed aggs
+    can't express (e.g. lifetime counters, sessionization).  Emits the
+    updated cumulative row for every user seen in the batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (stream_df.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -71,3 +71,37 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     # (x event types) stay open — everything older must have flushed
     n_types = len({k[1] for k in exp})
     assert len(got) >= len(exp) - 3 * n_types
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    two input files processed one per trigger must yield CUMULATIVE
+    totals whose final values equal the batch ground truth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.streaming.jobs import running_user_totals
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [(1, 10.0), (2, 5.0), (1, 2.5)]
+    rows2 = [(1, 1.0), (3, 7.0), (2, 0.5)]
+    for i, rows in enumerate([rows1, rows2]):
+        pq.write_table(pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+        }), str(src / f"batch-{i}.parquet"))
+
+    stream = (spark.readStream.schema("user_id long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (running_user_totals(spark, stream)
+         .writeStream.format("memory").queryName("totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.sql(
+               "select * from totals order by n_events").collect()}
+    # last emitted row per user is the cumulative total
+    assert got[1] == (3, 13.5)
+    assert got[2] == (2, 5.5)
+    assert got[3] == (1, 7.0)
