@@ -18,6 +18,17 @@ Spark translation of the reference's ``write()`` pipeline
   ``_manifests/part-{pid:05d}.json`` — the Iceberg-snapshot stand-in:
   commit is the atomic rename of the manifest, resume is "skip
   partitions whose manifest already exists".
+
+Iceberg mapping (so a real catalog can slot in without changing the
+job): one ``append_dataset`` generation == one Iceberg SNAPSHOT (the
+``part-g{N}`` prefix is the snapshot id); the ``_manifests/`` directory
+== the snapshot's MANIFEST LIST (one manifest per task, data-file path
++ row/byte counts + per-column codec stats — the same fields Iceberg
+manifests carry); the re-merged ``_metadata`` sidecar == the table
+metadata pointer flip, the single atomic publish step.  Swapping the
+JSON writes for Iceberg catalog calls changes only the commit functions
+in this module — task logic, naming determinism and idempotent resume
+are already Iceberg-shaped.
 """
 
 from __future__ import annotations
