@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the 100-TB properties the queries claim
+(pushdown, broadcast, top-k, no cartesian blowup, chunked windows) must
+be visible in the executed plan, not just implied by fast local runs.
+These are regression guards — a refactor that silently turns a
+broadcast join into a shuffle join or drops a pushed filter fails here.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from fastparquet_spark.analytics import dedup, relational, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    p = plan_of(relational.q_filter_project(spark, SF))
+    assert "PushedFilters" in p and "l_quantity" in p.split("PushedFilters", 1)[1]
+    # projection pruning: the scan reads only the referenced columns
+    read = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_quantity" in read and "l_discount" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_topk_uses_take_ordered_not_full_sort(spark):
+    p = plan_of(relational.q_sort_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dim_joins_are_broadcast(spark):
+    p = plan_of(relational.q3_shipping_topk(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    p2 = plan_of(relational.q_join_agg_nation(spark, SF))
+    assert p2.count("BroadcastHashJoin") >= 2  # nation AND region
+    assert "SortMergeJoin" not in p2
+
+
+def test_agg_is_partial_then_final(spark):
+    p = plan_of(relational.q1_pricing_summary(spark, SF))
+    assert p.count("HashAggregate") >= 2  # map-side combine + final
+
+
+def test_rle_runs_window_is_chunk_partitioned(spark):
+    """The run-detection window must shuffle by chunk (parallel), never
+    a single global ordering over the full events table.  The only
+    SinglePartition exchange allowed is the tiny per-chunk last-value
+    table (one row per 65536-id range)."""
+    p = plan_of(relational.q_rle_runs(spark, SF))
+    assert "hashpartitioning(chunk" in p
+
+
+def test_lsh_pairs_no_cartesian_product(spark):
+    p = plan_of(dedup.dedup_minhash_lsh_pairs(spark, SF))
+    assert "CartesianProduct" not in p
+
+
+def test_cosine_topk_broadcasts_the_query_vector(spark):
+    p = plan_of(similarity.sim_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p  # 1-row broadcast, not shuffle
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_exact_dedup_single_shuffle(spark):
+    p = plan_of(dedup.dedup_exact(spark, SF))
+    # one hash shuffle on the digest; partial agg before it
+    # (formatted mode lists each node once in the details as "(N) Exchange")
+    assert p.count(") Exchange") == 1 and "hashpartitioning(h" in p
+    assert p.count("HashAggregate") >= 2
