@@ -26,6 +26,10 @@ for _id, _name in _PA_NAMES.items():
     CODECS[_name.upper()] = _id
 if "GZIP" not in CODECS:
     CODECS["GZIP"] = GZIP  # zlib fallback always available
+if "LZ4_RAW" in CODECS:
+    # legacy Hadoop-framed LZ4 (codec id 5): raw-lz4 blocks behind
+    # 8-byte big-endian headers — see _lz4_hadoop_* below
+    CODECS["LZ4"] = LZ4
 
 
 def codec_id(name: str | int) -> int:
@@ -42,9 +46,43 @@ def codec_id(name: str | int) -> int:
 _LEVELS = {ZSTD: 1, GZIP: 6, BROTLI: 4}
 
 
+def _lz4_hadoop_compress(data: bytes) -> bytes:
+    """Hadoop LZ4 framing (parquet codec id 5): 4-byte big-endian
+    uncompressed size, 4-byte big-endian compressed size, one raw-lz4
+    block (the layout arrow's Lz4HadoopCodec and parquet-mr emit)."""
+    block = pa.Codec("lz4_raw").compress(data).to_pybytes()
+    return (len(data).to_bytes(4, "big") + len(block).to_bytes(4, "big")
+            + block)
+
+
+def _lz4_hadoop_decompress(data: bytes, usize: int) -> bytes:
+    """Decode Hadoop-framed LZ4, tolerating multiple chunks; falls back
+    to whole-buffer raw lz4 for writers that skipped the framing (the
+    same permissive strategy arrow's reader uses)."""
+    raw = pa.Codec("lz4_raw")
+    try:
+        out = bytearray()
+        pos = 0
+        while pos < len(data) and len(out) < usize:
+            ulen = int.from_bytes(data[pos:pos + 4], "big")
+            clen = int.from_bytes(data[pos + 4:pos + 8], "big")
+            pos += 8
+            if clen <= 0 or pos + clen > len(data):
+                raise ValueError("bad hadoop-lz4 chunk header")
+            out += raw.decompress(data[pos:pos + clen], ulen).to_pybytes()
+            pos += clen
+        if len(out) != usize:
+            raise ValueError("hadoop-lz4 size mismatch")
+        return bytes(out)
+    except (ValueError, NotImplementedError, OSError):
+        return raw.decompress(data, usize).to_pybytes()
+
+
 def compress(data: bytes, codec: int, level: int | None = None) -> bytes:
     if codec == UNCOMPRESSED:
         return data
+    if codec == LZ4:
+        return _lz4_hadoop_compress(data)
     lvl = level if level is not None else _LEVELS.get(codec)
     if codec in _PA_NAMES:
         try:
@@ -61,6 +99,8 @@ def compress(data: bytes, codec: int, level: int | None = None) -> bytes:
 def decompress(data: bytes, codec: int, uncompressed_size: int) -> bytes:
     if codec == UNCOMPRESSED:
         return data
+    if codec == LZ4:
+        return _lz4_hadoop_decompress(data, uncompressed_size)
     if codec in _PA_NAMES:
         try:
             return pa.Codec(_PA_NAMES[codec]).decompress(data, uncompressed_size).to_pybytes()

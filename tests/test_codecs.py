@@ -168,3 +168,29 @@ def test_compression_all_codecs():
     raw = b"the quick brown fox " * 500
     for name, cid in CODECS.items():
         assert decompress(compress(raw, cid), cid, len(raw)) == raw, name
+
+
+def test_legacy_lz4_hadoop_roundtrip(tmp_path):
+    """Codec id 5 (legacy Hadoop-framed LZ4): 8-byte big-endian headers
+    + raw-lz4 blocks.  This is a READ-compat codec for old
+    parquet-mr/Impala files — pyarrow and our reader decode it; DuckDB
+    does not support it at all, so the engine never selects it by
+    default (ZSTD/SNAPPY remain the write defaults)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.format import read_file, write_file
+
+    t = pa.table({"a": pa.array(range(5000)),
+                  "s": pa.array([f"text {i % 7} body" for i in range(5000)])})
+    path = str(tmp_path / "lz4.parquet")
+    write_file(path, t, compression="LZ4")
+    assert pq.read_table(path).cast(t.schema).equals(t)
+    got = read_file(path)
+    assert got.cast(t.schema).equals(t)
+    # raw-block fallback (writers that skip the hadoop framing)
+    from fastparquet_spark.codecs.compression import (
+        _lz4_hadoop_decompress,
+    )
+    block = pa.Codec("lz4_raw").compress(b"x" * 1000).to_pybytes()
+    assert _lz4_hadoop_decompress(block, 1000) == b"x" * 1000
