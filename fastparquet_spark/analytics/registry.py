@@ -301,8 +301,31 @@ FROM embeddings GROUP BY 1
 """
 
 
+def _neardup_lsh_sql(n_bits: int = 8, threshold: float = 0.7) -> str:
+    dims_per = 64 // n_bits
+    parts = []
+    for j in range(n_bits):
+        lo = j * dims_per + 1
+        hi = lo + dims_per - 1
+        parts.append(
+            f"CASE WHEN list_aggregate((embedding::DOUBLE[])[{lo}:{hi}], 'sum') > 0 "
+            f"THEN {1 << j} ELSE 0 END")
+    cos = ("round(list_dot_product(a.ed, b.ed) / "
+           "(sqrt(list_dot_product(a.ed, a.ed)) * "
+           "sqrt(list_dot_product(b.ed, b.ed))), 6)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
+                  CAST({' + '.join(parts)} AS INT) AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
 ORACLES["text_langid"] = _langid_sql()
 ORACLES["sim_lsh_buckets"] = _lsh_buckets_sql()
+ORACLES["sim_neardup_lsh"] = _neardup_lsh_sql()
 
 
 # ---- engine end-to-end queries ----------------------------------------------
@@ -488,3 +511,4 @@ WHERE round(list_dot_product(a.e, b.e)
 
 QUERIES["engine_dataset_stats"] = engine_dataset_stats
 QUERIES["sim_neardup_pairs"] = similarity.sim_neardup_pairs
+QUERIES["sim_neardup_lsh"] = similarity.sim_neardup_lsh

@@ -86,6 +86,40 @@ def sim_ann_ivf(spark, sf_dir, query_id: int = 0, k: int = 5, n_probe: int = 2):
     return cos.orderBy(F.desc("cosine"), "vec_id").limit(k)
 
 
+def _bucket_expr(n_bits: int = 8):
+    dims_per = 64 // n_bits
+    bucket = F.lit(0)
+    for j in range(n_bits):
+        gsum = F.aggregate(
+            F.slice(F.col("embedding"), j * dims_per + 1, dims_per),
+            F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        bucket = bucket + F.when(gsum > 0, F.lit(1 << j)).otherwise(0)
+    return bucket.cast("int")
+
+
+def sim_neardup_lsh(spark, sf_dir, n_bits: int = 8, threshold: float = 0.7):
+    """Embedding near-duplicate pairs THE SCALE WAY: candidates are
+    generated only inside sign-LSH buckets (high-cosine vectors share
+    group-sum signs with high probability), then scored exactly.  The
+    join key is the bucket — at 100 TB each bucket is a co-located
+    partition and the pair space is sum(bucket^2), never N^2.  Recall
+    tradeoff vs the exact all-pairs baseline (sim_neardup_pairs) is
+    inherent to LSH; the oracle applies identical bucketing, so the
+    CORRECTNESS gate checks the bucketed semantics exactly."""
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id",
+                   F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+                   _bucket_expr(n_bits).alias("bucket")))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = pairs.select(
+        "vec_a", "vec_b",
+        F.round(_dot(F.col("ea"), F.col("eb")) /
+                (_norm(F.col("ea")) * _norm(F.col("eb"))), 6).alias("cosine"))
+    return cos.filter(F.col("cosine") >= threshold)
+
+
 def sim_neardup_pairs(spark, sf_dir, max_id: int = 150, threshold: float = 0.7):
     """Embedding-cosine near-duplicate pairs — the vector twin of the
     text dedup operators.  Bounded candidate set here; at scale this runs
