@@ -59,14 +59,28 @@ _HASH_R = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 _HASH_CAP = 128
 
 
+_POWS = np.array([1], dtype=np.uint64)
+
+
+def _hash_pows(n: int) -> np.ndarray:
+    """Cached powers of the hash multiplier mod 2^64."""
+    global _POWS
+    if len(_POWS) < n:
+        p = np.empty(n, dtype=np.uint64)
+        p[0] = 1
+        with np.errstate(over="ignore"):
+            np.cumprod(np.full(n - 1, _HASH_R, np.uint64), out=p[1:])
+        _POWS = p
+    return _POWS
+
+
 def _byte_array_fingerprints(data: np.ndarray, starts: np.ndarray,
                              lens: np.ndarray) -> np.ndarray:
     """(k, 24) uint8 fingerprint rows per sampled string: a polynomial
     hash of the first ``_HASH_CAP`` bytes (mod 2^64, vectorized gather +
     segment-sum), the exact length, and the last 8 bytes — no
-    per-string Python.  Strings collide only if they agree on all three
-    (first 4 KB, length, tail), so the sampled distinct ratio is robust
-    even for template-generated text that shares heads and tails."""
+    per-string Python and no copy of the column buffer (the tail window
+    gathers with clipped positions instead of padding ``data``)."""
     k = len(starts)
     data = np.asarray(data, np.uint8)
     seg = np.minimum(lens, _HASH_CAP)
@@ -75,22 +89,21 @@ def _byte_array_fingerprints(data: np.ndarray, starts: np.ndarray,
     np.cumsum(seg[:-1], out=seg_starts[1:])
     within = np.arange(total, dtype=np.int64) - np.repeat(seg_starts, seg)
     src = data[np.repeat(starts, seg) + within].astype(np.uint64)
-    maxlen = int(seg.max()) if k else 1
-    pows = np.empty(max(maxlen, 1), dtype=np.uint64)
-    pows[0] = 1
-    if maxlen > 1:
-        np.cumprod(np.full(maxlen - 1, _HASH_R, np.uint64), out=pows[1:])
+    pows = _hash_pows(int(seg.max()) if k else 1)
     with np.errstate(over="ignore"):
         prods = (src + np.uint64(1)) * pows[within]
     h = np.zeros(k, np.uint64)
     nz = seg > 0
     if total:
         h[nz] = np.add.reduceat(prods, seg_starts[nz])
-    dpad = np.concatenate([data, np.zeros(8, np.uint8)])
     j = np.arange(8)
     tail_start = starts + np.maximum(lens - 8, 0)
-    tail = np.where(j < (starts + lens - tail_start)[:, None],
-                    dpad[tail_start[:, None] + j], 0)
+    if len(data):
+        pos = np.minimum(tail_start[:, None] + j, len(data) - 1)
+        tail = np.where(j < (starts + lens - tail_start)[:, None],
+                        data[pos], 0)
+    else:
+        tail = np.zeros((k, 8), np.uint8)
     return np.concatenate([h.view(np.uint8).reshape(k, 8),
                            lens.astype("<i8").view(np.uint8).reshape(k, 8),
                            tail], axis=1)
