@@ -299,16 +299,82 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
                                  null_count=int((~validity).sum()) if nulls else 0)
 
 
-def _load(source) -> bytes:
-    if isinstance(source, str):
-        with open(source, "rb") as fh:
-            return fh.read()
-    if isinstance(source, (bytes, bytearray, memoryview)):
-        return bytes(source)
-    return source.read()  # file-like
+class _ByteSource:
+    """Ranged access to a parquet file: in-memory bytes, or a path read
+    through the fs seam with one ranged fetch per column chunk — so
+    reading one projected column from a 10 GB file moves only that
+    column's bytes (+ the footer), never the file."""
+
+    def __init__(self, source, fs=None):
+        if isinstance(source, (bytes, bytearray, memoryview)):
+            self._buf = bytes(source)
+            self._f = None
+        elif isinstance(source, str):
+            from fastparquet_spark.io import get_fs
+
+            self._buf = None
+            self._f = get_fs(source, fs).open_read(source)
+        else:  # file-like: must support seek/read
+            self._buf = None
+            self._f = source
+
+    def range(self, start: int, size: int) -> bytes:
+        if self._buf is not None:
+            return self._buf[start:start + size]
+        self._f.seek(start)
+        return self._f.read(size)
+
+    def footer(self) -> dict:
+        if self._buf is not None:
+            size = len(self._buf)
+            flen = int.from_bytes(self._buf[-8:-4], "little")
+            self.data_end = size - 8 - flen
+            return read_footer(self._buf)
+        self._f.seek(0, 2)
+        size = self._f.tell()
+        self._f.seek(size - 8)
+        tail = self._f.read(8)
+        flen = int.from_bytes(tail[:4], "little")
+        self.data_end = size - 8 - flen
+        self._f.seek(size - 8 - flen)
+        return read_footer_tail(self._f.read(flen + 8))
+
+    def close(self):
+        if self._f is not None and hasattr(self._f, "close"):
+            self._f.close()
 
 
-def _read_row_group(buf, rg, tree, columns=None) -> pa.Table:
+def _chunk_start(cmd: dict) -> int:
+    return min(p for p in (cmd.get("dictionary_page_offset"),
+                           cmd["data_page_offset"]) if p is not None)
+
+
+def _chunk_bounds(fmd: dict, data_end: int) -> dict[int, int]:
+    """chunk start -> end offset, derived from the NEXT chunk's start
+    (or the footer) rather than ``total_compressed_size`` — some writers
+    (incl. the reference, fastparquet/writer.py:633-641) under-report
+    that field, and page loops must never read truncated bytes."""
+    starts = sorted({_chunk_start(cc["meta_data"])
+                     for rg in fmd["row_groups"] for cc in rg["columns"]})
+    bounds = {}
+    for i, s in enumerate(starts):
+        bounds[s] = starts[i + 1] if i + 1 < len(starts) else data_end
+    return bounds
+
+
+def _fetch_chunk(src: _ByteSource, cmd: dict,
+                 bounds: dict[int, int]) -> tuple[bytes, dict]:
+    """One ranged read covering the chunk's pages; offsets rebased."""
+    start = _chunk_start(cmd)
+    blob = src.range(start, bounds[start] - start)
+    cmd2 = dict(cmd, data_page_offset=cmd["data_page_offset"] - start)
+    if cmd.get("dictionary_page_offset") is not None:
+        cmd2["dictionary_page_offset"] = cmd["dictionary_page_offset"] - start
+    return blob, cmd2
+
+
+def _read_row_group(src: _ByteSource, rg, tree, columns=None,
+                    bounds: dict[int, int] | None = None) -> pa.Table:
     from fastparquet_spark.format.assembly import assemble_column, leaves
 
     lvs = leaves(tree)
@@ -320,9 +386,9 @@ def _read_row_group(buf, rg, tree, columns=None) -> pa.Table:
             continue
         if child.is_leaf and child.r == 0:
             # flat column: the common fast path (no assembly layer)
-            cmd = chunks[(child.name,)]
+            blob, cmd = _fetch_chunk(src, chunks[(child.name,)], bounds)
             defs, _reps, vals = _read_column_chunk(
-                buf, cmd, child.elem.get("type_length", 0),
+                blob, cmd, child.elem.get("type_length", 0),
                 required=child.repetition == 0)
             validity = defs.astype(bool) if child.d else \
                 np.ones(rg["num_rows"], dtype=bool)
@@ -332,9 +398,9 @@ def _read_row_group(buf, rg, tree, columns=None) -> pa.Table:
             for path, leaf in lvs:
                 if path[0] != child.name:
                     continue
-                cmd = chunks[path]
+                blob, cmd = _fetch_chunk(src, chunks[path], bounds)
                 streams[path] = _read_column_chunk(
-                    buf, cmd, leaf.elem.get("type_length", 0),
+                    blob, cmd, leaf.elem.get("type_length", 0),
                     max_def=leaf.d, max_rep=leaf.r)
             arr = assemble_column(child, streams, _to_arrow)
         arrays.append(arr)
@@ -350,29 +416,40 @@ def iter_row_groups(source, columns=None):
     fastparquet/core.py:570-577)."""
     from fastparquet_spark.format.assembly import build_tree
 
-    buf = _load(source)
-    fmd = read_footer(buf)
-    tree = build_tree(fmd["schema"])
-    for rg in fmd["row_groups"]:
-        yield _read_row_group(buf, rg, tree, columns)
+    src = _ByteSource(source)
+    try:
+        fmd = src.footer()
+        tree = build_tree(fmd["schema"])
+        bounds = _chunk_bounds(fmd, src.data_end)
+        for rg in fmd["row_groups"]:
+            yield _read_row_group(src, rg, tree, columns, bounds)
+    finally:
+        src.close()
 
 
 def read_file(source, columns=None) -> pa.Table:
-    """Read a parquet file (path or bytes) into a pyarrow Table,
-    optionally projecting — flat columns plus nested LIST/MAP/struct
-    schemas (Dremel assembly, format/assembly.py)."""
+    """Read a parquet file (path, bytes or file-like) into a pyarrow
+    Table, optionally projecting — flat columns plus nested
+    LIST/MAP/struct schemas (Dremel assembly, format/assembly.py).
+    Paths are read through the fs seam with one ranged fetch per column
+    chunk (footer tail first), so a projection of a huge file moves only
+    the selected columns' bytes."""
     from fastparquet_spark.format.assembly import build_tree
 
-    buf = _load(source)
-    fmd = read_footer(buf)
-    tree = build_tree(fmd["schema"])
-    if not tree.children:
-        # zero-column file: rows exist only as a count
-        empty_rows = pa.array([{}] * fmd["num_rows"], type=pa.struct([]))
-        return pa.Table.from_batches(
-            [pa.RecordBatch.from_struct_array(empty_rows)])
-    parts = [_read_row_group(buf, rg, tree, columns)
-             for rg in fmd["row_groups"]]
+    src = _ByteSource(source)
+    try:
+        fmd = src.footer()
+        tree = build_tree(fmd["schema"])
+        if not tree.children:
+            # zero-column file: rows exist only as a count
+            empty_rows = pa.array([{}] * fmd["num_rows"], type=pa.struct([]))
+            return pa.Table.from_batches(
+                [pa.RecordBatch.from_struct_array(empty_rows)])
+        bounds = _chunk_bounds(fmd, src.data_end)
+        parts = [_read_row_group(src, rg, tree, columns, bounds)
+                 for rg in fmd["row_groups"]]
+    finally:
+        src.close()
     if not parts:
         names = [c.name for c in tree.children
                  if columns is None or c.name in columns]

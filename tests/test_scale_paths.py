@@ -208,3 +208,33 @@ def test_flat_manifest_back_compat(spark, source_df, tmp_path):
     man2 = encode_dataset(spark, source_df, out, num_partitions=2,
                           salt_rows=10**9).collect()
     assert all(m.skipped for m in man2)
+
+
+def test_read_file_projection_is_ranged(tmp_path):
+    """Projecting one small column from a file with a fat column must
+    move only the small column's bytes + the footer — proof the own
+    reader does ranged chunk reads, not a whole-file load."""
+    import pyarrow as pa
+
+    from fastparquet_spark.format import read_file, write_file
+
+    t = pa.table({
+        "id": pa.array(range(20000)),
+        "fat": pa.array(["y" * 500 + str(i) for i in range(20000)]),
+    })
+    path = str(tmp_path / "wide.parquet")
+    write_file(path, t, compression="UNCOMPRESSED", row_group_rows=5000)
+    total = os.path.getsize(path)
+    counting = CountingFS(LocalFS())
+    # route through the seam by monkeypatching get_fs? simpler: pass the
+    # path and count via the module seam
+    import fastparquet_spark.io as fio
+    orig = fio.get_fs
+    fio.get_fs = lambda p, fs=None: counting
+    try:
+        got = read_file(path, columns=["id"])
+    finally:
+        fio.get_fs = orig
+    assert got.column("id").to_pylist() == list(range(20000))
+    # id column ~160KB raw + footer; fat column ~10MB stays untouched
+    assert counting.bytes_read < total / 10
