@@ -1,14 +1,18 @@
-"""Parquet reader for round-trip verification of our own files.
+"""Parquet reader (verification + third-party interop).
 
 Mirrors the reference's decode pipeline (fastparquet/core.py:415-555
 read_col page loop; :108-166 v1 page dispatch; api.py:164-190 footer
-parse) over numpy buffers, returning a pyarrow Table.  Production reads
-go through Spark/pyarrow native scans; this exists so tests can check
-OUR decode of OUR bytes bit-identically, independent of third parties.
+parse) over numpy buffers, returning a pyarrow Table.  Production bulk
+reads go through Spark/pyarrow native scans; this reader exists so
+tests can check OUR decode of OUR bytes bit-identically and so the
+engine covers the reference's full read surface.
 
-Supports what our writer emits plus the PLAIN/dictionary variants the
-reference writer emits: PLAIN, PLAIN_DICTIONARY, RLE_DICTIONARY,
-DELTA_BINARY_PACKED, v1 pages, optional dictionary page, flat schemas.
+Covers the encodings both we and the reference emit/read — PLAIN,
+PLAIN_DICTIONARY / RLE_DICTIONARY, RLE booleans, DELTA_BINARY_PACKED —
+over v1 and v2 pages, flat AND nested schemas (LIST/MAP/struct via
+format/assembly.py Dremel assembly), with I/O done as a footer tail
+read plus ONE ranged fetch per column chunk through the fs seam
+(projections move only the selected columns' bytes).
 """
 
 from __future__ import annotations
