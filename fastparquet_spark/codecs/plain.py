@@ -40,19 +40,25 @@ def pack_byte_array(lengths: np.ndarray, data: np.ndarray) -> bytes:
     total_data = int(lengths.sum())
     if n == 0:
         return b""
+    # int32 Arrow offsets silently wrap past 2 GiB — switch to the
+    # 64-bit-offset types for huge chunks (fat-string row groups)
+    large = total_data + 4 * n >= 2**31 - 8
+    btype = pa.large_binary() if large else pa.binary()
+    odt = np.int64 if large else np.int32
     prefix = pa.Array.from_buffers(
         pa.binary(4), n,
         [None, pa.py_buffer(lengths.astype("<u4").tobytes())],
-    ).cast(pa.binary())
-    offsets = np.empty(n + 1, dtype=np.int32)
+    ).cast(btype)
+    offsets = np.empty(n + 1, dtype=odt)
     offsets[0] = 0
-    offsets[1:] = np.cumsum(lengths)
+    offsets[1:] = np.cumsum(lengths)  # fits odt by the `large` switch
     payload = pa.Array.from_buffers(
-        pa.binary(), n,
+        btype, n,
         [None, pa.py_buffer(offsets.tobytes()),
          pa.py_buffer(np.ascontiguousarray(data[:total_data]).tobytes())],
     )
-    joined = pc.binary_join_element_wise(prefix, payload, b"")
+    sep = pa.scalar(b"", type=btype)
+    joined = pc.binary_join_element_wise(prefix, payload, sep)
     buf = joined.buffers()[2]
     return buf.to_pybytes()[: 4 * n + total_data]
 

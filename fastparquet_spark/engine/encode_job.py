@@ -41,6 +41,7 @@ from collections.abc import Iterator
 import pyarrow as pa
 
 MANIFEST_DIR = "_manifests"
+_MAX_BUFFER_BYTES = 512 << 20  # byte cap on buffered rows per output file
 
 
 def _u_join(base: str, rel: str) -> str:
@@ -225,16 +226,22 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                                             encodings=encodings_)
                 self.buf: list[pa.Table] = []
                 self.buf_rows = 0
+                self.buf_bytes = 0
                 self.rows = 0
                 self.in_bytes = 0
 
             def add(self, tbl: pa.Table):
                 self.buf.append(tbl)
                 self.buf_rows += tbl.num_rows
+                self.buf_bytes += tbl.nbytes
                 self.rows += tbl.num_rows
                 self.in_bytes += tbl.nbytes
                 if self.buf_rows >= row_group_rows_:
                     self.flush()
+                elif self.buf_bytes >= _MAX_BUFFER_BYTES:
+                    # fat rows: bytes cap the buffer before the row cap
+                    # does — emit a short row group rather than grow
+                    self.flush(final=True)
 
             def flush(self, final: bool = False):
                 nonlocal kernel_secs
@@ -251,8 +258,9 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 kernel_secs += time.perf_counter() - k0
                 if end < n:
                     self.buf, self.buf_rows = [tbl.slice(end)], n - end
+                    self.buf_bytes = self.buf[0].nbytes
                 else:
-                    self.buf, self.buf_rows = [], 0  # release buffered batches
+                    self.buf, self.buf_rows, self.buf_bytes = [], 0, 0
 
             def finish(self) -> dict:
                 self.flush(final=True)

@@ -254,8 +254,14 @@ def _assemble(validity: np.ndarray, vals, cm: dict) -> pa.Array:
         lengths, data = vals
         full = np.zeros(n, dtype=np.int64)
         full[validity] = lengths
-        offsets = np.concatenate(([0], np.cumsum(full))).astype(np.int32)
-        storage = pa.utf8() if at in (pa.string(), pa.large_string()) else pa.binary()
+        offs64 = np.concatenate(([0], np.cumsum(full)))
+        text = at in (pa.string(), pa.large_string())
+        if int(offs64[-1]) >= 2**31:  # int32 offsets would wrap
+            storage = pa.large_utf8() if text else pa.large_binary()
+            offsets = offs64
+        else:
+            storage = pa.utf8() if text else pa.binary()
+            offsets = offs64.astype(np.int32)
         return pa.Array.from_buffers(storage, n,
                                      [vbuf, pa.py_buffer(offsets.tobytes()),
                                       pa.py_buffer(np.ascontiguousarray(data).tobytes())],

@@ -276,10 +276,17 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
         lengths, data = vals if vals is not None else (np.zeros(0, np.int64), np.zeros(0, np.uint8))
         full_lens = np.zeros(n, dtype=np.int64)
         full_lens[validity] = lengths
-        offsets = np.concatenate(([0], np.cumsum(full_lens))).astype(np.int32)
+        offs64 = np.concatenate(([0], np.cumsum(full_lens)))
+        large = int(offs64[-1]) >= 2**31  # int32 offsets would wrap
+        if large:
+            btype = pa.large_utf8() if at == pa.string() else pa.large_binary()
+            offsets = offs64
+        else:
+            btype = pa.utf8() if at == pa.string() else pa.binary()
+            offsets = offs64.astype(np.int32)
         vbuf = pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()) if nulls else None
         arr = pa.Array.from_buffers(
-            pa.utf8() if at == pa.string() else pa.binary(), n,
+            btype, n,
             [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
             null_count=int((~validity).sum()) if nulls else 0)
         return arr
