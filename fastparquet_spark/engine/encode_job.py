@@ -406,7 +406,9 @@ def verify_roundtrip(spark, src_df, out_dir: str, key_cols=("repo", "path")) -> 
     Returns {'src_rows', 'out_rows', 'mismatches'}."""
     from pyspark.sql import functions as F
 
-    out_df = spark.read.parquet(f"{out_dir}/part-*.parquet")
+    # reading the directory covers flat AND hive layouts (underscore
+    # manifest/metadata entries are ignored by Spark's listing)
+    out_df = spark.read.parquet(out_dir)
     key = [F.col(c) for c in key_cols]
     a = src_df.select(*key, F.sha2(F.col("content"), 256).alias("h_src"))
     b = out_df.select(*key, F.sha2(F.col("content"), 256).alias("h_out"))

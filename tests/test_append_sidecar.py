@@ -102,3 +102,28 @@ def test_sidecar_files_readable_by_pyarrow_dataset(spark, tmp_path):
     # the sidecar itself parses as a parquet footer for pyarrow
     md = pq.read_metadata(f"{out}/_metadata")
     assert md.num_rows == 1200
+
+
+def test_append_into_hive_layout(spark, tmp_path):
+    """Generations compose with hive key=value directories: appended
+    files land under the right partition dirs with the g-prefix, the
+    sidecar re-merge covers both generations, and Spark reads the union
+    with partition discovery intact."""
+    from fastparquet_spark.engine import append_dataset, encode_dataset
+    from fastparquet_spark.format.dataset import write_metadata_sidecar
+
+    out = str(tmp_path / "hv")
+    encode_dataset(spark, _df(spark, 0, 1800), out, partition_cols=("lang",),
+                   layout="hive", num_partitions=2, salt_rows=10**9).collect()
+    write_metadata_sidecar(out)
+    rows = append_dataset(spark, _df(spark, 1800, 3000), out,
+                          partition_cols=("lang",), layout="hive",
+                          num_partitions=2, salt_rows=10**9, resume=False)
+    assert sum(r.rows for r in rows) == 1200
+    assert glob.glob(f"{out}/lang=*/part-g001-*.parquet")
+    counting = CountingFS(LocalFS())
+    st = dataset_statistics(out, fs=counting)
+    assert counting.opens == 1  # sidecar single fetch, both generations
+    assert st["content"]["num_values"] == 3000
+    got = spark.read.parquet(out)
+    assert got.count() == 3000 and got.filter("lang='rust'").count() == 1000
