@@ -47,7 +47,12 @@ def plan_splits(input_dir: str, rows_per_task: int = 2_000_000,
     if any(c in input_dir for c in "*?["):
         files = [p for p in fs.glob(input_dir) if p.endswith(".parquet")]
     else:
-        files = [p for p in fs.listdir(input_dir) if p.endswith(".parquet")]
+        # recursive walk: hive key=value inputs live in subdirectories
+        prefix = input_dir.rstrip("/") + "/"
+        files = [p for p in fs.walk_files(input_dir)
+                 if p.endswith(".parquet")
+                 and not any(seg.startswith(("_", "."))
+                             for seg in p[len(prefix):].split("/"))]
     tails = fetch_footers(files, fs)
     splits: list[dict] = []
     cur_file, cur_rgs, cur_rows = None, [], 0
@@ -77,10 +82,15 @@ def plan_splits(input_dir: str, rows_per_task: int = 2_000_000,
 def encode_files(spark, input_dir: str, out_dir: str, *,
                  compression: str = "ZSTD", columns=None,
                  rows_per_task: int = 2_000_000, resume: bool = True,
-                 encodings: dict | None = None):
+                 encodings: dict | None = None, preserve_layout: bool = False):
     """Encode every parquet file under ``input_dir`` into ``out_dir``
     (our writer, auto-selected codecs), distributing (file, row-group)
-    splits.  Returns the manifest DataFrame."""
+    splits.  Returns the manifest DataFrame.
+
+    ``preserve_layout=True`` mirrors each input file's directory (e.g.
+    hive ``key=value`` partitions) under ``out_dir``, so a partitioned
+    input re-encodes into an equally partition-prunable output without
+    any shuffle — the plan moves, the clustering stays."""
     from fastparquet_spark.io import get_fs
 
     drv_fs = get_fs(out_dir)
@@ -98,9 +108,11 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
     sdf = spark.createDataFrame(rdd, "split int, file string, rgs string")
 
     out_dir_ = out_dir
+    input_dir_ = input_dir
     compression_ = compression
     encodings_ = encodings
     columns_ = list(columns) if columns else None
+    preserve_ = preserve_layout
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -121,6 +133,13 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
                                             b.column("file").to_pylist(),
                                             b.column("rgs").to_pylist()):
                 fname = f"part-{sid:05d}.parquet"
+                if preserve_:
+                    prefix = input_dir_.rstrip("/") + "/"
+                    rel_dir = fpath[len(prefix):].rsplit("/", 1)[0] \
+                        if fpath.startswith(prefix) and "/" in fpath[len(prefix):] else ""
+                    if rel_dir:
+                        fs.makedirs(out_dir_.rstrip("/") + "/" + rel_dir)
+                        fname = f"{rel_dir}/part-{sid:05d}.parquet"
                 opath = out_dir_.rstrip("/") + "/" + fname
                 mpath = out_dir_.rstrip("/") + f"/{MANIFEST_DIR}/part-{sid:05d}.json"
                 if resume and fs.exists(mpath):

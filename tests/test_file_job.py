@@ -71,3 +71,30 @@ def test_encode_files_column_projection(spark, src_dir, tmp_path):
     assert set(back.columns) == {"repo", "lang"}
     assert back.count() == 3000
     assert sum(r["rows"] for r in m) == 3000
+
+
+def test_encode_files_preserves_hive_layout(spark, tmp_path):
+    """A hive-partitioned input re-encodes into hive-partitioned output
+    through the file-split path — no shuffle, clustering preserved,
+    Spark still partition-prunes the re-encoded dataset."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.engine.file_job import encode_files
+
+    src = tmp_path / "src"
+    for lang in ("python", "rust"):
+        (src / f"lang={lang}").mkdir(parents=True)
+        t = pa.table({"doc_id": pa.array(range(2000)),
+                      "text": pa.array([f"{lang} body {i}" for i in range(2000)])})
+        pq.write_table(t, str(src / f"lang={lang}" / "data.parquet"))
+    out = str(tmp_path / "out")
+    man = encode_files(spark, str(src), out, preserve_layout=True).collect()
+    assert sum(m.rows for m in man) == 4000
+    assert glob.glob(f"{out}/lang=python/part-*.parquet")
+    assert glob.glob(f"{out}/lang=rust/part-*.parquet")
+    df = spark.read.parquet(out)
+    assert df.count() == 4000
+    assert df.filter("lang='rust'").count() == 2000
