@@ -1,0 +1,158 @@
+"""FPSC as a Spark Python Data Source (pyspark.sql.datasource, Spark 4).
+
+Makes the engine's own container format (FSST string codec + delta/plain
++ validity hybrid, format/container.py) addressable with the standard
+DataFrame reader/writer API instead of engine-specific helpers:
+
+    spark.dataSource.register(FpscDataSource)
+    df.write.format("fpsc").mode("append").save("/data/cache")
+    spark.read.format("fpsc").load("/data/cache")
+
+Read side: one input partition per ``.fpsc`` file, each worker inflates
+its container with the vectorized decoders and yields Arrow record
+batches (zero row-at-a-time Python).  Schema comes from the first
+container's footer.
+
+Write side: an Arrow writer — each task streams its batches into
+containers of ~``rows_per_container`` rows (bounded memory, FSST table
+trained once per column per task), publishes via temp+rename, and
+reports files through WriterCommitMessages; ``abort`` removes this
+attempt's leftovers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+def _list_fpsc(path: str) -> list[str]:
+    from fastparquet_spark.io import get_fs
+
+    fs = get_fs(path)
+    return [p for p in fs.walk_files(path) if p.endswith(".fpsc")]
+
+
+class FpscDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fpsc"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from fastparquet_spark.format.container import read_container
+
+        files = _list_fpsc(self.options["path"])
+        if not files:
+            raise ValueError(f"no .fpsc files under {self.options['path']}")
+        return from_arrow_schema(read_container(files[0]).schema)
+
+    def reader(self, schema: StructType):
+        return FpscReader(self.options["path"])
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return FpscWriter(self.options["path"],
+                          self.options.get("compression", "ZSTD"),
+                          int(self.options.get("rows_per_container",
+                                               1_000_000)),
+                          overwrite)
+
+
+class FpscReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self):
+        return [InputPartition(p) for p in _list_fpsc(self.path)]
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+
+        from fastparquet_spark.format.container import read_container
+
+        pa.set_cpu_count(1)
+        yield from read_container(partition.value).to_batches()
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    files: tuple = ()
+
+
+class FpscWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, compression: str, rows_per_container: int,
+                 overwrite: bool):
+        self.path = path
+        self.compression = compression
+        self.rows_per = rows_per_container
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> _Committed:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from fastparquet_spark.format.container import write_container
+        from fastparquet_spark.io import get_fs
+
+        pa.set_cpu_count(1)
+        fs = get_fs(self.path)
+        fs.makedirs(self.path)
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        fsst_cache: dict = {}
+        done: list[str] = []
+        buf: list[pa.RecordBatch] = []
+        buf_rows = 0
+
+        def flush(final: bool = False):
+            nonlocal buf, buf_rows
+            if not buf_rows:
+                return
+            tbl = pa.Table.from_batches(buf)
+            n = tbl.num_rows
+            end = n if final else (n // self.rows_per) * self.rows_per
+            for start in range(0, end, self.rows_per):
+                rel = f"part-{pid:05d}-{attempt}-{len(done):03d}.fpsc"
+                full = self.path.rstrip("/") + "/" + rel
+                tmp = full + ".inprogress"
+                with fs.open_write(tmp) as sink:
+                    write_container(sink, tbl.slice(start, self.rows_per),
+                                    compression=self.compression,
+                                    fsst_cache=fsst_cache)
+                fs.replace(tmp, full)
+                done.append(rel)
+            if end < n:
+                buf, buf_rows = tbl.slice(end).to_batches(), n - end
+            else:
+                buf, buf_rows = [], 0
+
+        for b in iterator:
+            buf.append(b)
+            buf_rows += b.num_rows
+            if buf_rows >= self.rows_per:
+                flush()
+        flush(final=True)
+        return _Committed(tuple(done))
+
+    def commit(self, messages):
+        return None  # files were atomically published per task
+
+    def abort(self, messages):
+        from fastparquet_spark.io import get_fs
+
+        fs = get_fs(self.path)
+        for m in messages:
+            for rel in getattr(m, "files", ()) or ():
+                full = self.path.rstrip("/") + "/" + rel
+                if fs.exists(full):
+                    fs.remove(full)
