@@ -186,7 +186,8 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                               "arrow_type": _arrow_type_name(field.type),
                               "ptype": ptype, "n": n, "null_count": null_count,
                               "offset": pos, "size": len(col_bytes),
-                              "block_codec": codec})
+                              "block_codec": codec,
+                              **_column_stats_meta(arr_nn, ptype)})
             blocks.append(ColumnBlock(field.name, codec_name,
                                       _arrow_type_name(field.type), n,
                                       null_count, raw_bytes, len(col_bytes)))
@@ -199,6 +200,55 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
     finally:
         if own:
             f.close()
+
+
+def _column_stats_meta(arr_nn: pa.Array, ptype: int) -> dict:
+    """JSON-safe min/max for the footer (file-level pruning).  Omitted
+    for NaN-containing floats (NaN ordering poisons pruning) and for
+    strings longer than 64 chars (never truncated-and-kept)."""
+    try:
+        if len(arr_nn) == 0 or pa.types.is_boolean(arr_nn.type):
+            return {}
+        import pyarrow.compute as pc
+
+        if pa.types.is_floating(arr_nn.type):
+            if pc.any(pc.is_nan(arr_nn)).as_py():
+                return {}
+        mm = pc.min_max(arr_nn)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if isinstance(lo, str):
+            if len(lo) > 64 or len(hi) > 64:
+                return {}
+        elif isinstance(lo, bytes):
+            return {}
+        elif not isinstance(lo, (int, float)):
+            # timestamps/dates: store epoch ints for JSON
+            mm = pc.min_max(arr_nn.cast(
+                pa.int64() if arr_nn.type.bit_width == 64 else pa.int32()))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        return {"min": lo, "max": hi}
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, TypeError):
+        return {}
+
+
+def read_container_footer(source, fs=None) -> dict:
+    """Footer-only read of an FPSC container (tail fetch, no data)."""
+    if isinstance(source, (bytes, bytearray)):
+        buf = bytes(source)
+        flen = int.from_bytes(buf[-8:-4], "little")
+        return json.loads(buf[len(buf) - 8 - flen:len(buf) - 8])
+    from fastparquet_spark.io import get_fs
+
+    fs = get_fs(source, fs)
+    size = fs.size(source)
+    with fs.open_read(source) as f:
+        f.seek(size - 8)
+        tail = f.read(8)
+        if tail[4:] != MAGIC:
+            raise ValueError(f"{source}: not an FPSC container")
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(size - 8 - flen)
+        return json.loads(f.read(flen))
 
 
 def read_container(source) -> pa.Table:

@@ -8,6 +8,9 @@ DataFrame reader/writer API instead of engine-specific helpers:
     df.write.format("fpsc").mode("append").save("/data/cache")
     spark.read.format("fpsc").load("/data/cache")
 
+File-level filter pushdown (footer min/max stats) requires
+``spark.sql.python.filterPushdown.enabled=true``.
+
 Read side: one input partition per ``.fpsc`` file, each worker inflates
 its container with the vectorized decoders and yields Arrow record
 batches (zero row-at-a-time Python).  Schema comes from the first
@@ -71,9 +74,42 @@ class FpscDataSource(DataSource):
 class FpscReader(DataSourceReader):
     def __init__(self, path: str):
         self.path = path
+        self._clauses: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Record comparison filters for FILE-LEVEL pruning against the
+        container footers' min/max stats.  Everything is returned as
+        unsupported — pruning here is conservative (whole files that
+        cannot match), Spark still applies the exact row predicate."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
+               LessThan: "<", LessThanOrEqual: "<=", In: "in"}
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self._clauses.append((f.attribute[0], op, f.value))
+        return filters  # Spark keeps responsibility for exactness
 
     def partitions(self):
-        return [InputPartition(p) for p in _list_fpsc(self.path)]
+        files = _list_fpsc(self.path)
+        if not self._clauses:
+            return [InputPartition(p) for p in files]
+        from fastparquet_spark.format.container import read_container_footer
+        from fastparquet_spark.format.dataset import _chunk_may_match
+
+        kept = []
+        for p in files:
+            meta = read_container_footer(p)
+            cols = {cm["name"]: (cm.get("min"), cm.get("max"),
+                                 cm.get("null_count"), cm.get("n"))
+                    for cm in meta["columns"]}
+            if _chunk_may_match(cols, self._clauses):
+                kept.append(p)
+        return [InputPartition(p) for p in kept]
 
     def read(self, partition: InputPartition):
         import pyarrow as pa

@@ -60,3 +60,37 @@ def test_chunked_containers(registered, tmp_path):
      .option("rows_per_container", 800).mode("append").save(out))
     assert len(glob.glob(f"{out}/part-*.fpsc")) == 5
     assert spark.read.format("fpsc").load(out).count() == 4000
+
+
+def test_filter_pushdown_prunes_files(registered, tmp_path):
+    """Comparison filters prune whole containers via footer min/max
+    stats (conservative: Spark still applies the exact predicate)."""
+    import pyarrow as pa
+
+    from fastparquet_spark.format.container import (
+        read_container_footer, write_container,
+    )
+    from fastparquet_spark.sources.fpsc_source import FpscReader
+
+    spark = registered
+    out = tmp_path / "pruned"
+    out.mkdir()
+    for i in range(4):
+        t = pa.table({"id": pa.array(range(i * 1000, (i + 1) * 1000)),
+                      "txt": pa.array([f"r{j}" for j in range(1000)])})
+        write_container(str(out / f"part-{i}.fpsc"), t)
+    meta = read_container_footer(str(out / "part-2.fpsc"))
+    idc = next(c for c in meta["columns"] if c["name"] == "id")
+    assert idc["min"] == 2000 and idc["max"] == 2999
+
+    r = FpscReader(str(out))
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    rest = r.pushFilters([GreaterThanOrEqual(("id",), 3100)])
+    assert list(rest)  # everything returned: Spark stays exact
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].value.endswith("part-3.fpsc")
+
+    # end to end: exact rows AND correct result through Spark
+    got = (spark.read.format("fpsc").load(str(out))
+           .filter("id >= 3100").count())
+    assert got == 900
