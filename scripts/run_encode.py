@@ -45,6 +45,15 @@ def main(argv=None):
     p.add_argument("--partition-cols", default="repo,lang")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--rows-per-task", type=int, default=2_000_000)
+    p.add_argument("--layout", choices=["flat", "hive"], default="flat",
+                   help="shuffle mode: hive writes key=value directories")
+    p.add_argument("--preserve-layout", action="store_true",
+                   help="files mode: mirror input key=value dirs in output")
+    p.add_argument("--append", action="store_true",
+                   help="shuffle mode: append a new generation to an "
+                        "existing dataset and re-merge _metadata")
+    p.add_argument("--write-metadata", action="store_true",
+                   help="write/refresh the _metadata sidecar afterwards")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--verify", action="store_true",
                    help="after encoding, check per-row sha256(content) equality")
@@ -62,16 +71,21 @@ def main(argv=None):
         manifest = encode_files(spark, args.input, args.output,
                                 compression=args.compression,
                                 rows_per_task=args.rows_per_task,
-                                resume=resume)
+                                resume=resume,
+                                preserve_layout=args.preserve_layout)
     elif args.mode == "shuffle":
-        from fastparquet_spark.engine import encode_dataset
+        from fastparquet_spark.engine import append_dataset, encode_dataset
 
         df = spark.read.parquet(args.input)
-        manifest = encode_dataset(spark, df, args.output,
-                                  compression=args.compression,
-                                  partition_cols=tuple(args.partition_cols.split(",")),
-                                  num_partitions=args.num_partitions,
-                                  resume=resume)
+        kw = dict(compression=args.compression,
+                  partition_cols=tuple(args.partition_cols.split(",")),
+                  num_partitions=args.num_partitions,
+                  layout=args.layout, resume=resume)
+        if args.append:
+            rows_ = append_dataset(spark, df, args.output, **kw)
+            manifest = spark.createDataFrame(rows_)
+        else:
+            manifest = encode_dataset(spark, df, args.output, **kw)
     else:
         from fastparquet_spark.engine.fpsc_job import encode_dataset_fpsc
 
@@ -90,6 +104,10 @@ def main(argv=None):
         "output_bytes": sum(r["output_bytes"] for r in rows),
         "kernel_secs": round(sum(r["kernel_secs"] for r in rows), 2),
     }
+    if args.write_metadata and args.mode != "fpsc":
+        from fastparquet_spark.format.dataset import write_metadata_sidecar
+
+        summary["metadata_row_groups"] = write_metadata_sidecar(args.output)
     if args.verify and args.mode != "fpsc":
         from fastparquet_spark.engine import verify_roundtrip
 
