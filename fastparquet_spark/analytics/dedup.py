@@ -24,7 +24,10 @@ def _words(col="text"):
     return F.split(F.trim(F.lower(F.regexp_replace(F.col(col), "[^a-zA-Z0-9 ]", " "))), " +")
 
 
-def _shingles_df(spark, sf_dir, max_doc=None):
+def _shingles_df(spark, sf_dir, max_doc=None, distinct: bool = True):
+    """``distinct=False`` skips the (doc_id, shingle) dedup SHUFFLE —
+    correct wherever downstream is duplicate-insensitive (min() for
+    MinHash); set operations (Jaccard counts) need distinct=True."""
     docs = load(spark, sf_dir, "documents")
     if max_doc is not None:
         docs = docs.filter(F.col("doc_id") < max_doc)
@@ -40,8 +43,9 @@ def _shingles_df(spark, sf_dir, max_doc=None):
     # that re-evaluates the interpreted higher-order shingle expression
     # twice more per row (~3x the whole stage); the cheap null filter on
     # the exploded string replaces it
-    return (sh.select("doc_id", F.explode_outer("shingles").alias("sh"))
-            .filter(F.col("sh").isNotNull()).distinct())
+    out = (sh.select("doc_id", F.explode_outer("shingles").alias("sh"))
+           .filter(F.col("sh").isNotNull()))
+    return out.distinct() if distinct else out
 
 
 def dedup_exact(spark, sf_dir):
@@ -62,8 +66,10 @@ def dedup_minhash_signatures(spark, sf_dir):
     groupBy(doc_id) — not a seeds crossJoin, which multiplies the
     shuffle volume N_HASHES-fold.  Map-side partial min means each task
     ships N_HASHES values per doc, not one row per (shingle, seed).
-    The (doc_id, seed, minhash) row shape is restored by an unpivot."""
-    sh = _shingles_df(spark, sf_dir)
+    The (doc_id, seed, minhash) row shape is restored by an unpivot.
+    Shingles are NOT deduplicated first: min() is duplicate-insensitive,
+    so the dedup shuffle would be pure cost."""
+    sh = _shingles_df(spark, sf_dir, distinct=False)
     mins = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))
                         .cast("binary"))).alias(f"m{s}")
             for s in range(N_HASHES)]
