@@ -79,3 +79,46 @@ def test_reads_nested_file_identically(fname):
         a = expected.column(col).combine_chunks()
         b = got.column(col).combine_chunks().cast(a.type)
         assert _eq(a.to_pylist(), b.to_pylist()), f"{fname}:{col}"
+
+
+def test_reads_spark_written_files(spark, tmp_path):
+    """Spark's writer (parquet-mr lineage) differs from pyarrow's —
+    RLE_DICTIONARY pages, different page sizing.  Our reader must decode
+    its output identically."""
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "sparkw")
+    df.coalesce(2).write.mode("overwrite").option("compression", "snappy") \
+        .parquet(out)
+    import glob
+
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        expected = pq.read_table(f)
+        got = read_file(f)
+        for col in expected.column_names:
+            a = expected.column(col).combine_chunks()
+            b = got.column(col).combine_chunks().cast(a.type)
+            pd.testing.assert_series_equal(a.to_pandas(), b.to_pandas(),
+                                           check_names=False, obj=col)
+
+
+def test_reads_dictionary_fallback_chunk(tmp_path):
+    """A chunk that STARTS dictionary-encoded and falls back to PLAIN
+    mid-chunk (dictionary page size cap) mixes encodings across pages —
+    the per-page dispatch must handle both in one chunk."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(0)
+    n = 60_000
+    vals = [f"value-{int(v):08d}" for v in rng.integers(0, 40_000, n)]
+    t = pa.table({"s": pa.array(vals), "i": pa.array(range(n))})
+    path = str(tmp_path / "fb.parquet")
+    pq.write_table(t, path, use_dictionary=True,
+                   dictionary_pagesize_limit=20_000,  # force early fallback
+                   data_page_size=30_000, compression="snappy")
+    expected = pq.read_table(path)
+    got = read_file(path)
+    for col in expected.column_names:
+        a = expected.column(col).combine_chunks()
+        b = got.column(col).combine_chunks().cast(a.type)
+        assert a.equals(b), col
