@@ -50,6 +50,43 @@ def _decode_stub(payload: bytes) -> dict:
     return {"n_frames": len(payload) // 1024 + 1, "status": "stub-decoded"}
 
 
+_FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_key", StringType()),
+])
+
+
+def mm_frame_sample(spark, sf_dir, every: int = 4):
+    """Frame sampling over opaque video-ish payloads: ONE input row
+    fans out to one row per sampled frame (``frame_idx`` stepping by
+    ``every``) — the 1->N mapInPandas explode shape a real ffmpeg
+    sampler plugs into.  The decode is the same deterministic stub as
+    mm_decode_features (n_frames = len // 1024 + 1); the frame key is a
+    content-addressed md5 so the oracle can reproduce it exactly."""
+    import hashlib
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+    every_ = every
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, keys = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // 1024 + 1
+                h = hashlib.md5(payload).hexdigest()
+                for fi in range(0, n_frames, every_):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    keys.append(f"{h[:8]}:{fi}")
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame_key": keys})
+
+    return docs.mapInPandas(sample, _FRAME_SCHEMA)
+
+
 def mm_decode_features(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads via
     mapInPandas — the multimodal hot-path shape (batch in, batch out,

@@ -264,6 +264,17 @@ SELECT doc_id, CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
        'stub-decoded' AS status
 FROM documents
 """,  # the decode stub is deterministic (len // 1024 + 1), so it oracles
+    "mm_frame_sample": """
+WITH d AS (SELECT doc_id,
+                  octet_length(text::BLOB) // 1024 + 1 AS n_frames,
+                  substr(md5(text), 1, 8) AS h
+           FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       h || ':' || CAST(i AS VARCHAR) AS frame_key
+FROM (SELECT doc_id, h,
+             unnest(generate_series(0, n_frames - 1, 4)) AS i
+      FROM d)
+""",
 }
 
 
@@ -457,6 +468,7 @@ QUERIES = {
     "sim_ann_ivf": similarity.sim_ann_ivf,
     "mm_binary_meta": multimodal.mm_binary_meta,
     "mm_decode_features": multimodal.mm_decode_features,
+    "mm_frame_sample": multimodal.mm_frame_sample,
     "engine_roundtrip_hashes": engine_roundtrip_hashes,
     "engine_roundtrip_agg": engine_roundtrip_agg,
     "engine_hive_prune": engine_hive_prune,
