@@ -35,7 +35,8 @@ from fastparquet_spark.format.metadata import ConvertedType, Type
 from fastparquet_spark.format.reader import read_footer, read_footer_tail
 from fastparquet_spark.io import fetch_footers, get_fs
 
-OPS = ("==", "=", "!=", "<", "<=", ">", ">=", "in", "not in")
+OPS = ("==", "=", "!=", "<", "<=", ">", ">=", "in", "not in",
+       "is_null", "is_not_null")
 
 
 def _decode_stat(raw: bytes | None, ptype: int, conv: int | None):
@@ -276,6 +277,13 @@ def _chunk_may_match(cols, clause) -> bool:
         if col not in cols:
             continue
         lo, hi, nulls, nvals = cols[col]
+        # null-count ops evaluate without min/max
+        if op == "is_null" and nulls == 0:
+            return False
+        if op == "is_not_null" and nulls is not None and nulls == nvals:
+            return False
+        if op in ("is_null", "is_not_null"):
+            continue
         if lo is None or hi is None:
             continue  # no stats -> cannot prune
         try:
@@ -340,6 +348,7 @@ def filtered_read(spark, out_dir: str, filters):
                  "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val,
                  "in": c.isin(*val) if isinstance(val, (list, tuple, set)) else c.isin(val),
                  "not in": ~c.isin(*val) if isinstance(val, (list, tuple, set)) else ~c.isin(val),
+                 "is_null": c.isNull(), "is_not_null": c.isNotNull(),
                  }[op]
             ands = e if ands is None else (ands & e)
         ors = ands if ors is None else (ors | ands)

@@ -82,16 +82,18 @@ class FpscReader(DataSourceReader):
         unsupported — pruning here is conservative (whole files that
         cannot match), Spark still applies the exact row predicate."""
         from pyspark.sql.datasource import (
-            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
-            LessThanOrEqual,
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+            IsNull, LessThan, LessThanOrEqual,
         )
 
         ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
-               LessThan: "<", LessThanOrEqual: "<=", In: "in"}
+               LessThan: "<", LessThanOrEqual: "<=", In: "in",
+               IsNull: "is_null", IsNotNull: "is_not_null"}
         for f in filters:
             op = ops.get(type(f))
             if op is not None and len(f.attribute) == 1:
-                self._clauses.append((f.attribute[0], op, f.value))
+                self._clauses.append(
+                    (f.attribute[0], op, getattr(f, "value", None)))
         return filters  # Spark keeps responsibility for exactness
 
     def partitions(self):

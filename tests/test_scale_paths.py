@@ -238,3 +238,17 @@ def test_read_file_projection_is_ranged(tmp_path):
     assert got.column("id").to_pylist() == list(range(20000))
     # id column ~160KB raw + footer; fat column ~10MB stays untouched
     assert counting.bytes_read < total / 10
+
+
+def test_null_count_pruning(tmp_path):
+    """is_null / is_not_null prune on null_count alone (no min/max)."""
+    import pyarrow as pa
+
+    t_nonull = pa.table({"v": pa.array([1, 2, 3])})
+    t_allnull = pa.table({"v": pa.array([None, None], type=pa.int64())})
+    write_file(str(tmp_path / "a.parquet"), t_nonull)
+    write_file(str(tmp_path / "b.parquet"), t_allnull)
+    assert filter_row_groups(str(tmp_path), [("v", "is_null", None)]) == \
+        [("b.parquet", 0)]
+    assert filter_row_groups(str(tmp_path), [("v", "is_not_null", None)]) == \
+        [("a.parquet", 0)]
