@@ -8,7 +8,14 @@ kernels are unbuilt source).
 """
 
 from fastparquet_spark.format.writer import write_file, ColumnResult, FileResult
-from fastparquet_spark.format.reader import read_file, read_footer, iter_row_groups
+from fastparquet_spark.format.reader import (
+    head,
+    iter_row_groups,
+    read_file,
+    read_footer,
+    read_row_groups,
+)
 
 __all__ = ["write_file", "read_file", "read_footer", "iter_row_groups",
+           "read_row_groups", "head",
            "ColumnResult", "FileResult"]

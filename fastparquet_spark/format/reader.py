@@ -466,3 +466,41 @@ def read_file(source, columns=None) -> pa.Table:
                  if columns is None or c.name in columns]
         return pa.table({nm: [] for nm in names})
     return pa.concat_tables(parts)
+
+
+def read_row_groups(source, indices, columns=None) -> pa.Table:
+    """Read only the selected row groups (the reference's ``__getitem__``
+    slicing, fastparquet/api.py:252-276) — ranged chunk reads, so
+    unselected row groups move zero bytes."""
+    from fastparquet_spark.format.assembly import build_tree
+
+    src = _ByteSource(source)
+    try:
+        fmd = src.footer()
+        tree = build_tree(fmd["schema"])
+        bounds = _chunk_bounds(fmd, src.data_end)
+        rgs = [fmd["row_groups"][i] for i in indices]
+        parts = [_read_row_group(src, rg, tree, columns, bounds)
+                 for rg in rgs]
+    finally:
+        src.close()
+    if not parts:
+        names = [c.name for c in tree.children
+                 if columns is None or c.name in columns]
+        return pa.table({nm: [] for nm in names})
+    return pa.concat_tables(parts)
+
+
+def head(source, n: int = 5, columns=None) -> pa.Table:
+    """First ``n`` rows (the reference's ``head``, fastparquet/
+    api.py:231-250): decodes row groups only until ``n`` rows exist."""
+    got = []
+    have = 0
+    for tbl in iter_row_groups(source, columns):
+        got.append(tbl.slice(0, n - have))
+        have += got[-1].num_rows
+        if have >= n:
+            break
+    if not got:
+        return read_file(source, columns).slice(0, 0)
+    return pa.concat_tables(got)

@@ -239,3 +239,19 @@ def test_decimal_and_fixed_roundtrip(v, tmp_path, rng):
     got = duckdb.sql(f"select * from '{path}'").arrow()
     _assert_tables_equal(tbl, got, f"duck-dec-v{v}")
     _assert_tables_equal(tbl, read_file(path), f"own-dec-v{v}")
+
+
+def test_read_row_groups_and_head(sample_table, tmp_path):
+    path = str(tmp_path / "rg.parquet")
+    write_file(path, sample_table, row_group_rows=1000)
+    from fastparquet_spark.format import head, read_row_groups
+
+    mid = read_row_groups(path, [1], columns=["i32", "lang"])
+    assert mid.num_rows == 1000 and mid.column_names == ["i32", "lang"]
+    assert mid.column("i32").cast(sample_table.schema.field("i32").type) \
+        .combine_chunks() \
+        .equals(sample_table.column("i32").slice(1000, 1000).combine_chunks())
+    h = head(path, 7)
+    assert h.num_rows == 7
+    assert h.column("text").to_pylist() == \
+        sample_table.column("text").to_pylist()[:7]
