@@ -51,14 +51,20 @@ class FpscDataSource(DataSource):
         return "fpsc"
 
     def schema(self):
+        import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        from fastparquet_spark.format.container import read_container
+        from fastparquet_spark.format.container import (
+            _type_from_name, read_container_footer,
+        )
 
         files = _list_fpsc(self.options["path"])
         if not files:
             raise ValueError(f"no .fpsc files under {self.options['path']}")
-        return from_arrow_schema(read_container(files[0]).schema)
+        meta = read_container_footer(files[0])  # footer tail only
+        return from_arrow_schema(pa.schema(
+            [(cm["name"], _type_from_name(cm["arrow_type"]))
+             for cm in meta["columns"]]))
 
     def reader(self, schema: StructType):
         return FpscReader(self.options["path"])
@@ -100,12 +106,15 @@ class FpscReader(DataSourceReader):
         files = _list_fpsc(self.path)
         if not self._clauses:
             return [InputPartition(p) for p in files]
+        from concurrent.futures import ThreadPoolExecutor
+
         from fastparquet_spark.format.container import read_container_footer
         from fastparquet_spark.format.dataset import _chunk_may_match
 
+        with ThreadPoolExecutor(max_workers=min(16, max(len(files), 1))) as ex:
+            metas = list(ex.map(read_container_footer, files))
         kept = []
-        for p in files:
-            meta = read_container_footer(p)
+        for p, meta in zip(files, metas):
             cols = {cm["name"]: (cm.get("min"), cm.get("max"),
                                  cm.get("null_count"), cm.get("n"))
                     for cm in meta["columns"]}
