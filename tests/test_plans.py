@@ -79,3 +79,20 @@ def test_exact_dedup_single_shuffle(spark):
     # (formatted mode lists each node once in the details as "(N) Exchange")
     assert p.count(") Exchange") == 1 and "hashpartitioning(h" in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    """After dropping the seeds crossJoin and the shingle dedup, the
+    signature pipeline is scan -> explode -> partial min x8 -> ONE
+    exchange -> final min -> unpivot."""
+    p = plan_of(dedup.dedup_minhash_signatures(spark, SF))
+    assert p.count(") Exchange") == 1
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_neardup_lsh_joins_on_bucket(spark):
+    """Candidate generation must join on the LSH bucket (co-locatable),
+    never a cartesian or broadcast-nested-loop pair explosion."""
+    p = plan_of(similarity.sim_neardup_lsh(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "bucket" in p
