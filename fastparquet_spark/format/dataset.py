@@ -43,9 +43,12 @@ def _decode_stat(raw: bytes | None, ptype: int, conv: int | None):
     if raw is None:
         return None
     if ptype == Type.INT32:
-        return struct.unpack("<i", raw)[0]
+        # UINT_32 stats are stored as reinterpreted bits in UNSIGNED order
+        fmt = "<I" if conv == ConvertedType.UINT_32 else "<i"
+        return struct.unpack(fmt, raw)[0]
     if ptype == Type.INT64:
-        v = struct.unpack("<q", raw)[0]
+        fmt = "<Q" if conv == ConvertedType.UINT_64 else "<q"
+        v = struct.unpack(fmt, raw)[0]
         if conv == ConvertedType.TIMESTAMP_MICROS:
             return v  # compare in raw micros
         return v

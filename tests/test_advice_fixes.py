@@ -122,3 +122,17 @@ def test_delta_encode_near_int32_extremes():
     buf = delta_encode(v, bit_width=32)
     out, _ = delta_decode(buf, count=len(v), bit_width=32)
     np.testing.assert_array_equal(out, v)
+
+
+def test_unsigned_stats_pruning_unsigned_order(tmp_path):
+    """Dataset pruning must decode UINT_32/UINT_64 stats unsigned: a
+    chunk holding [5, 2^31+7] must NOT be pruned for 'u > 10' (signed
+    decode would claim max < 0)."""
+    t = pa.table({"u": pa.array([5, 2**31 + 7], type=pa.uint32()),
+                  "u8": pa.array([1, 2**63 + 9], type=pa.uint64())})
+    write_file(str(tmp_path / "u.parquet"), t)
+    assert filter_row_groups(str(tmp_path), [("u", ">", 10)]) == \
+        [("u.parquet", 0)]
+    assert filter_row_groups(str(tmp_path), [("u8", ">", 2**62)]) == \
+        [("u.parquet", 0)]
+    assert filter_row_groups(str(tmp_path), [("u", ">", 2**31 + 8)]) == []
