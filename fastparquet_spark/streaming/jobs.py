@@ -5,7 +5,8 @@ import os
 
 def encode_stream(spark, stream_df, out_dir: str, checkpoint_dir: str, *,
                   compression: str = "ZSTD", partition_cols=("lang",),
-                  num_partitions: int = 4, available_now: bool = True):
+                  num_partitions: int = 4, available_now: bool = True,
+                  layout: str = "flat"):
     """Stream -> encode engine, one epoch directory per micro-batch.
 
     foreachBatch hands us a normal DataFrame per epoch; we run the same
@@ -21,7 +22,8 @@ def encode_stream(spark, stream_df, out_dir: str, checkpoint_dir: str, *,
         epoch_dir = os.path.join(out_dir, f"epoch={epoch_id:08d}")
         encode_dataset(batch_df.sparkSession, batch_df, epoch_dir,
                        compression=compression, partition_cols=partition_cols,
-                       num_partitions=num_partitions, resume=True).collect()
+                       num_partitions=num_partitions, layout=layout,
+                       resume=True).collect()
 
     writer = (stream_df.writeStream
               .foreachBatch(handle)
