@@ -197,6 +197,16 @@ def _arrow_tables(draw):
         "d": col(st.floats(allow_nan=False, width=64), pa.float64()),
         "s": col(st.text(max_size=20), pa.string()),
         "b": col(st.booleans(), pa.bool_()),
+        "u4": col(st.integers(0, 2**32 - 1), pa.uint32()),
+        "u8": col(st.integers(0, 2**64 - 1), pa.uint64()),
+        "t32": col(st.integers(0, 86_399_999), pa.time32("ms")),
+        "h": pa.array(
+            [None if v is None else np.float16(v)
+             for v in draw(st.lists(
+                 st.one_of(st.none(),
+                           st.floats(allow_nan=False, width=16)),
+                 min_size=n, max_size=n))],
+            pa.float16()),
     })
 
 
