@@ -109,3 +109,36 @@ def test_deep_nesting_list_of_list(tmp_path):
     rows = [None, [], [None], [[1, 2], None, []], [[3]], [[], [4, None, 5]]]
     t = pa.table({"ll": pa.array(rows, type=pa.list_(pa.list_(pa.int32())))})
     _roundtrip(t, tmp_path)
+
+
+def test_nested_projection_iteration_and_edges(tmp_path):
+    """Projection of nested columns, multi-row-group iteration, head(),
+    all-empty-lists and all-null-maps files."""
+    from fastparquet_spark.format import head, iter_row_groups
+
+    t = pa.table({
+        "id": pa.array(range(10)),
+        "tags": pa.array([[f"t{i}", f"u{i}"] if i % 3 else []
+                          for i in range(10)], type=pa.list_(pa.string())),
+        "m": pa.array([[("k", float(i))] if i % 2 else None
+                       for i in range(10)],
+                      type=pa.map_(pa.string(), pa.float64())),
+    })
+    p = str(tmp_path / "n.parquet")
+    pq.write_table(t, p, row_group_size=4)
+    got = read_file(p, columns=["tags"])
+    assert got.column_names == ["tags"]
+    assert got.column("tags").to_pylist() == t.column("tags").to_pylist()
+    assert [c.num_rows for c in iter_row_groups(p)] == [4, 4, 2]
+    assert head(p, 3).column("tags").to_pylist() == \
+        t.column("tags").to_pylist()[:3]
+
+    p2 = str(tmp_path / "el.parquet")
+    pq.write_table(pa.table(
+        {"v": pa.array([[], [], []], type=pa.list_(pa.int32()))}), p2)
+    assert read_file(p2).column("v").to_pylist() == [[], [], []]
+    p3 = str(tmp_path / "nm.parquet")
+    pq.write_table(pa.table(
+        {"m": pa.array([None, None], type=pa.map_(pa.string(), pa.int32()))}),
+        p3)
+    assert read_file(p3).column("m").to_pylist() == [None, None]
