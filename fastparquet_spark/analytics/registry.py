@@ -324,10 +324,15 @@ def _neardup_lsh_sql(n_bits: int = 8, threshold: float = 0.7) -> str:
     cos = ("round(list_dot_product(a.ed, b.ed) / "
            "(sqrt(list_dot_product(a.ed, a.ed)) * "
            "sqrt(list_dot_product(b.ed, b.ed))), 6)")
+    # bucket membership capped at the MAX_LSH_BUCKET smallest vec_ids,
+    # exactly like the Spark side's rank filter
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
-                  CAST({' + '.join(parts)} AS INT) AS bucket
-           FROM embeddings)
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
+                   CAST({' + '.join(parts)} AS INT) AS bucket
+            FROM embeddings),
+e AS (SELECT * FROM e0
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+              <= {similarity.MAX_LSH_BUCKET})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}

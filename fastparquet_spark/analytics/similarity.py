@@ -97,19 +97,35 @@ def _bucket_expr(n_bits: int = 8):
     return bucket.cast("int")
 
 
-def sim_neardup_lsh(spark, sf_dir, n_bits: int = 8, threshold: float = 0.7):
+MAX_LSH_BUCKET = 1024  # vectors considered per sign bucket (smallest vec_ids)
+
+
+def sim_neardup_lsh(spark, sf_dir, n_bits: int = 8, threshold: float = 0.7,
+                    max_bucket: int = MAX_LSH_BUCKET):
     """Embedding near-duplicate pairs THE SCALE WAY: candidates are
     generated only inside sign-LSH buckets (high-cosine vectors share
     group-sum signs with high probability), then scored exactly.  The
     join key is the bucket — at 100 TB each bucket is a co-located
-    partition and the pair space is sum(bucket^2), never N^2.  Recall
-    tradeoff vs the exact all-pairs baseline (sim_neardup_pairs) is
-    inherent to LSH; the oracle applies identical bucketing, so the
-    CORRECTNESS gate checks the bucketed semantics exactly."""
+    partition — and bucket MEMBERSHIP IS CAPPED at ``max_bucket``
+    vectors (smallest vec_ids, a spillable rank window) BEFORE the
+    self-join, so the pair space is bounded by n_buckets * max_bucket^2
+    even when the corpus grows 1000x past the fixed bucket count
+    (without the cap, 256 buckets make the join N^2/256 — still
+    quadratic).  At real scale ``n_bits`` should also grow with
+    log2(N / target_bucket_size); the cap is the hard safety net.
+    Recall tradeoff vs the exact all-pairs baseline (sim_neardup_pairs)
+    is inherent to LSH; the oracle applies identical bucketing AND the
+    identical cap, so the CORRECTNESS gate checks the bucketed
+    semantics exactly."""
+    from pyspark.sql.window import Window
+
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("e"),
                    _bucket_expr(n_bits).alias("bucket")))
+    wb = Window.partitionBy("bucket").orderBy("vec_id")
+    emb = (emb.withColumn("rn", F.row_number().over(wb))
+           .filter(F.col("rn") <= max_bucket).drop("rn"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket")
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))

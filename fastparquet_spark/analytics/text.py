@@ -72,10 +72,13 @@ def text_token_count(spark, sf_dir):
 
 def text_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 of whitespace-normalized lowercase text
-    (rolling-hash stand-in usable as a dedup/shard key at scale)."""
+    (rolling-hash stand-in usable as a dedup/shard key at scale).
+
+    The md5 is computed ONCE in an inner projection and the shard key is
+    derived from the materialized column — interpreted-mode fallbacks
+    don't do subexpression elimination, so repeating the expression would
+    normalize+hash every document twice."""
     docs = load(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
-    return docs.select(
-        "doc_id",
-        F.md5(norm.cast("binary")).alias("fp"),
-        F.substring(F.md5(norm.cast("binary")), 1, 4).alias("shard"))
+    fp = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+    return fp.select("doc_id", "fp", F.substring("fp", 1, 4).alias("shard"))

@@ -92,7 +92,20 @@ def test_minhash_signatures_single_shuffle(spark):
 
 def test_neardup_lsh_joins_on_bucket(spark):
     """Candidate generation must join on the LSH bucket (co-locatable),
-    never a cartesian or broadcast-nested-loop pair explosion."""
+    never a cartesian or broadcast-nested-loop pair explosion — and
+    bucket membership must be BOUNDED (the rank-window cap) so the
+    per-bucket self-join cannot go quadratic in corpus size."""
     p = plan_of(similarity.sim_neardup_lsh(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "bucket" in p
+    # the membership bound: a row_number window partitioned by bucket
+    # feeding a rn <= MAX_LSH_BUCKET filter on BOTH join sides
+    assert "row_number()" in p and "partitionbucket" in p.replace(" ", "") \
+        or "hashpartitioning(bucket" in p
+    assert f"<= {similarity.MAX_LSH_BUCKET}" in p
+
+
+def test_neardup_lsh_cap_binds(spark):
+    """With max_bucket=1 no bucket keeps two members, so zero candidate
+    pairs survive — proves the cap actually gates the join input."""
+    assert similarity.sim_neardup_lsh(spark, SF, max_bucket=1).count() == 0
