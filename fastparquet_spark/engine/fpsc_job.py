@@ -12,7 +12,6 @@ inside Python workers (vectorized FSST expansion, no per-row Python).
 from __future__ import annotations
 
 import json
-import os
 import time
 from collections.abc import Iterator
 
@@ -23,6 +22,7 @@ from fastparquet_spark.engine.encode_job import (
     _arrow_manifest_batch,
     _manifest_struct,
     _salted,
+    _u_join,
 )
 
 
@@ -36,9 +36,15 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
     Containers are written per ~``rows_per_container`` buffered rows, so
     task memory is bounded by the chunk, not the partition; the FSST
     symbol table is trained ONCE per column on the first chunk and
-    reused for the rest of the task (training is the expensive half)."""
-    os.makedirs(out_dir, exist_ok=True)
-    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    reused for the rest of the task (training is the expensive half).
+
+    All IO goes through the ``io.get_fs`` seam, so ``out_dir`` may be a
+    ``file://``/``s3://``-style URI like every other engine path."""
+    from fastparquet_spark.io import get_fs
+
+    drv_fs = get_fs(out_dir)
+    drv_fs.makedirs(out_dir)
+    drv_fs.makedirs(_u_join(out_dir, MANIFEST_DIR))
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)
     work = _salted(df, partition_cols, salt_rows, num_partitions)
@@ -53,13 +59,15 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
         from pyspark import TaskContext
 
         from fastparquet_spark.format.container import write_container
+        from fastparquet_spark.io import get_fs
 
         pa_w.set_cpu_count(1)
+        fs = get_fs(out_dir_)
         pid = TaskContext.get().partitionId()
-        mpath = os.path.join(out_dir_, MANIFEST_DIR, f"part-{pid:05d}.json")
-        if resume_ and os.path.exists(mpath):
-            with open(mpath) as fh:
-                prev = json.load(fh)
+        mpath = _u_join(out_dir_, f"{MANIFEST_DIR}/part-{pid:05d}.json")
+        if resume_ and fs.exists(mpath):
+            with fs.open_read(mpath) as fh:
+                prev = json.loads(fh.read())
             for row in prev if isinstance(prev, list) else [prev]:
                 row["skipped"] = True
                 yield _arrow_manifest_batch(row)
@@ -73,18 +81,18 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
         def write_one(tbl: pa.Table):
             k = len(done_rows)
             fname = f"part-{pid:05d}-{k:03d}.fpsc"
-            fpath = os.path.join(out_dir_, fname)
+            fpath = _u_join(out_dir_, fname)
             t0 = time.perf_counter()
             tmp = fpath + ".inprogress"
-            with open(tmp, "wb") as sink:
+            with fs.open_write(tmp) as sink:
                 blocks = write_container(sink, tbl, compression=compression_,
                                          fsst_cache=fsst_cache)
             kernel = time.perf_counter() - t0
-            os.replace(tmp, fpath)
+            fs.replace(tmp, fpath)
             done_rows.append(
                 {"partition": pid, "file": fname, "rows": tbl.num_rows,
                  "input_bytes": tbl.nbytes,
-                 "output_bytes": os.path.getsize(fpath),
+                 "output_bytes": fs.size(fpath),
                  "encode_secs": kernel, "kernel_secs": kernel,
                  "skipped": False,
                  "columns": json.dumps({b.name: b.codec for b in blocks})})
@@ -112,9 +120,9 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
         if not done_rows:
             return
         # manifest written AFTER all containers: its existence == commit
-        with open(mpath + ".tmp", "w") as fh:
-            json.dump(done_rows, fh)
-        os.replace(mpath + ".tmp", mpath)
+        with fs.open_write(mpath + ".tmp") as fh:
+            fh.write(json.dumps(done_rows).encode())
+        fs.replace(mpath + ".tmp", mpath)
         for row in done_rows:
             yield _arrow_manifest_batch(row)
 
@@ -125,19 +133,29 @@ def read_fpsc(spark, in_dir: str, schema=None):
     """Distributed decode of an FPSC dataset back to a DataFrame:
     container paths fan out to tasks; each Python worker inflates its
     file with the vectorized decoders (FSST expansion, delta prefix-sum,
-    validity reassembly)."""
+    validity reassembly).  The driver-side schema probe reads ONLY the
+    first container's footer (never the data blocks), and listing goes
+    through the fs seam so ``in_dir`` may be a URI."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    files = sorted(os.path.join(in_dir, f) for f in os.listdir(in_dir)
-                   if f.endswith(".fpsc"))
+    from fastparquet_spark.io import get_fs
+
+    fs = get_fs(in_dir)
+    files = sorted(p for p in fs.walk_files(in_dir) if p.endswith(".fpsc"))
     if schema is None:
-        from fastparquet_spark.format.container import read_container
+        import pyarrow as pa_s
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from fastparquet_spark.format.container import (
+            _type_from_name, read_container_footer,
+        )
 
         if not files:
             raise ValueError(f"no .fpsc files under {in_dir}")
-        probe = read_container(files[0])
-        from pyspark.sql.pandas.types import from_arrow_schema
-        schema = from_arrow_schema(probe.schema)
+        meta = read_container_footer(files[0], fs=fs)
+        schema = from_arrow_schema(pa_s.schema(
+            [(cm["name"], _type_from_name(cm["arrow_type"]))
+             for cm in meta["columns"]]))
 
     rdd = spark.sparkContext.parallelize([(f,) for f in files], len(files))
     paths_df = spark.createDataFrame(

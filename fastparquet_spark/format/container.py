@@ -251,8 +251,14 @@ def read_container_footer(source, fs=None) -> dict:
         return json.loads(f.read(flen))
 
 
-def read_container(source) -> pa.Table:
-    buf = open(source, "rb").read() if isinstance(source, str) else bytes(source)
+def read_container(source, fs=None) -> pa.Table:
+    if isinstance(source, str):
+        from fastparquet_spark.io import get_fs
+
+        with get_fs(source, fs).open_read(source) as f:
+            buf = f.read()
+    else:
+        buf = bytes(source)
     if buf[:4] != MAGIC or buf[-4:] != MAGIC:
         raise ValueError("not an FPSC container")
     flen = int.from_bytes(buf[-8:-4], "little")

@@ -105,11 +105,21 @@ class ArrowFS:
         return sorted(self._unstrip(i.path) for i in infos)
 
     def glob(self, pattern: str) -> list[str]:
-        # object stores have no server-side glob; emulate on the parent
+        # object stores have no server-side glob; emulate by listing from
+        # the deepest wildcard-free prefix and fnmatching full paths —
+        # wildcards may sit in ANY segment (s3://b/ds/lang=*/part-*.pq),
+        # matching LocalFS/glob.glob semantics
         import fnmatch
 
-        base = pattern.rsplit("/", 1)[0]
-        return sorted(p for p in self.listdir(base) if fnmatch.fnmatch(p, pattern))
+        segs = pattern.split("/")
+        first_wild = next((i for i, s in enumerate(segs)
+                           if any(c in s for c in "*?[")), len(segs))
+        base = "/".join(segs[:first_wild]) or "/"
+        if first_wild == len(segs) - 1:
+            cands = self.listdir(base)  # final-segment-only: flat list
+        else:
+            cands = self.walk_files(base)
+        return sorted(p for p in cands if fnmatch.fnmatch(p, pattern))
 
     def exists(self, path: str) -> bool:
         from pyarrow.fs import FileType

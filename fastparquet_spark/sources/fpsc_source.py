@@ -18,9 +18,13 @@ container's footer.
 
 Write side: an Arrow writer — each task streams its batches into
 containers of ~``rows_per_container`` rows (bounded memory, FSST table
-trained once per column per task), publishes via temp+rename, and
-reports files through WriterCommitMessages; ``abort`` removes this
-attempt's leftovers.
+trained once per column per task).  Tasks STAGE files under
+attempt-suffixed names; ``commit`` (driver-side, fed only by the one
+successful attempt per task) renames them to deterministic final names
+and sweeps leftovers from failed/speculative attempts — so a task
+retry can never leave duplicate rows in the dataset.  ``mode
+("overwrite")`` removes pre-existing containers at commit;  ``abort``
+removes this job's staged files.
 """
 
 from __future__ import annotations
@@ -123,6 +127,11 @@ class FpscReader(DataSourceReader):
         return [InputPartition(p) for p in kept]
 
     def read(self, partition: InputPartition):
+        # when pushed filters prune ALL files, partitions() returns [] and
+        # Spark's python-data-source planner still issues one read(None):
+        # yield nothing instead of crashing on partition.value
+        if partition is None or partition.value is None:
+            return
         import pyarrow as pa
 
         from fastparquet_spark.format.container import read_container
@@ -133,16 +142,31 @@ class FpscReader(DataSourceReader):
 
 @dataclass
 class _Committed(WriterCommitMessage):
-    files: tuple = ()
+    files: tuple = ()  # (staged_rel, final_rel) pairs
 
 
 class FpscWriter(DataSourceArrowWriter):
+    """Staged two-phase commit: tasks write ``<final>.stage-<attempt>``
+    files; only ``commit`` (which sees exactly ONE message per task —
+    the successful attempt) renames them to their deterministic final
+    names ``part-<job>-<pid>-<k>.fpsc``.  A failed or speculative
+    attempt's staged files are swept at commit/abort, so retries can
+    never duplicate rows.  The job token (minted once on the driver,
+    shared by all attempts via pickling) keeps distinct jobs — e.g.
+    successive appends — from colliding."""
+
     def __init__(self, path: str, compression: str, rows_per_container: int,
                  overwrite: bool):
+        import uuid
+
         self.path = path
         self.compression = compression
         self.rows_per = rows_per_container
         self.overwrite = overwrite
+        self.job = uuid.uuid4().hex[:8]
+
+    def _full(self, rel: str) -> str:
+        return self.path.rstrip("/") + "/" + rel
 
     def write(self, iterator: Iterator) -> _Committed:
         import pyarrow as pa
@@ -157,7 +181,7 @@ class FpscWriter(DataSourceArrowWriter):
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         fsst_cache: dict = {}
-        done: list[str] = []
+        done: list[tuple[str, str]] = []
         buf: list[pa.RecordBatch] = []
         buf_rows = 0
 
@@ -169,15 +193,13 @@ class FpscWriter(DataSourceArrowWriter):
             n = tbl.num_rows
             end = n if final else (n // self.rows_per) * self.rows_per
             for start in range(0, end, self.rows_per):
-                rel = f"part-{pid:05d}-{attempt}-{len(done):03d}.fpsc"
-                full = self.path.rstrip("/") + "/" + rel
-                tmp = full + ".inprogress"
-                with fs.open_write(tmp) as sink:
+                final_rel = f"part-{self.job}-{pid:05d}-{len(done):03d}.fpsc"
+                staged_rel = f"{final_rel}.stage-{attempt}"
+                with fs.open_write(self._full(staged_rel)) as sink:
                     write_container(sink, tbl.slice(start, self.rows_per),
                                     compression=self.compression,
                                     fsst_cache=fsst_cache)
-                fs.replace(tmp, full)
-                done.append(rel)
+                done.append((staged_rel, final_rel))
             if end < n:
                 buf, buf_rows = tbl.slice(end).to_batches(), n - end
             else:
@@ -191,15 +213,36 @@ class FpscWriter(DataSourceArrowWriter):
         flush(final=True)
         return _Committed(tuple(done))
 
+    def _sweep_stages(self, fs) -> None:
+        """Remove staged leftovers from failed/speculative attempts."""
+        for p in fs.walk_files(self.path):
+            if ".fpsc.stage-" in p:
+                fs.remove(p)
+
     def commit(self, messages):
-        return None  # files were atomically published per task
+        import os
+
+        from fastparquet_spark.io import get_fs
+
+        fs = get_fs(self.path)
+        renames = [(s, f) for m in messages
+                   for (s, f) in (getattr(m, "files", ()) or ())]
+        if self.overwrite:
+            keep = {f for _s, f in renames}
+            for p in fs.walk_files(self.path):
+                if p.endswith(".fpsc") and os.path.basename(p) not in keep:
+                    fs.remove(p)
+        for staged, final in renames:
+            fs.replace(self._full(staged), self._full(final))
+        self._sweep_stages(fs)
 
     def abort(self, messages):
         from fastparquet_spark.io import get_fs
 
         fs = get_fs(self.path)
         for m in messages:
-            for rel in getattr(m, "files", ()) or ():
-                full = self.path.rstrip("/") + "/" + rel
+            for staged, _final in getattr(m, "files", ()) or ():
+                full = self._full(staged)
                 if fs.exists(full):
                     fs.remove(full)
+        self._sweep_stages(fs)

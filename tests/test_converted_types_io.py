@@ -60,6 +60,30 @@ def test_glob_inputs(tmp_path):
     assert sum(s["rows"] for s in splits) == 30
 
 
+def test_arrowfs_multisegment_glob(tmp_path):
+    """Wildcards in NON-final segments (s3://b/ds/lang=*/part-*.parquet)
+    must match through the ArrowFS seam exactly like LocalFS/glob.glob."""
+    from fastparquet_spark.io import get_fs
+
+    for lang in ("py", "rs"):
+        d = tmp_path / f"lang={lang}"
+        d.mkdir()
+        for i in range(2):
+            write_file(str(d / f"part-{i}.parquet"),
+                       pa.table({"a": pa.array([i])}))
+    (tmp_path / "lang=py" / "ignore.txt").write_text("x")
+    pattern = f"file://{tmp_path}/lang=*/part-*.parquet"
+    fs = get_fs(pattern)
+    got = fs.glob(pattern)
+    assert len(got) == 4 and all(p.startswith("file://") for p in got)
+    assert got == sorted(got)
+    # final-segment-only globs still work (flat listing path)
+    assert len(fs.glob(f"file://{tmp_path}/lang=py/part-*.parquet")) == 2
+    # and dataset_metadata accepts the multi-segment URI glob end to end
+    metas = dataset_metadata(pattern)
+    assert len(metas) == 4
+
+
 def test_file_uri_roundtrip_through_arrowfs(spark, tmp_path):
     """file:// URIs route through the pyarrow.fs seam (the same code path
     an s3:// or hdfs:// job would take) — write, resume, and metadata all

@@ -94,3 +94,42 @@ def test_filter_pushdown_prunes_files(registered, tmp_path):
     got = (spark.read.format("fpsc").load(str(out))
            .filter("id >= 3100").count())
     assert got == 900
+
+
+def test_prune_all_files_returns_zero_rows(registered, tmp_path):
+    """A predicate beyond every footer's max prunes ALL containers;
+    the read must return 0 rows, not crash in read(None)."""
+    spark = registered
+    out = str(tmp_path / "fpsc_all_pruned")
+    _df(spark, 1000).write.format("fpsc").mode("append").save(out)
+    got = spark.read.format("fpsc").load(out).filter("id >= 999999").count()
+    assert got == 0
+
+
+def test_overwrite_replaces_dataset(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "fpsc_ovw")
+    _df(spark, 1000).write.format("fpsc").mode("append").save(out)
+    assert spark.read.format("fpsc").load(out).count() == 1000
+    _df(spark, 300).write.format("fpsc").mode("overwrite").save(out)
+    back = spark.read.format("fpsc").load(out)
+    assert back.count() == 300
+    assert back.agg({"id": "max"}).collect()[0][0] == 299
+
+
+def test_staged_leftovers_never_read_and_get_swept(registered, tmp_path):
+    """A stale .stage- file (crashed/speculative attempt) is invisible
+    to readers and swept by the next job's commit — the no-duplicates
+    guarantee for task retries."""
+    import os
+
+    spark = registered
+    out = tmp_path / "fpsc_stage"
+    _df(spark, 500).write.format("fpsc").mode("append").save(str(out))
+    stale = out / "part-deadbeef-00000-000.fpsc.stage-99"
+    stale.write_bytes(b"garbage from a dead attempt")
+    assert spark.read.format("fpsc").load(str(out)).count() == 500
+    _df(spark, 100).write.format("fpsc").mode("append").save(str(out))
+    assert not stale.exists()
+    assert spark.read.format("fpsc").load(str(out)).count() == 600
+    assert not any(".stage-" in f for f in os.listdir(out))
