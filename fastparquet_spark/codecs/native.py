@@ -1,0 +1,144 @@
+"""Optional C fast path for the FSST encode kernel.
+
+The reference keeps its hot byte loops in compiled Cython
+(fastparquet/cencoding.pyx); our equivalent is a ~80-line C kernel
+compiled ON FIRST USE with the system compiler into a cached shared
+library and called through ctypes.  It implements the identical
+greedy longest-match scan as the pure-numpy encoder in fsst.py and
+produces BIT-IDENTICAL output (asserted by differential tests), so it
+is a drop-in accelerator: if no compiler is present, compilation
+fails, or the platform is exotic, callers silently fall back to the
+vectorized numpy path.
+
+Concurrency: Spark executor workers share the cache directory; the
+compile writes to a unique temp name and publishes via atomic rename,
+so racing workers at worst compile twice and agree on the result.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_C_SRC = r"""
+#include <stdint.h>
+#include <string.h>
+
+/* Greedy longest-match FSST encode.
+ *
+ * lut16 : 65536 x int16, head symbol id for a 2-byte prefix, -1 = none
+ * nxt   : per symbol, next (shorter) symbol sharing the prefix, -1 = end
+ * lens/vals/masks : symbol byte length, little-endian value, low-bytes mask
+ * codes : output code byte per symbol
+ * resv  : 256 x uint8, 1 for reserved byte values (escape + codes)
+ * out   : caller-allocated, capacity >= 2*n
+ * returns number of bytes written
+ */
+long fsst_encode_c(const uint8_t *in, long n, uint8_t *out,
+                   const int16_t *lut16, const int64_t *nxt,
+                   const int64_t *lens, const uint64_t *vals,
+                   const uint64_t *masks, const uint8_t *codes,
+                   uint8_t escape, const uint8_t *resv)
+{
+    long i = 0, o = 0;
+    while (i < n) {
+        if (i + 1 < n) {
+            int16_t s = lut16[((uint16_t)in[i] << 8) | in[i + 1]];
+            if (s >= 0) {
+                uint64_t win;
+                if (i + 8 <= n) {
+                    memcpy(&win, in + i, 8);
+                } else {
+                    win = 0;
+                    memcpy(&win, in + i, (size_t)(n - i));
+                }
+                do {
+                    if ((win & masks[s]) == vals[s] && i + lens[s] <= n) {
+                        out[o++] = codes[s];
+                        i += lens[s];
+                        goto next;
+                    }
+                    s = (int16_t)nxt[s];
+                } while (s >= 0);
+            }
+        }
+        if (resv[in[i]]) {
+            out[o++] = escape;
+            out[o++] = in[i++];
+        } else {
+            out[o++] = in[i++];
+        }
+next:   ;
+    }
+    return o;
+}
+"""
+
+_lib = None
+_lib_tried = False
+
+
+def _cache_dir() -> str:
+    return os.environ.get("FPS_NATIVE_CACHE",
+                          os.path.join(tempfile.gettempdir(),
+                                       "fastparquet_spark_native"))
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    if os.environ.get("FPS_DISABLE_NATIVE"):
+        return None
+    try:
+        tag = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
+        cache = _cache_dir()
+        so_path = os.path.join(cache, f"fsst_{tag}.so")
+        if not os.path.exists(so_path):
+            os.makedirs(cache, exist_ok=True)
+            src_path = os.path.join(cache, f"fsst_{tag}.c")
+            with open(src_path, "w") as f:
+                f.write(_C_SRC)
+            tmp = so_path + f".tmp.{os.getpid()}"
+            subprocess.run(
+                ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, src_path],
+                check=True, capture_output=True, timeout=60)
+            os.replace(tmp, so_path)  # atomic publish; racers agree
+        lib = ctypes.CDLL(so_path)
+        lib.fsst_encode_c.restype = ctypes.c_long
+        lib.fsst_encode_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_uint8, ctypes.c_void_p,
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None  # no compiler / sandboxed exec / unsupported platform
+    return _lib
+
+
+def fsst_encode_native(buf, plan, escape: int):
+    """C-kernel encode of a contiguous uint8 array; None if unavailable.
+
+    ``plan`` is fsst.py's _EncodePlan (lut16s/nxt/lens/vals/masks/
+    out_codes/reserved arrays); output is bit-identical to the numpy
+    path's."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(buf)
+    out = np.empty(2 * n + 8, dtype=np.uint8)
+    written = lib.fsst_encode_c(
+        buf.ctypes.data, n, out.ctypes.data,
+        plan.lut16s.ctypes.data, plan.nxt.ctypes.data,
+        plan.lens.ctypes.data, plan.vals.ctypes.data,
+        plan.masks.ctypes.data, plan.out_codes.ctypes.data,
+        escape, plan.reserved.ctypes.data)
+    return out[:written].tobytes()

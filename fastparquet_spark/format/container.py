@@ -85,7 +85,7 @@ def _type_from_name(name: str) -> pa.DataType:
 
 
 def write_container(sink, table: pa.Table, compression: str = "ZSTD",
-                    min_fsst_gain: float = 0.9,
+                    min_fsst_gain: float = 0.98,
                     fsst_cache: dict | None = None) -> list[ColumnBlock]:
     """Write an Arrow table as an FPSC container; returns per-column lineage.
 
@@ -93,7 +93,13 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
     containers of the same stream — training is the expensive half of
     FSST, and a table trained on the first chunk stays valid for later
     chunks (the escape byte covers anything unseen; only the ratio can
-    drift).  The cache is consulted AND populated."""
+    drift).  The cache is consulted AND populated.
+
+    ``min_fsst_gain`` is the selection hysteresis: FSST wins only when
+    its total beats plain+codec by this factor.  It was 0.9 when
+    encode ran at ~20 MB/s (the decode/encode tax needed a real ratio
+    win to pay off); with the C greedy kernel at ~600 MB/s a 2%
+    size win is already worth taking."""
     own = isinstance(sink, str)
     f = open(sink, "wb") if own else sink
     codec = comp.codec_id(compression)

@@ -74,3 +74,46 @@ def test_fsst_train_on_one_encode_other(train_on, payload):
     t = fsst_train(np.frombuffer(train_on, np.uint8))
     enc = fsst_encode(np.frombuffer(payload, np.uint8), t)
     assert bytes(fsst_decode(enc, t)) == payload
+
+
+@given(st.binary(min_size=0, max_size=500), st.binary(min_size=0, max_size=3000))
+@settings(max_examples=50, deadline=None)
+def test_fsst_native_matches_numpy_bit_identical(train_on, payload):
+    """The compiled C greedy kernel and the pure-numpy vectorized
+    matcher implement the same scan and must emit IDENTICAL bytes."""
+    import os
+
+    import fastparquet_spark.codecs.native as native
+
+    if native._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    t = fsst_train(np.frombuffer(train_on, np.uint8))
+    data = np.frombuffer(payload, np.uint8)
+    enc_native = fsst_encode(data, t)
+    os.environ["FPS_DISABLE_NATIVE"] = "1"
+    native._lib, native._lib_tried = None, False
+    try:
+        enc_numpy = fsst_encode(data, t)
+    finally:
+        del os.environ["FPS_DISABLE_NATIVE"]
+        native._lib, native._lib_tried = None, False
+    assert enc_native == enc_numpy
+    assert bytes(fsst_decode(enc_native, t)) == payload
+
+
+def test_fsst_select_var_exact_greedy():
+    """The vectorized variable-length selector is exact leftmost greedy."""
+    from fastparquet_spark.codecs.fsst import _select_var
+
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        pos = np.unique(rng.integers(0, 120, int(rng.integers(1, 70)))).astype(np.int64)
+        lens = rng.integers(2, 9, len(pos)).astype(np.int64)
+        sel, nxt = [], -1 << 60
+        for i, (p, ln) in enumerate(zip(pos, lens)):
+            if p >= nxt:
+                sel.append(i)
+                nxt = p + ln
+        assert np.array_equal(_select_var(pos, lens), np.array(sel, dtype=np.int64))
