@@ -164,6 +164,13 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     drv_fs = get_fs(out_dir)
     drv_fs.makedirs(out_dir)
     drv_fs.makedirs(_u_join(out_dir, MANIFEST_DIR))
+    # a pre-existing _metadata sidecar cannot see the files this job is
+    # about to add — drop it so footer-only readers fall back to the
+    # footer walk instead of silently missing new data; append_dataset
+    # re-merges it (incrementally) after the job commits
+    sidecar = _u_join(out_dir, "_metadata")
+    if drv_fs.exists(sidecar):
+        drv_fs.remove(sidecar)
 
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)
@@ -283,6 +290,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
 
         outs: dict[tuple, _Out] = {}
         done_rows: list[dict] = []
+        seqs: dict[tuple, int] = {}  # files already closed per key
         try:
             for b in batches:
                 tbl = pa.Table.from_batches([b])
@@ -301,6 +309,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 combos = tbl.select(pcols_).group_by(pcols_).aggregate([])
                 data_schema = pa.schema(
                     [f for f in tbl.schema if f.name not in pcols_])
+                batch_keys = set()
                 for combo in combos.to_pylist():
                     mask = None
                     for c in pcols_:
@@ -309,18 +318,33 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                         mask = m if mask is None else pc.and_kleene(mask, m)
                     part = tbl.filter(mask).drop_columns(pcols_)
                     key = tuple(combo[c] for c in pcols_)
+                    batch_keys.add(key)
                     out = outs.get(key)
                     if out is None:
-                        rel = f"{_hive_dir(pcols_, key)}/{fname}"
+                        # reopened keys (possible only if the sort order
+                        # didn't cluster them) get a sequence suffix so
+                        # the earlier published file is never clobbered
+                        seq = seqs.get(key, 0)
+                        base = fname if seq == 0 else \
+                            f"{file_prefix_}-{pid:05d}-r{seq}.parquet"
+                        rel = f"{_hive_dir(pcols_, key)}/{base}"
                         out = outs[key] = _Out(rel, data_schema)
                     out.add(part)
-            if not outs:
+                # eager close: the sort clusters keys, so a writer whose
+                # key is absent from this batch will never see rows again
+                # — closing it bounds open files at keys-per-batch, not
+                # distinct keys per task
+                for key in [k for k in outs if k not in batch_keys]:
+                    seqs[key] = seqs.get(key, 0) + 1
+                    done_rows.append(outs.pop(key).finish())
+            if not outs and not done_rows:
                 return  # empty partition: nothing to commit
             for out in outs.values():
-                row = out.finish()
-                row["encode_secs"] = time.perf_counter() - t0
+                done_rows.append(out.finish())
+            total_secs = time.perf_counter() - t0
+            for row in done_rows:
+                row["encode_secs"] = total_secs
                 row["kernel_secs"] = kernel_secs
-                done_rows.append(row)
             # manifest written AFTER all data files: its existence == commit
             payload = done_rows[0] if (layout_ == "flat" and len(done_rows) == 1) \
                 else done_rows
@@ -353,10 +377,15 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     import pyarrow as pa_s
 
     from fastparquet_spark.format.dataset import (
-        dataset_metadata, schema_signature, write_metadata_sidecar,
+        dataset_metadata, read_sidecar, schema_signature,
+        write_metadata_sidecar,
     )
     from fastparquet_spark.format.writer import ParquetWriter
 
+    # hold the current sidecar in memory: encode_dataset invalidates it
+    # on disk, and the post-append re-merge then only has to fetch the
+    # NEW generation's footers (O(new files), not O(dataset))
+    old_sidecar = read_sidecar(out_dir)
     existing = dataset_metadata(out_dir)
     if not existing:
         raise ValueError(f"append target {out_dir} has no existing dataset")
@@ -396,7 +425,12 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     gen = max(gens)
     rows = encode_dataset(spark, df, out_dir,
                           file_prefix=f"part-g{gen:03d}", **kwargs).collect()
-    write_metadata_sidecar(out_dir)
+    new_files = sorted({r["file"] for r in rows if not r["skipped"]})
+    if old_sidecar is not None and new_files:
+        write_metadata_sidecar(out_dir, base=old_sidecar,
+                               add_files=new_files)
+    else:
+        write_metadata_sidecar(out_dir)
     return rows
 
 

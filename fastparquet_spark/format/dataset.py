@@ -167,33 +167,67 @@ def schema_signature(fmd: dict) -> list[tuple]:
             for e in fmd["schema"][1:] if e.get("num_children") is None]
 
 
-def write_metadata_sidecar(out_dir: str, fs=None) -> int:
-    """Merge every part footer into a ``_metadata`` sidecar (the
-    reference's ``merge``, fastparquet/writer.py:1156-1193): one
-    FileMetaData whose row groups carry ``file_path`` relative to the
-    dataset root.  Atomic publish via temp + rename.  Returns the number
-    of row groups merged."""
+def read_sidecar(out_dir: str, fs=None) -> dict | None:
+    """The ``_metadata`` sidecar's FileMetaData, or None if absent."""
+    fs = get_fs(out_dir, fs)
+    sidecar = _join(out_dir, "_metadata")
+    if not fs.exists(sidecar):
+        return None
+    with fs.open_read(sidecar) as f:
+        return read_footer(f.read())
+
+
+def write_metadata_sidecar(out_dir: str, fs=None, base: dict | None = None,
+                           add_files: list[str] | None = None) -> int:
+    """Merge part footers into a ``_metadata`` sidecar (the reference's
+    ``merge``, fastparquet/writer.py:1156-1193): one FileMetaData whose
+    row groups carry ``file_path`` relative to the dataset root.
+    Atomic publish via temp + rename.  Returns the row groups merged.
+
+    INCREMENTAL mode (``base`` = a previously-read sidecar FileMetaData
+    + ``add_files`` = relative paths of the NEW part files): only the
+    new files' footers are fetched and appended to ``base`` — an
+    append touches O(new files), not O(dataset), unlike the
+    reference's full re-merge."""
     from fastparquet_spark.format import thrift
     from fastparquet_spark.format.metadata import MAGIC, SPECS
     from fastparquet_spark.format.writer import CREATED_BY
 
     fs = get_fs(out_dir, fs)
-    metas = dataset_metadata(out_dir, fs=fs, use_sidecar=False)
-    if not metas:
-        raise ValueError(f"no part files under {out_dir}")
-    schema = metas[0]["fmd"]["schema"]
-    sig0 = schema_signature(metas[0]["fmd"])
-    rgs, num_rows = [], 0
-    for m in metas:
-        if schema_signature(m["fmd"]) != sig0:
-            raise ValueError(
-                f"schema mismatch across parts: {m['file']} != {metas[0]['file']}")
-        for rg in m["fmd"]["row_groups"]:
-            rg2 = dict(rg)
-            rg2["columns"] = [dict(cc, file_path=m["file"])
-                              for cc in rg["columns"]]
-            rgs.append(rg2)
-            num_rows += rg["num_rows"]
+    if base is not None and add_files is not None:
+        schema = base["schema"]
+        sig0 = schema_signature(base)
+        rgs = list(base["row_groups"])
+        num_rows = base["num_rows"]
+        tails = fetch_footers([_join(out_dir, f) for f in add_files], fs)
+        for rel, tail in zip(add_files, tails):
+            sub = read_footer_tail(tail)
+            if schema_signature(sub) != sig0:
+                raise ValueError(
+                    f"schema mismatch appending {rel} to existing sidecar")
+            for rg in sub["row_groups"]:
+                rg2 = dict(rg)
+                rg2["columns"] = [dict(cc, file_path=rel)
+                                  for cc in rg["columns"]]
+                rgs.append(rg2)
+                num_rows += rg["num_rows"]
+    else:
+        metas = dataset_metadata(out_dir, fs=fs, use_sidecar=False)
+        if not metas:
+            raise ValueError(f"no part files under {out_dir}")
+        schema = metas[0]["fmd"]["schema"]
+        sig0 = schema_signature(metas[0]["fmd"])
+        rgs, num_rows = [], 0
+        for m in metas:
+            if schema_signature(m["fmd"]) != sig0:
+                raise ValueError(
+                    f"schema mismatch across parts: {m['file']} != {metas[0]['file']}")
+            for rg in m["fmd"]["row_groups"]:
+                rg2 = dict(rg)
+                rg2["columns"] = [dict(cc, file_path=m["file"])
+                                  for cc in rg["columns"]]
+                rgs.append(rg2)
+                num_rows += rg["num_rows"]
     fmd = {"version": 1, "schema": schema, "num_rows": num_rows,
            "row_groups": rgs, "created_by": CREATED_BY}
     body = thrift.write_struct("FileMetaData", fmd, SPECS)

@@ -51,6 +51,7 @@ class ConvertedType:
     INT_8, INT_16, INT_32, INT_64 = 15, 16, 17, 18
     JSON = 19
     BSON = 20
+    INTERVAL = 21
 
 
 MAGIC = b"PAR1"

@@ -58,6 +58,10 @@ def _arrow_type(elem: dict) -> pa.DataType:
     pt = elem["type"]
     if conv == ConvertedType.DECIMAL:
         return pa.decimal128(elem.get("precision", 18), elem.get("scale", 0))
+    if conv == ConvertedType.INTERVAL:
+        # FIXED(12): (months, days, millis) uint32 LE triples
+        # (reference fastparquet/converted_types.py:244-247)
+        return pa.month_day_nano_interval()
     if pt == Type.FIXED_LEN_BYTE_ARRAY:
         return pa.binary(elem.get("type_length", 1))
     if conv == ConvertedType.UTF8:
@@ -252,6 +256,20 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
         words[:, 0] = low
         words[:, 1] = low >> 63
         return pa.Array.from_buffers(at, n, [vbuf_, pa.py_buffer(words.tobytes())],
+                                     null_count=nc_)
+    if at == pa.month_day_nano_interval():
+        # FIXED(12) LE (months, days, millis) -> arrow's 16-byte
+        # (int32 months, int32 days, int64 nanoseconds) storage
+        st = np.zeros((n, 16), dtype=np.uint8)
+        if vals is not None and len(vals):
+            raw = np.ascontiguousarray(vals, dtype=np.uint8)
+            k = len(raw)
+            part = np.zeros((k, 16), dtype=np.uint8)
+            part[:, :8] = raw[:, :8]  # months + days pass through
+            ns = raw[:, 8:12].copy().view("<u4").ravel().astype("<i8") * 1_000_000
+            part[:, 8:] = ns.view(np.uint8).reshape(k, 8)
+            st[validity] = part
+        return pa.Array.from_buffers(at, n, [vbuf_, pa.py_buffer(st.tobytes())],
                                      null_count=nc_)
     if elem["type"] == Type.FIXED_LEN_BYTE_ARRAY:
         width = at.byte_width

@@ -110,12 +110,20 @@ def _map_type(t: pa.DataType):
         return Type.BYTE_ARRAY, None, None
     if pa.types.is_fixed_size_binary(t):
         return Type.FIXED_LEN_BYTE_ARRAY, None, None
+    if pa.types.is_duration(t):
+        # timedelta -> TIME_MICROS int64, the reference's timedelta64 map
+        # (fastparquet/writer.py:203-205); readers see time64[us]/timedelta
+        return Type.INT64, ConvertedType.TIME_MICROS, pa.duration("us")
     if pa.types.is_decimal(t):
         if t.precision <= 18:
             # int64-backed DECIMAL, like the reference's decimal map
             # (fastparquet/writer.py:114-154 object-encoding 'decimal')
             return Type.INT64, ConvertedType.DECIMAL, None
-        raise TypeError(f"decimal precision {t.precision} > 18 unsupported")
+        # precision >18: FIXED_LEN_BYTE_ARRAY(16) big-endian two's
+        # complement, the layout the reference reads back
+        # (fastparquet/converted_types.py:175-188); our reader's
+        # FIXED-decimal branch mirrors it (format/reader.py _to_arrow)
+        return Type.FIXED_LEN_BYTE_ARRAY, ConvertedType.DECIMAL, None
     raise TypeError(
         f"unsupported arrow type {t} (flat schemas only, like the reference "
         "writer: 'No nested field handling', fastparquet/writer.py:472)"
@@ -152,6 +160,14 @@ def _extract(arr: pa.Array, ptype: int):
     if ptype == Type.BYTE_ARRAY:
         return _binary_parts(arr)
     if ptype == Type.FIXED_LEN_BYTE_ARRAY:
+        if pa.types.is_decimal(arr.type):
+            # decimal128 storage is 16B little-endian; the parquet FIXED
+            # decimal layout is big-endian two's complement
+            arr2 = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            raw = np.frombuffer(arr2.buffers()[1], np.uint8,
+                                count=(arr2.offset + len(arr2)) * 16)
+            le = raw[arr2.offset * 16:].reshape(len(arr2), 16)
+            return np.ascontiguousarray(le[:, ::-1])
         width = arr.type.byte_width
         buf = arr.buffers()[1]
         raw = np.frombuffer(buf, np.uint8,
@@ -159,6 +175,8 @@ def _extract(arr: pa.Array, ptype: int):
         return raw[arr.offset * width:].reshape(len(arr), width)
     if pa.types.is_decimal(arr.type):
         return _decimal_unscaled(arr)
+    if pa.types.is_duration(arr.type):
+        arr = arr.cast(pa.int64())
     if pa.types.is_uint32(arr.type):
         return arr.to_numpy(zero_copy_only=False).view(np.int32)
     if pa.types.is_uint64(arr.type):
@@ -267,6 +285,15 @@ class ParquetWriter:
         self.col_meta = []  # (ptype, cast-to, name)
         for fld in schema:
             ptype, conv, cast_to = _map_type(fld.type)
+            # JSON/BSON annotations (reference fastparquet/writer.py:114-154
+            # object-encoding 'json'/'bson') are requested via Arrow field
+            # metadata: {"fpsc:annotation": "json"} on a string column or
+            # "bson" on a binary column
+            ann = (fld.metadata or {}).get(b"fpsc:annotation")
+            if ann == b"json" and ptype == Type.BYTE_ARRAY:
+                conv = ConvertedType.JSON
+            elif ann == b"bson" and ptype == Type.BYTE_ARRAY:
+                conv = ConvertedType.BSON
             elem = {"name": fld.name, "type": ptype,
                     "repetition_type": Repetition.OPTIONAL}
             if conv is not None:

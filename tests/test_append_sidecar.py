@@ -127,3 +127,66 @@ def test_append_into_hive_layout(spark, tmp_path):
     assert st["content"]["num_values"] == 3000
     got = spark.read.parquet(out)
     assert got.count() == 3000 and got.filter("lang='rust'").count() == 1000
+
+
+def test_incremental_sidecar_touches_only_new_files(spark, tmp_path):
+    """Append-time sidecar maintenance is O(new files): the old sidecar
+    is merged in memory and only the new generation's footers are
+    fetched (open-counted) — not a full dataset re-walk.  A writer into
+    a dir with a stale sidecar also invalidates it up front."""
+    import os
+
+    from fastparquet_spark.engine import encode_dataset
+    from fastparquet_spark.format.dataset import read_sidecar
+
+    out = str(tmp_path / "ds")
+    encode_dataset(spark, _df(spark, 0, 3000), out, num_partitions=3,
+                   salt_rows=10**9).collect()
+    write_metadata_sidecar(out)
+    base = read_sidecar(out)
+    encode_dataset(spark, _df(spark, 3000, 4000), out, num_partitions=2,
+                   salt_rows=10**9, file_prefix="part-g001",
+                   resume=False).collect()
+    # the stale sidecar was invalidated at plan time (ADVICE: readers
+    # must never stats-prune against metadata missing the new files)
+    assert not os.path.exists(f"{out}/_metadata")
+    new_files = sorted(os.path.basename(p)
+                       for p in glob.glob(f"{out}/part-g001-*.parquet"))
+    counting = CountingFS(LocalFS())
+    write_metadata_sidecar(out, fs=counting, base=base, add_files=new_files)
+    assert counting.opens == len(new_files)  # tail reads of new files only
+    st = dataset_statistics(out)
+    assert st["content"]["num_values"] == 4000
+
+
+def test_hive_many_keys_bounded_writers(spark, tmp_path):
+    """With many partition keys and small Arrow batches, the sorted
+    stream closes each hive writer as the sort moves past its key: the
+    output is still exactly one file per key (no reopen suffixes) and
+    every row survives."""
+    import os
+
+    from fastparquet_spark.engine import encode_dataset
+
+    rows = [(f"k{i % 40:02d}", f"p{i}", f"body {i}") for i in range(8000)]
+    df = spark.createDataFrame(rows, "k string, path string, content string")
+    out = str(tmp_path / "many")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
+    try:
+        man = encode_dataset(spark, df, out, partition_cols=("k",),
+                             layout="hive", num_partitions=2,
+                             salt_rows=10**9, resume=False).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert sum(r.rows for r in man) == 8000
+    files = glob.glob(f"{out}/k=*/part-*.parquet")
+    assert files and not glob.glob(f"{out}/k=*/part-*-r*.parquet")
+    per_key = {}
+    for f in files:
+        per_key.setdefault(f.split("/k=")[1].split("/")[0], []).append(f)
+    assert len(per_key) == 40
+    # one file per (key, task-partition) — the eager close never split
+    assert all(len(v) <= 2 for v in per_key.values())
+    back = spark.read.parquet(out)
+    assert back.count() == 8000
+    assert back.filter("k = 'k07'").count() == 200
