@@ -423,9 +423,41 @@ def fsst_encode(data: np.ndarray, table: FsstTable) -> bytes:
     return out.tobytes()
 
 
+class _DecodePlan:
+    """Flattened symbol table for the C decode kernel."""
+
+    def __init__(self, table: FsstTable):
+        self.code_lut = np.full(256, -1, dtype=np.int16)
+        for i, c in enumerate(table.codes):
+            self.code_lut[int(c)] = i
+        self.sym_len = np.array([len(s) for s in table.symbols] or [0],
+                                dtype=np.int64)
+        self.sym_off = np.concatenate(
+            ([0], np.cumsum(self.sym_len)))[:-1].astype(np.int64)
+        joined = b"".join(table.symbols)
+        self.sym_data = np.frombuffer(joined, dtype=np.uint8).copy() \
+            if joined else np.zeros(1, dtype=np.uint8)
+
+
+def _dplan_of(table: FsstTable) -> _DecodePlan:
+    plan = getattr(table, "_dplan", None)
+    if plan is None:
+        plan = _DecodePlan(table)
+        table._dplan = plan
+    return plan
+
+
 def fsst_decode(blob, table: FsstTable) -> np.ndarray:
-    """Decode back to the original uint8 buffer, fully vectorized."""
+    """Decode back to the original uint8 buffer — C kernel when
+    available, else the fully vectorized numpy path (bit-identical)."""
     buf = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    if len(buf):
+        from fastparquet_spark.codecs.native import fsst_decode_native
+
+        res = fsst_decode_native(np.ascontiguousarray(buf),
+                                 _dplan_of(table), table.escape)
+        if res is not None:
+            return res
     n = len(buf)
     if n == 0:
         return np.empty(0, dtype=np.uint8)

@@ -75,6 +75,39 @@ next:   ;
     }
     return o;
 }
+
+/* FSST decode: escape pairs -> literal, code bytes -> symbol expansion.
+ *
+ * code_lut : 256 x int16, symbol id for a code byte, -1 = literal
+ * sym_data / sym_off / sym_len : flattened symbol bytes
+ * out capacity must be >= 8*n (max symbol length per input byte)
+ * returns number of bytes written
+ */
+long fsst_decode_c(const uint8_t *in, long n, uint8_t *out,
+                   const int16_t *code_lut, const uint8_t *sym_data,
+                   const int64_t *sym_off, const int64_t *sym_len,
+                   uint8_t escape)
+{
+    long i = 0, o = 0;
+    while (i < n) {
+        uint8_t b = in[i];
+        if (b == escape) {
+            if (i + 1 < n)
+                out[o++] = in[i + 1];
+            i += 2;
+        } else {
+            int16_t s = code_lut[b];
+            if (s >= 0) {
+                memcpy(out + o, sym_data + sym_off[s], (size_t)sym_len[s]);
+                o += sym_len[s];
+            } else {
+                out[o++] = b;
+            }
+            i++;
+        }
+    }
+    return o;
+}
 """
 
 _lib = None
@@ -116,6 +149,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_uint8, ctypes.c_void_p,
         ]
+        lib.fsst_decode_c.restype = ctypes.c_long
+        lib.fsst_decode_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_uint8,
+        ]
         _lib = lib
     except Exception:
         _lib = None  # no compiler / sandboxed exec / unsupported platform
@@ -142,3 +181,22 @@ def fsst_encode_native(buf, plan, escape: int):
         plan.masks.ctypes.data, plan.out_codes.ctypes.data,
         escape, plan.reserved.ctypes.data)
     return out[:written].tobytes()
+
+
+def fsst_decode_native(buf, dplan, escape: int):
+    """C-kernel decode of a contiguous uint8 array; None if unavailable.
+
+    ``dplan`` is fsst.py's _DecodePlan (code_lut/sym_data/sym_off/
+    sym_len); output is bit-identical to the numpy path's."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(buf)
+    out = np.empty(8 * n + 16, dtype=np.uint8)
+    written = lib.fsst_decode_c(
+        buf.ctypes.data, n, out.ctypes.data,
+        dplan.code_lut.ctypes.data, dplan.sym_data.ctypes.data,
+        dplan.sym_off.ctypes.data, dplan.sym_len.ctypes.data, escape)
+    return out[:written]
