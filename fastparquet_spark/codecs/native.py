@@ -108,6 +108,46 @@ long fsst_decode_c(const uint8_t *in, long n, uint8_t *out,
     }
     return o;
 }
+
+/* PLAIN BYTE_ARRAY framing: <u4 len><bytes>... (write side).
+ * out capacity must be >= 4*n + sum(lens).  Returns bytes written. */
+long pack_byte_array_c(const int64_t *lens, long n, const uint8_t *data,
+                       uint8_t *out)
+{
+    long o = 0, d = 0, i;
+    for (i = 0; i < n; i++) {
+        uint32_t L = (uint32_t)lens[i];
+        memcpy(out + o, &L, 4);
+        o += 4;
+        memcpy(out + o, data + d, (size_t)L);
+        o += L;
+        d += L;
+    }
+    return o;
+}
+
+/* PLAIN BYTE_ARRAY framing (read side): parses `count` strings from
+ * buf[pos..], writing lengths and the concatenated payload.  Returns
+ * the position after the last string, or -1 on overrun. */
+long unpack_byte_array_c(const uint8_t *buf, long bufn, long pos,
+                         long count, int64_t *lens, uint8_t *data_out)
+{
+    long d = 0, i;
+    for (i = 0; i < count; i++) {
+        uint32_t L;
+        if (pos + 4 > bufn)
+            return -1;
+        memcpy(&L, buf + pos, 4);
+        pos += 4;
+        if (pos + (long)L > bufn)
+            return -1;
+        memcpy(data_out + d, buf + pos, (size_t)L);
+        lens[i] = (int64_t)L;
+        pos += L;
+        d += L;
+    }
+    return pos;
+}
 """
 
 _lib = None
@@ -155,6 +195,13 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_uint8,
         ]
+        lib.pack_byte_array_c.restype = ctypes.c_long
+        lib.pack_byte_array_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p]
+        lib.unpack_byte_array_c.restype = ctypes.c_long
+        lib.unpack_byte_array_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None  # no compiler / sandboxed exec / unsupported platform
@@ -181,6 +228,40 @@ def fsst_encode_native(buf, plan, escape: int):
         plan.masks.ctypes.data, plan.out_codes.ctypes.data,
         escape, plan.reserved.ctypes.data)
     return out[:written].tobytes()
+
+
+def pack_byte_array_native(lengths, data):
+    """C framing of <u4 len><bytes>...; None if unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(lengths)
+    out = np.empty(4 * n + int(lengths.sum()), dtype=np.uint8)
+    written = lib.pack_byte_array_c(lengths.ctypes.data, n,
+                                    data.ctypes.data, out.ctypes.data)
+    return out[:written].tobytes()
+
+
+def unpack_byte_array_native(buf, count: int, offset: int):
+    """C parse of <u4 len><bytes>...; (lengths, data, next_pos) or None."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) \
+        else np.ascontiguousarray(buf, dtype=np.uint8)
+    lens = np.empty(count, dtype=np.int64)
+    data = np.empty(max(len(src) - offset, 0), dtype=np.uint8)
+    pos = lib.unpack_byte_array_c(src.ctypes.data, len(src), offset, count,
+                                  lens.ctypes.data, data.ctypes.data)
+    if pos < 0:
+        raise ValueError("byte-array framing overruns the page buffer")
+    return lens, data[: int(lens.sum())], int(pos)
 
 
 def fsst_decode_native(buf, dplan, escape: int):

@@ -40,6 +40,11 @@ def pack_byte_array(lengths: np.ndarray, data: np.ndarray) -> bytes:
     total_data = int(lengths.sum())
     if n == 0:
         return b""
+    from fastparquet_spark.codecs.native import pack_byte_array_native
+
+    res = pack_byte_array_native(lengths, np.asarray(data)[:total_data])
+    if res is not None:
+        return res
     # int32 Arrow offsets silently wrap past 2 GiB — switch to the
     # 64-bit-offset types for huge chunks (fat-string row groups)
     large = total_data + 4 * n >= 2**31 - 8
@@ -66,10 +71,15 @@ def pack_byte_array(lengths: np.ndarray, data: np.ndarray) -> bytes:
 def unpack_byte_array(buf, count: int, offset: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
     """Parse ``<u4 len><bytes>`` framing; returns (lengths, data, next_pos).
 
-    The length prefixes are position-dependent so parsing is a loop —
-    this path exists for round-trip verification; bulk reads go through
-    pyarrow/Spark's native scans.
+    The length prefixes are position-dependent so parsing is inherently
+    sequential: the C kernel walks them at memcpy speed; the Python
+    loop below is the no-compiler fallback.
     """
+    from fastparquet_spark.codecs.native import unpack_byte_array_native
+
+    res = unpack_byte_array_native(buf, count, offset)
+    if res is not None:
+        return res
     mv = memoryview(buf)
     lengths = np.empty(count, dtype=np.int64)
     pos = offset

@@ -155,6 +155,36 @@ def column_stats(values, ptype: int) -> ColumnStats:
                        v.dtype.itemsize * 8, 0.0)
 
 
+def column_stats_arrow(arr) -> ColumnStats:
+    """BYTE_ARRAY selection stats straight from an Arrow array: the
+    sample gather, distinct count and run probe all run in Arrow C++
+    (take / count_distinct / not_equal) instead of the numpy
+    fingerprint machinery — same deterministic strided sample, ~10x
+    cheaper per row group on this class of box.  Fingerprint-based
+    ``column_stats`` remains for callers holding raw (lengths, data)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return ColumnStats(0, 1.0, 1.0, 0.0, 0.0, 8, 0.0)
+    idx = _sample_idx(n)
+    s = arr.take(pa.array(idx))
+    k = len(s)
+    distinct = pc.count_distinct(s).as_py() / k
+    head = s.slice(0, min(k, 1024))
+    if len(head) > 1:
+        ne = pc.not_equal(head.slice(1), head.slice(0, len(head) - 1))
+        runs = max(1, pc.sum(ne).as_py() or 0) + 1
+    else:
+        runs = 1
+    mean_run = len(head) / runs
+    avg_len = pc.mean(pc.binary_length(s)).as_py() or 0.0
+    return ColumnStats(n, distinct, mean_run, 0.0, 0.0, 8, float(avg_len))
+
+
 def choose_encoding(stats: ColumnStats, ptype: int, parquet_compat: bool = True) -> int:
     """Pick the encoding for one column chunk.  Returns an Encoding id
     (Encoding.* or the engine-internal FSST sentinel -1 when

@@ -31,7 +31,11 @@ from fastparquet_spark.codecs.delta import delta_encode
 from fastparquet_spark.codecs.dictionary import dict_build, dict_data_page
 from fastparquet_spark.codecs.plain import encode_plain
 from fastparquet_spark.codecs.rle import encode_hybrid
-from fastparquet_spark.codecs.selection import choose_encoding, column_stats
+from fastparquet_spark.codecs.selection import (
+    choose_encoding,
+    column_stats,
+    column_stats_arrow,
+)
 from fastparquet_spark.codecs.varint import uvarint_encode
 from fastparquet_spark.format import thrift
 from fastparquet_spark.format.metadata import (
@@ -310,6 +314,11 @@ class ParquetWriter:
         self.row_groups: list[dict] = []
         self.result = FileResult(rows=0, file_bytes=0)
         self._closed = False
+        # encoding choice per column, made on the FIRST row group and
+        # reused for the rest of the file: the sampling pass
+        # (selection.column_stats) costs ~30% of kernel time, and later
+        # row groups of one task share the first's distribution
+        self._chosen: dict[str, int] = {}
 
     def write_row_group(self, chunk: pa.Table) -> None:
         """Encode one row group from an Arrow table/batch slice."""
@@ -357,9 +366,16 @@ class ParquetWriter:
                 encoding = _ENC_BY_NAME[enc_override]
             elif ptype == Type.FIXED_LEN_BYTE_ARRAY or pa.types.is_decimal(arr.type):
                 encoding = Encoding.PLAIN
+            elif name in self._chosen:
+                encoding = self._chosen[name]
             else:
-                encoding = choose_encoding(column_stats(values, ptype), ptype,
-                                           parquet_compat=True)
+                if ptype == Type.BYTE_ARRAY:
+                    nonnull = arr.drop_null() if arr.null_count else arr
+                    st = column_stats_arrow(nonnull)
+                else:
+                    st = column_stats(values, ptype)
+                encoding = choose_encoding(st, ptype, parquet_compat=True)
+                self._chosen[name] = encoding
 
             dict_page_bytes = None
             n_dict = 0
