@@ -429,6 +429,44 @@ GROUP BY lang, source
 """
 
 
+def engine_decimal38_roundtrip(spark, sf_dir):
+    """precision-38 DECIMAL through OUR writer: derive deterministic
+    decimal(38,10) values from lineitem, encode them distributed with
+    the engine (FIXED_LEN_BYTE_ARRAY(16) big-endian two's complement,
+    the reference's layout, fastparquet/converted_types.py:175-188),
+    read the files back with Spark's scan and aggregate.  The oracle
+    computes the identical aggregates from the raw table, so both the
+    FIXED-decimal encoding and its cross-engine decode must be exact
+    to the last of the 10 fractional digits."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import encode_dataset
+
+    li = relational.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(38,10)").alias("dec"))
+    out = tempfile.mkdtemp(prefix="fps_d38_")
+    encode_dataset(spark, li, out, compression="ZSTD",
+                   partition_cols=("l_linenumber",), num_partitions=4,
+                   sort_within=("l_orderkey",), resume=False).collect()
+    back = spark.read.parquet(f"{out}/part-*.parquet")
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("dec").cast("decimal(38,10)").alias("sum_dec"),
+        F.min("dec").alias("min_dec"),
+        F.max("dec").alias("max_dec"))
+
+
+ORACLES["engine_decimal38_roundtrip"] = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DECIMAL(38,10))
+           AS sum_dec,
+       min(CAST(l_extendedprice AS DECIMAL(38,10))) AS min_dec,
+       max(CAST(l_extendedprice AS DECIMAL(38,10))) AS max_dec
+FROM lineitem
+"""
+
+
 def engine_manifest(spark, sf_dir):
     """Lineage manifest surface (rows-only check: content is wall-clock
     dependent)."""
@@ -527,5 +565,6 @@ WHERE round(list_dot_product(a.e, b.e)
 """
 
 QUERIES["engine_dataset_stats"] = engine_dataset_stats
+QUERIES["engine_decimal38_roundtrip"] = engine_decimal38_roundtrip
 QUERIES["sim_neardup_pairs"] = similarity.sim_neardup_pairs
 QUERIES["sim_neardup_lsh"] = similarity.sim_neardup_lsh

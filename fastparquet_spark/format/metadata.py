@@ -69,6 +69,24 @@ SPECS = {
         (3, "repetition_type", "i32"), (4, "name", "str"),
         (5, "num_children", "i32"), (6, "converted_type", "i32"),
         (7, "scale", "i32"), (8, "precision", "i32"), (9, "field_id", "i32"),
+        (10, "logicalType", ("struct", "LogicalType")),
+    ],
+    # LogicalType is a thrift UNION — in compact protocol that's just a
+    # struct with exactly one field set.  Only the members we read/write
+    # are declared; unknown members skip like any unknown field.
+    "Empty": [],
+    "TimeUnit": [
+        (1, "MILLIS", ("struct", "Empty")),
+        (2, "MICROS", ("struct", "Empty")),
+        (3, "NANOS", ("struct", "Empty")),
+    ],
+    "TimeType": [(1, "isAdjustedToUTC", "bool"),
+                 (2, "unit", ("struct", "TimeUnit"))],
+    "TimestampType": [(1, "isAdjustedToUTC", "bool"),
+                      (2, "unit", ("struct", "TimeUnit"))],
+    "LogicalType": [
+        (7, "TIME", ("struct", "TimeType")),
+        (8, "TIMESTAMP", ("struct", "TimestampType")),
     ],
     "KeyValue": [(1, "key", "str"), (2, "value", "str")],
     "ColumnMetaData": [

@@ -53,9 +53,29 @@ def read_footer_tail(buf: bytes) -> dict:
     return fmd
 
 
+def _lt_unit(member: dict) -> str:
+    u = member.get("unit") or {}
+    if "MILLIS" in u:
+        return "ms"
+    if "NANOS" in u:
+        return "ns"
+    return "us"
+
+
 def _arrow_type(elem: dict) -> pa.DataType:
     conv = elem.get("converted_type")
     pt = elem["type"]
+    # modern LogicalType wins over the legacy converted type when both
+    # are present (parquet-format compat rule; it carries utc/unit
+    # information the converted types cannot express)
+    lt = elem.get("logicalType") or {}
+    if "TIMESTAMP" in lt:
+        ts = lt["TIMESTAMP"]
+        return pa.timestamp(_lt_unit(ts),
+                            "UTC" if ts.get("isAdjustedToUTC") else None)
+    if "TIME" in lt:
+        unit = _lt_unit(lt["TIME"])
+        return pa.time32("ms") if unit == "ms" else pa.time64(unit)
     if conv == ConvertedType.DECIMAL:
         return pa.decimal128(elem.get("precision", 18), elem.get("scale", 0))
     if conv == ConvertedType.INTERVAL:
@@ -310,9 +330,9 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
         return arr
     np_dtype = {pa.bool_(): np.bool_, pa.int32(): np.int32, pa.int64(): np.int64,
                 pa.float32(): np.float32, pa.float64(): np.float64}.get(at)
-    if at in (pa.timestamp("us"), pa.timestamp("ms"), pa.time64("us")):
+    if pa.types.is_timestamp(at) or pa.types.is_time64(at):
         np_dtype = np.int64
-    elif at in (pa.date32(), pa.time32("ms")):
+    elif pa.types.is_date32(at) or pa.types.is_time32(at):
         np_dtype = np.int32
     elif np_dtype is None:
         np_dtype = np.dtype(at.to_pandas_dtype())

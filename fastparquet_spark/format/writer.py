@@ -134,6 +134,24 @@ def _map_type(t: pa.DataType):
     )
 
 
+def _logical_type(t: pa.DataType) -> dict | None:
+    """Modern LogicalType annotation alongside the legacy converted
+    type.  The win is the isAdjustedToUTC flag the converted types
+    can't express: TIME written with utc=false is readable by Spark
+    4.1 as TimeType (``spark.sql.timeType.enabled``) — pyarrow-written
+    TIME files are not (pyarrow stamps utc=true, which Spark rejects)
+    — and a TimestampNTZ column keeps its NTZ-ness on read instead of
+    collapsing to an instant."""
+    if pa.types.is_time32(t):
+        return {"TIME": {"isAdjustedToUTC": False, "unit": {"MILLIS": {}}}}
+    if pa.types.is_time64(t) or pa.types.is_duration(t):
+        return {"TIME": {"isAdjustedToUTC": False, "unit": {"MICROS": {}}}}
+    if pa.types.is_timestamp(t):
+        return {"TIMESTAMP": {"isAdjustedToUTC": t.tz is not None,
+                              "unit": {"MICROS": {}}}}
+    return None
+
+
 def _binary_parts(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(lengths, data) from an Arrow binary/string array's buffers, zero-copy."""
     if isinstance(arr, pa.ChunkedArray):
@@ -300,6 +318,9 @@ class ParquetWriter:
                 conv = ConvertedType.BSON
             elem = {"name": fld.name, "type": ptype,
                     "repetition_type": Repetition.OPTIONAL}
+            lt = _logical_type(fld.type)
+            if lt is not None:
+                elem["logicalType"] = lt
             if conv is not None:
                 elem["converted_type"] = conv
             if ptype == Type.FIXED_LEN_BYTE_ARRAY:

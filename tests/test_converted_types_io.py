@@ -223,3 +223,62 @@ def test_interval_converted_type_read(tmp_path):
     # values, undecoded; our decode must agree with those bytes
     pa_raw = pq.read_table(path).column("iv").to_pylist()
     assert [tuple(struct.unpack("<III", r)) for r in pa_raw] == triples
+
+
+def test_logical_time_readable_by_spark(spark, tmp_path):
+    """Our TIME columns carry LogicalType TIME(isAdjustedToUTC=false),
+    which Spark 4.1 reads as TimeType under spark.sql.timeType.enabled.
+    pyarrow-written TIME files CANNOT do this (pyarrow stamps utc=true,
+    which Spark rejects as PARQUET_TYPE_ILLEGAL) — interop our writer
+    has that the ecosystem default doesn't."""
+    import datetime
+
+    t = pa.table({"t64": pa.array([1_000_000, None, 5], type=pa.time64("us"))})
+    path = str(tmp_path / "lt_time.parquet")
+    write_file(path, t)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    try:
+        df = spark.read.parquet(path)
+        assert dict(df.dtypes) == {"t64": "time(6)"}
+        got = [r["t64"] for r in df.filter("t64 is not null").orderBy("t64").collect()]
+    finally:
+        spark.conf.unset("spark.sql.timeType.enabled")
+    assert got == [datetime.time(0, 0, 0, 5), datetime.time(0, 0, 1)]
+    # the other readers still see plain TIME; ms-precision TIME stays
+    # TIME_MILLIS (Spark's TimeType is micros-only and rejects MILLIS —
+    # a Spark-wide limit, pyarrow files included)
+    assert pq.read_table(path).column("t64").type == pa.time64("us")
+    t32 = pa.table({"t32": pa.array([250, 0, None], type=pa.time32("ms"))})
+    p32 = str(tmp_path / "lt_time32.parquet")
+    write_file(p32, t32)
+    import duckdb
+
+    assert duckdb.sql(f"SELECT max(t32) FROM '{p32}'").fetchone()[0] == \
+        datetime.time(0, 0, 0, 250000)
+
+
+def test_logical_timestamp_ntz_preserved_through_spark(spark, tmp_path):
+    """TimestampNTZ columns round-trip as NTZ: the LogicalType carries
+    isAdjustedToUTC=false, so Spark reads timestamp_ntz back instead of
+    collapsing to an instant; tz-aware columns stay timestamps."""
+    import datetime
+
+    ntz = [datetime.datetime(2024, 3, 1, 12, 30, 15, 123456), None]
+    t = pa.table({
+        "ts_ntz": pa.array(ntz, type=pa.timestamp("us")),
+        "ts_utc": pa.array([1_700_000_000_000_000, None],
+                           type=pa.timestamp("us", tz="UTC")),
+    })
+    path = str(tmp_path / "lt_ts.parquet")
+    write_file(path, t)
+    df = spark.read.parquet(path)
+    kinds = dict(df.dtypes)
+    assert kinds["ts_ntz"] == "timestamp_ntz" and kinds["ts_utc"] == "timestamp"
+    got = df.filter("ts_ntz is not null").collect()[0]["ts_ntz"]
+    assert got == ntz[0]
+    # own reader + pyarrow agree on the NTZ-ness
+    assert pq.read_table(path).schema.field("ts_ntz").type == pa.timestamp("us")
+    assert pq.read_table(path).schema.field("ts_utc").type == pa.timestamp("us", tz="UTC")
+    own = read_file(path)
+    assert own.schema.field("ts_ntz").type == pa.timestamp("us")
+    assert own.column("ts_ntz").to_pylist()[0] == ntz[0]
