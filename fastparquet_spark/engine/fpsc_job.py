@@ -129,13 +129,17 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
     return work.mapInArrow(run, _manifest_struct())
 
 
-def read_fpsc(spark, in_dir: str, schema=None):
+def read_fpsc(spark, in_dir: str, schema=None, columns=None):
     """Distributed decode of an FPSC dataset back to a DataFrame:
     container paths fan out to tasks; each Python worker inflates its
     file with the vectorized decoders (FSST expansion, delta prefix-sum,
     validity reassembly).  The driver-side schema probe reads ONLY the
     first container's footer (never the data blocks), and listing goes
-    through the fs seam so ``in_dir`` may be a URI."""
+    through the fs seam so ``in_dir`` may be a URI.
+
+    ``columns``: projection — workers make RANGED reads of only the
+    requested columns' byte spans (footer offsets), the same IO
+    contract as a parquet column-chunk scan."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     from fastparquet_spark.io import get_fs
@@ -153,13 +157,18 @@ def read_fpsc(spark, in_dir: str, schema=None):
         if not files:
             raise ValueError(f"no .fpsc files under {in_dir}")
         meta = read_container_footer(files[0], fs=fs)
+        cms = meta["columns"]
+        if columns is not None:
+            by_name = {cm["name"]: cm for cm in cms}
+            cms = [by_name[c] for c in columns]
         schema = from_arrow_schema(pa_s.schema(
             [(cm["name"], _type_from_name(cm["arrow_type"]))
-             for cm in meta["columns"]]))
+             for cm in cms]))
 
     rdd = spark.sparkContext.parallelize([(f,) for f in files], len(files))
     paths_df = spark.createDataFrame(
         rdd, StructType([StructField("path", StringType())]))
+    columns_ = list(columns) if columns is not None else None
 
     def inflate(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -169,7 +178,7 @@ def read_fpsc(spark, in_dir: str, schema=None):
         pa_w.set_cpu_count(1)
         for b in batches:
             for path in b.column("path").to_pylist():
-                tbl = read_container(path)
+                tbl = read_container(path, columns=columns_)
                 yield from tbl.to_batches()
 
     return paths_df.mapInArrow(inflate, schema)

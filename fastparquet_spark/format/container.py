@@ -257,7 +257,31 @@ def read_container_footer(source, fs=None) -> dict:
         return json.loads(f.read(flen))
 
 
-def read_container(source, fs=None) -> pa.Table:
+def read_container(source, fs=None, columns=None) -> pa.Table:
+    """Decode an FPSC container (path/URI/bytes) into an Arrow table.
+
+    ``columns``: optional projection — the footer's per-column
+    (offset, size) makes this a RANGED read: only the requested
+    columns' byte spans are fetched and inflated (plus the footer
+    tail), never the whole container.  At scale this is the same
+    contract as parquet column chunks."""
+    if columns is not None and isinstance(source, str):
+        from fastparquet_spark.io import get_fs
+
+        fs_ = get_fs(source, fs)
+        meta = read_container_footer(source, fs=fs_)
+        wanted = [cm for cm in meta["columns"] if cm["name"] in set(columns)]
+        missing = set(columns) - {cm["name"] for cm in wanted}
+        if missing:
+            raise KeyError(f"columns not in container: {sorted(missing)}")
+        arrays = {}
+        with fs_.open_read(source) as f:
+            for cm in wanted:
+                f.seek(cm["offset"])
+                colbuf = f.read(cm["size"])
+                arrays[cm["name"]] = _decode_column(colbuf, cm, 0)
+        # keep the caller's projection order
+        return pa.table({c: arrays[c] for c in columns})
     if isinstance(source, str):
         from fastparquet_spark.io import get_fs
 
@@ -269,41 +293,54 @@ def read_container(source, fs=None) -> pa.Table:
         raise ValueError("not an FPSC container")
     flen = int.from_bytes(buf[-8:-4], "little")
     meta = json.loads(buf[len(buf) - 8 - flen:len(buf) - 8])
+    cols = meta["columns"]
+    if columns is not None:
+        by_name = {cm["name"]: cm for cm in cols}
+        missing = set(columns) - set(by_name)
+        if missing:
+            raise KeyError(f"columns not in container: {sorted(missing)}")
+        cols = [by_name[c] for c in columns]
     arrays = {}
-    for cm in meta["columns"]:
-        pos = cm["offset"]
-        n = cm["n"]
-        ptype = cm["ptype"]
-        null_count = cm["null_count"]
-        bcodec = cm["block_codec"]
-        validity = np.ones(n, dtype=bool)
-        if null_count:
-            levels, pos = decode_hybrid(buf, 1, n, offset=pos)
-            validity = levels.astype(bool)
-        n_nn = int(validity.sum())
-        if cm["codec"] == "fsst":
-            tlen = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
-            ftab, _ = FsstTable.deserialize(buf, pos); pos += tlen
-            llen = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
-            lengths, _ = delta_decode(buf[pos:pos + llen], count=n_nn); pos += llen
-            blen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
-            slen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
-            bcodec2 = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
-            stream = comp.decompress(buf[pos:pos + slen], bcodec2, blen) \
-                if bcodec2 else buf[pos:pos + slen]
-            data = fsst_decode(np.frombuffer(stream, np.uint8, count=blen), ftab)
-            vals = (lengths, data)
-        else:
-            rawlen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
-            blen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
-            body = comp.decompress(buf[pos:pos + blen], bcodec, rawlen)
-            if cm["codec"] == "delta":
-                vals, _ = delta_decode(body, count=n_nn,
-                                       bit_width=32 if ptype == Type.INT32 else 64)
-            else:
-                vals, _ = decode_plain(body, ptype, n_nn)
-        arrays[cm["name"]] = _assemble(validity, vals, cm)
+    for cm in cols:
+        arrays[cm["name"]] = _decode_column(buf, cm, cm["offset"])
     return pa.table(arrays)
+
+
+def _decode_column(buf, cm: dict, pos: int) -> pa.Array:
+    """Inflate one column from ``buf`` starting at ``pos`` (0 when
+    ``buf`` is the column's ranged slice, the footer offset when it is
+    the whole container)."""
+    n = cm["n"]
+    ptype = cm["ptype"]
+    null_count = cm["null_count"]
+    bcodec = cm["block_codec"]
+    validity = np.ones(n, dtype=bool)
+    if null_count:
+        levels, pos = decode_hybrid(buf, 1, n, offset=pos)
+        validity = levels.astype(bool)
+    n_nn = int(validity.sum())
+    if cm["codec"] == "fsst":
+        tlen = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
+        ftab, _ = FsstTable.deserialize(buf, pos); pos += tlen
+        llen = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
+        lengths, _ = delta_decode(buf[pos:pos + llen], count=n_nn); pos += llen
+        blen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+        slen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+        bcodec2 = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
+        stream = comp.decompress(buf[pos:pos + slen], bcodec2, blen) \
+            if bcodec2 else buf[pos:pos + slen]
+        data = fsst_decode(np.frombuffer(stream, np.uint8, count=blen), ftab)
+        vals = (lengths, data)
+    else:
+        rawlen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+        blen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+        body = comp.decompress(buf[pos:pos + blen], bcodec, rawlen)
+        if cm["codec"] == "delta":
+            vals, _ = delta_decode(body, count=n_nn,
+                                   bit_width=32 if ptype == Type.INT32 else 64)
+        else:
+            vals, _ = decode_plain(body, ptype, n_nn)
+    return _assemble(validity, vals, cm)
 
 
 def _assemble(validity: np.ndarray, vals, cm: dict) -> pa.Array:

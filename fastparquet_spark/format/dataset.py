@@ -241,6 +241,60 @@ def write_metadata_sidecar(out_dir: str, fs=None, base: dict | None = None,
     return len(rgs)
 
 
+def _file_generation(rel_path: str) -> int:
+    """Generation of a part file: ``part-gNNN-*`` -> N, first-write
+    files (no g prefix) -> 0.  One append_dataset call == one
+    generation == one Iceberg-snapshot analog (engine/encode_job.py
+    module docstring maps the full correspondence)."""
+    base = os.path.basename(rel_path)
+    stem = base.split("-", 2)
+    if len(stem) >= 2 and stem[1].startswith("g"):
+        try:
+            return int(stem[1][1:]) + 0
+        except ValueError:
+            return 0
+    return 0
+
+
+def dataset_snapshots(out_dir: str, fs=None) -> list[dict]:
+    """Snapshot listing, one row per generation (Iceberg's snapshot
+    log analog over the `part-g{N}` naming + `_manifests/` lineage):
+    {generation, files, rows, bytes, cumulative_rows}.  Metadata-only
+    — footers (or the single `_metadata` sidecar) are the source."""
+    gens: dict[int, dict] = {}
+    for m in dataset_metadata(out_dir, fs=fs):
+        g = _file_generation(m["file"])
+        slot = gens.setdefault(g, {"generation": g, "files": 0,
+                                   "rows": 0, "bytes": 0})
+        slot["files"] += 1
+        slot["rows"] += m["fmd"]["num_rows"]
+        slot["bytes"] += sum(rg["total_byte_size"]
+                             for rg in m["fmd"]["row_groups"])
+    out = [gens[g] for g in sorted(gens)]
+    cum = 0
+    for s in out:
+        cum += s["rows"]
+        s["cumulative_rows"] = cum
+    return out
+
+
+def read_snapshot(spark, out_dir: str, generation: int, fs=None):
+    """Time travel: DataFrame over the dataset AS OF ``generation`` —
+    every part file with generation <= the requested one (appends are
+    the only mutation, so a snapshot is a prefix of the file set).
+    Raises on an unknown generation so a typo can't silently read the
+    full dataset."""
+    metas = dataset_metadata(out_dir, fs=fs)
+    gens = {_file_generation(m["file"]) for m in metas}
+    if generation not in gens:
+        raise ValueError(
+            f"unknown generation {generation}; dataset has {sorted(gens)}")
+    keep = [m["file"] for m in metas
+            if _file_generation(m["file"]) <= generation]
+    return (spark.read.option("basePath", out_dir)
+            .parquet(*[out_dir.rstrip("/") + "/" + f for f in keep]))
+
+
 def _iter_chunks(metas):
     """Yield (file, rg_index, {col: (min,max,nulls,nvals)}) per row group.
 

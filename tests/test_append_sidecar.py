@@ -190,3 +190,39 @@ def test_hive_many_keys_bounded_writers(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 8000
     assert back.filter("k = 'k07'").count() == 200
+
+
+def test_snapshots_and_time_travel(spark, tmp_path):
+    """Generations are queryable snapshots: dataset_snapshots lists one
+    row per append (metadata-only), read_snapshot(g) reads the dataset
+    AS OF that generation — the Iceberg snapshot-log/time-travel analog
+    over part-g{N} naming."""
+    from fastparquet_spark.engine import append_dataset, encode_dataset
+    from fastparquet_spark.format.dataset import (
+        dataset_snapshots, read_snapshot,
+    )
+
+    out = str(tmp_path / "tt")
+    encode_dataset(spark, _df(spark, 0, 1000), out, num_partitions=2,
+                   salt_rows=10**9).collect()
+    write_metadata_sidecar(out)
+    append_dataset(spark, _df(spark, 1000, 1600), out,
+                   num_partitions=2, salt_rows=10**9, resume=False)
+    append_dataset(spark, _df(spark, 1600, 1900), out,
+                   num_partitions=2, salt_rows=10**9, resume=False)
+    snaps = dataset_snapshots(out)
+    assert [s["generation"] for s in snaps] == [0, 1, 2]
+    assert [s["rows"] for s in snaps] == [1000, 600, 300]
+    assert [s["cumulative_rows"] for s in snaps] == [1000, 1600, 1900]
+    assert read_snapshot(spark, out, 0).count() == 1000
+    assert read_snapshot(spark, out, 1).count() == 1600
+    df2 = read_snapshot(spark, out, 2)
+    assert df2.count() == 1900
+    # snapshot content is exact, not just counts
+    assert df2.agg({"path": "max"}).collect()[0][0] == "src/f999.py"
+    assert read_snapshot(spark, out, 1).filter("path = 'src/f1599.py'").count() == 1
+    assert read_snapshot(spark, out, 0).filter("path = 'src/f1599.py'").count() == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown generation"):
+        read_snapshot(spark, out, 7)

@@ -163,3 +163,62 @@ def test_fpsc_job_uri_and_footer_only_probe(spark, tmp_path, monkeypatch):
     # exactly the 8-byte tail + the JSON footer, never the data blocks
     assert counting.bytes_read <= flen + 16, \
         f"probe read {counting.bytes_read} bytes; footer is {flen}"
+
+
+def test_container_column_projection_is_ranged(tmp_path):
+    """read_container(columns=) fetches ONLY the projected columns'
+    byte spans + the footer (byte-counted), and the values equal the
+    full read's."""
+    import os
+
+    import pyarrow as pa
+
+    from fastparquet_spark import io as fio
+    from fastparquet_spark.format.container import (
+        read_container, read_container_footer, write_container,
+    )
+
+    t = pa.table({
+        "id": pa.array(range(5000)),
+        "content": pa.array([f"payload body {i % 97} " * 20
+                             for i in range(5000)]),
+        "lang": pa.array([["py", "rs"][i % 2] for i in range(5000)]),
+    })
+    path = str(tmp_path / "proj.fpsc")
+    write_container(path, t, compression="ZSTD")
+    full = read_container(path)
+
+    counting = fio.CountingFS(fio.LocalFS())
+    got = read_container(path, fs=counting, columns=["lang", "id"])
+    assert got.column_names == ["lang", "id"]  # projection order kept
+    assert got.column("id").to_pylist() == full.column("id").to_pylist()
+    assert got.column("lang").to_pylist() == full.column("lang").to_pylist()
+    meta = read_container_footer(path)
+    sizes = {cm["name"]: cm["size"] for cm in meta["columns"]}
+    with open(path, "rb") as f:
+        f.seek(os.path.getsize(path) - 8)
+        flen = int.from_bytes(f.read(4), "little")
+    # exact IO budget: footer tail + exactly the two projected columns'
+    # spans — the content column's bytes are never touched
+    assert counting.bytes_read <= flen + 16 + sizes["lang"] + sizes["id"], \
+        f"read {counting.bytes_read}; budget {flen + 16 + sizes['lang'] + sizes['id']}"
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        read_container(path, columns=["nope"])
+
+
+def test_read_fpsc_projection(spark, tmp_path):
+    from fastparquet_spark.engine.fpsc_job import encode_dataset_fpsc, read_fpsc
+
+    df = spark.createDataFrame(
+        [(f"r{i % 3}", f"p{i}", "c", "python", f"text {i % 13} " * 30)
+         for i in range(3000)],
+        "repo string, path string, commit string, lang string, content string")
+    out = str(tmp_path / "fpsc_proj")
+    encode_dataset_fpsc(spark, df, out, num_partitions=2,
+                        salt_rows=10**9).collect()
+    got = read_fpsc(spark, out, columns=["repo", "path"])
+    assert got.columns == ["repo", "path"]
+    assert got.count() == 3000
+    assert got.selectExpr("count(distinct repo)").collect()[0][0] == 3
