@@ -467,6 +467,42 @@ FROM lineitem
 """
 
 
+def engine_embeddings_roundtrip(spark, sf_dir):
+    """LIST columns through OUR writer (3-level Dremel levels the
+    reference can only read, never write — fastparquet/writer.py:472):
+    encode the embeddings table (array<float>) distributed, read back
+    with Spark's scan, aggregate per vector.  The oracle computes the
+    same per-vector sums from the raw table (decimal-exact folding, the
+    sim_ann_ivf pattern), so every element of every list must survive
+    the level generation and reassembly bit-exact."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import encode_dataset
+
+    emb = relational.load(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="fps_el_")
+    encode_dataset(spark, emb, out, compression="ZSTD",
+                   num_partitions=4, sort_within=("vec_id",),
+                   resume=False).collect()
+    back = spark.read.parquet(f"{out}/part-*.parquet")
+    pos = back.select("vec_id", "label",
+                      F.posexplode("embedding").alias("pos", "v"))
+    return (pos.groupBy("vec_id", "label")
+            .agg(F.count("*").alias("n_dims"),
+                 F.round(F.sum(F.col("v").cast("double")
+                               .cast("decimal(30,10)")).cast("double"), 6)
+                 .alias("vec_sum")))
+
+
+ORACLES["engine_embeddings_roundtrip"] = """
+SELECT vec_id, label, count(*) AS n_dims,
+       round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE), 6)
+           AS vec_sum
+FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)
+GROUP BY vec_id, label
+"""
+
+
 def engine_manifest(spark, sf_dir):
     """Lineage manifest surface (rows-only check: content is wall-clock
     dependent)."""
@@ -566,5 +602,6 @@ WHERE round(list_dot_product(a.e, b.e)
 
 QUERIES["engine_dataset_stats"] = engine_dataset_stats
 QUERIES["engine_decimal38_roundtrip"] = engine_decimal38_roundtrip
+QUERIES["engine_embeddings_roundtrip"] = engine_embeddings_roundtrip
 QUERIES["sim_neardup_pairs"] = similarity.sim_neardup_pairs
 QUERIES["sim_neardup_lsh"] = similarity.sim_neardup_lsh

@@ -93,6 +93,19 @@ def _arrow_manifest_batch(row: dict) -> pa.RecordBatch:
 _PAYLOAD_NAMES = {"content", "text", "payload", "body", "blob", "props"}
 
 
+def _salt_cols(df) -> list:
+    """Columns cheap and legal to hash for the salt: identity-ish
+    atomics — payload byte columns (hashing them touches every byte of
+    a 100 TB table just to pick a bucket) and complex types (arrays/
+    maps/structs) are excluded."""
+    out = [f.name for f in df.schema.fields
+           if f.name != "__key_rows"
+           and f.name.lower() not in _PAYLOAD_NAMES
+           and f.dataType.typeName() not in ("array", "map", "struct",
+                                             "binary")]
+    return out or [df.schema.fields[0].name]
+
+
 def _salted(df, partition_cols, salt_rows: int, num_partitions: int):
     """Repartition by partition_cols + salt; salt width per key comes from a
     broadcast-joined count so skewed keys split across tasks.
@@ -100,18 +113,25 @@ def _salted(df, partition_cols, salt_rows: int, num_partitions: int):
     Only SKEWED keys (count > salt_rows) enter the broadcast: at 10^8
     distinct keys a full count table exceeds any sane broadcast limit,
     while the skewed head is small by definition (non-skewed keys default
-    to 1 bucket anyway via the left join's null)."""
+    to 1 bucket anyway via the left join's null).
+
+    Columns absent from ``df`` are dropped from the key; with NO key
+    columns left (keyless tables, e.g. an embeddings table) rows spread
+    uniformly by identity-column hash — no key means no skew."""
     from pyspark.sql import functions as F
 
-    cols = list(partition_cols)
+    cols = [c for c in partition_cols if c in df.columns]
+    if not cols:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in _salt_cols(df)]),
+                      F.lit(num_partitions))
+        return df.repartition(num_partitions, salt)
     counts = (df.groupBy(*cols).agg(F.count("*").alias("__key_rows"))
               .filter(F.col("__key_rows") > salt_rows))
     df = df.join(F.broadcast(counts), on=cols, how="left")
     buckets = F.when(
         F.col("__key_rows").isNull(), F.lit(1)
     ).otherwise(F.ceil(F.col("__key_rows") / F.lit(salt_rows)))
-    salt_cols = [c for c in df.columns
-                 if c != "__key_rows" and c.lower() not in _PAYLOAD_NAMES] or cols
+    salt_cols = _salt_cols(df)
     df = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
                          buckets).cast("int"),

@@ -129,8 +129,9 @@ def _map_type(t: pa.DataType):
         # FIXED-decimal branch mirrors it (format/reader.py _to_arrow)
         return Type.FIXED_LEN_BYTE_ARRAY, ConvertedType.DECIMAL, None
     raise TypeError(
-        f"unsupported arrow type {t} (flat schemas only, like the reference "
-        "writer: 'No nested field handling', fastparquet/writer.py:472)"
+        f"unsupported arrow type {t} (LIST columns are handled a level up "
+        "in ParquetWriter; deeper nesting is out of scope — the reference "
+        "writer is flat-only entirely, fastparquet/writer.py:472)"
     )
 
 
@@ -304,8 +305,39 @@ class ParquetWriter:
         self.want_stats = stats
         self.page_version = data_page_version
         self.schema_elems = [{"name": "schema", "num_children": len(schema)}]
-        self.col_meta = []  # (ptype, cast-to, name)
+        self.col_meta = []  # (ptype, cast-to, name); ptype "list" = nested
         for fld in schema:
+            if pa.types.is_list(fld.type) or pa.types.is_large_list(fld.type):
+                # LIST write — BEYOND the reference (its writer is flat
+                # only, fastparquet/writer.py:472 'No nested field
+                # handling'; only its READER does Dremel).  Standard
+                # 3-level layout: optional group (LIST) > repeated
+                # group 'list' > optional 'element' leaf; max_def=3,
+                # max_rep=1.  Our assembly reader, pyarrow, DuckDB and
+                # Spark all reassemble it.
+                etype = fld.type.value_type
+                eptype, econv, ecast = _map_type(etype)
+                self.schema_elems.append(
+                    {"name": fld.name, "repetition_type": Repetition.OPTIONAL,
+                     "converted_type": ConvertedType.LIST, "num_children": 1})
+                self.schema_elems.append(
+                    {"name": "list", "repetition_type": Repetition.REPEATED,
+                     "num_children": 1})
+                eelem = {"name": "element", "type": eptype,
+                         "repetition_type": Repetition.OPTIONAL}
+                if econv is not None:
+                    eelem["converted_type"] = econv
+                if eptype == Type.FIXED_LEN_BYTE_ARRAY:
+                    eelem["type_length"] = etype.byte_width
+                if econv == ConvertedType.DECIMAL:
+                    eelem["scale"] = etype.scale
+                    eelem["precision"] = etype.precision
+                lt = _logical_type(etype)
+                if lt is not None:
+                    eelem["logicalType"] = lt
+                self.schema_elems.append(eelem)
+                self.col_meta.append(("list", (eptype, ecast), fld.name))
+                continue
             ptype, conv, cast_to = _map_type(fld.type)
             # JSON/BSON annotations (reference fastparquet/writer.py:114-154
             # object-encoding 'json'/'bson') are requested via Arrow field
@@ -340,6 +372,74 @@ class ParquetWriter:
         # (selection.column_stats) costs ~30% of kernel time, and later
         # row groups of one task share the first's distribution
         self._chosen: dict[str, int] = {}
+
+    def _write_list_column(self, arr: pa.Array, name: str, meta, pos: int):
+        """One LIST column chunk: vectorized Dremel level GENERATION
+        (the write-side mirror of format/assembly.py's read side) + a
+        PLAIN-encoded element page.  Levels: null row -> def 0, empty
+        list -> 1, null element -> 2, value -> 3; rep 0 starts a row."""
+        import pyarrow.compute as pc
+
+        eptype, ecast = meta
+        if pa.types.is_large_list(arr.type):
+            arr = arr.cast(pa.list_(arr.type.value_type))
+        n = len(arr)
+        row_valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                             count=n + 1, offset=arr.offset * 4).astype(np.int64)
+        lens = np.diff(offs)
+        lens_v = np.where(row_valid, lens, 0)
+        entries = np.maximum(lens_v, 1)        # null/empty rows carry 1 entry
+        total = int(entries.sum())
+        row_start = np.zeros(n, dtype=np.int64)
+        np.cumsum(entries[:-1], out=row_start[1:])
+        reps = np.ones(total, dtype=np.uint8)
+        reps[row_start] = 0
+        defs = np.full(total, 3, dtype=np.uint8)
+        defs[row_start[~row_valid]] = 0
+        defs[row_start[row_valid & (lens == 0)]] = 1
+        flat = pc.list_flatten(arr)            # elements of non-null lists
+        if flat.null_count:
+            elem_mask = np.ones(total, dtype=bool)
+            elem_mask[row_start[~row_valid]] = False
+            elem_mask[row_start[row_valid & (lens == 0)]] = False
+            idx = np.nonzero(elem_mask)[0]
+            evalid = flat.is_valid().to_numpy(zero_copy_only=False)
+            defs[idx[~evalid]] = 2
+            flat = flat.drop_null()
+        if ecast is not None and flat.type != ecast:
+            flat = flat.cast(ecast)
+        values = _extract(flat, eptype)
+        data = encode_plain(values, eptype)
+        rep_b = encode_hybrid(reps, 1)
+        def_b = encode_hybrid(defs, 2)
+        body = (len(rep_b).to_bytes(4, "little") + rep_b
+                + len(def_b).to_bytes(4, "little") + def_b + data)
+        comp_body = comp.compress(body, self.codec)
+        ph = thrift.write_struct("PageHeader", {
+            "type": PageType.DATA_PAGE,
+            "uncompressed_page_size": len(body),
+            "compressed_page_size": len(comp_body),
+            "data_page_header": {
+                "num_values": total, "encoding": Encoding.PLAIN,
+                "definition_level_encoding": Encoding.RLE,
+                "repetition_level_encoding": Encoding.RLE},
+        }, SPECS)
+        written = len(ph) + len(comp_body)
+        self.f.write(ph)
+        self.f.write(comp_body)
+        cmd = {"type": eptype, "encodings": [Encoding.RLE, Encoding.PLAIN],
+               "path_in_schema": [name, "list", "element"],
+               "codec": self.codec, "num_values": total,
+               "total_uncompressed_size": len(body) + len(ph),
+               "total_compressed_size": written,
+               "data_page_offset": pos}
+        nulls = int((defs < 3).sum())
+        colres = ColumnResult(
+            name=name, encoding="plain", num_values=total,
+            null_count=nulls, uncompressed_size=len(body) + len(ph),
+            compressed_size=written)
+        return written, {"file_offset": pos, "meta_data": cmd}, colres
 
     def write_row_group(self, chunk: pa.Table) -> None:
         """Encode one row group from an Arrow table/batch slice."""
@@ -376,6 +476,14 @@ class ParquetWriter:
         rg_bytes = 0
         for ci, (ptype, cast_to, name) in enumerate(self.col_meta):
             arr = chunk.column(ci).combine_chunks()
+            if ptype == "list":
+                written, cmd_entry, colres = self._write_list_column(
+                    arr, name, cast_to, pos)
+                chunks_cols.append(cmd_entry)
+                self.result.columns.append(colres)
+                rg_bytes += written
+                pos += written
+                continue
             if cast_to is not None and arr.type != cast_to:
                 arr = arr.cast(cast_to)
             n = len(arr)
