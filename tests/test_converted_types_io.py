@@ -140,11 +140,10 @@ def test_decimal38_flba_roundtrip(tmp_path):
 
 def test_duration_roundtrip(tmp_path):
     """duration columns map to TIME_MICROS int64 like the reference's
-    timedelta64 handling (fastparquet/writer.py:203-205).
-
-    Spark (4.1) cannot read parquet TIME columns at all — including
-    pyarrow-written ones — so the cross-reader checks here are
-    pyarrow/DuckDB/own-reader; that gap is Spark-wide, not ours."""
+    timedelta64 handling (fastparquet/writer.py:203-205), annotated
+    with LogicalType TIME(utc=false) — which makes them Spark-readable
+    (test_logical_time_readable_by_spark covers the Spark leg; pyarrow-
+    written TIME files remain unreadable by Spark, utc=true)."""
     import duckdb
 
     us = [3_600_000_000, None, 1, 86_399_999_999]
