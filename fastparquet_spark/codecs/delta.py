@@ -171,7 +171,25 @@ def delta_decode(buf, offset: int = 0, count: int | None = None,
     sequential part, since varints are variable-length), then ONE
     ``unpack_bits`` per distinct width across all miniblocks, scattered
     into place.  Handles any (block_size, miniblocks) the header declares
-    (third-party writers vary)."""
+    (third-party writers vary).  A C kernel (codecs/native.py) takes the
+    whole stream when available; this numpy path is the fallback and the
+    differential oracle."""
+    pos0 = offset
+    hdr_pos = offset
+    _bs, hdr_pos = uvarint_decode(buf, hdr_pos)
+    _mb, hdr_pos = uvarint_decode(buf, hdr_pos)
+    hdr_total, hdr_pos = uvarint_decode(buf, hdr_pos)
+    if count is not None and count != hdr_total:
+        raise ValueError(f"count mismatch: header {hdr_total} != expected {count}")
+    from fastparquet_spark.codecs.native import delta_unpack_native
+
+    res = delta_unpack_native(buf, pos0, hdr_total)
+    if res is not None:
+        out, pos = res
+        if bit_width < 64:
+            out = _wrap(out, bit_width)
+        return out, pos
+
     pos = offset
     block_size, pos = uvarint_decode(buf, pos)
     miniblocks, pos = uvarint_decode(buf, pos)

@@ -109,6 +109,102 @@ long fsst_decode_c(const uint8_t *in, long n, uint8_t *out,
     return o;
 }
 
+/* DELTA_BINARY_PACKED decode: header varints + per-block min_delta /
+ * widths / bit-packed miniblocks, values reconstructed by prefix sum.
+ * out capacity must be >= total header count.  Returns the position
+ * after the consumed payload, or -1 on malformed input. */
+static uint64_t dbp_uvarint(const uint8_t *in, long n, long *pos)
+{
+    uint64_t v = 0;
+    int shift = 0;
+    while (*pos < n) {
+        uint8_t b = in[(*pos)++];
+        v |= ((uint64_t)(b & 0x7F)) << shift;
+        if (!(b & 0x80))
+            return v;
+        shift += 7;
+        if (shift > 63)
+            break;
+    }
+    return v;
+}
+
+long delta_unpack_c(const uint8_t *in, long n, long pos, int64_t *out,
+                    long expect_total)
+{
+    uint64_t block_size = dbp_uvarint(in, n, &pos);
+    uint64_t miniblocks = dbp_uvarint(in, n, &pos);
+    uint64_t total = dbp_uvarint(in, n, &pos);
+    uint64_t zz = dbp_uvarint(in, n, &pos);
+    /* unsigned accumulation throughout: int64 overflow is DEFINED
+     * modular behaviour in the format (our encoder wraps at the type
+     * width) but UB for signed C arithmetic */
+    uint64_t value = (zz >> 1) ^ (uint64_t)(-(int64_t)(zz & 1));
+    long vpm, written = 0, ndeltas, i;
+    if (miniblocks == 0 || block_size % miniblocks || total != (uint64_t)expect_total)
+        return -1;
+    vpm = (long)(block_size / miniblocks);
+    if (total == 0)
+        return pos;
+    out[written++] = (int64_t)value;
+    ndeltas = (long)total - 1;
+    while (ndeltas > 0) {
+        uint64_t mdzz = dbp_uvarint(in, n, &pos);
+        uint64_t min_delta = (mdzz >> 1) ^ (uint64_t)(-(int64_t)(mdzz & 1));
+        const uint8_t *widths = in + pos;
+        if (pos + (long)miniblocks > n)
+            return -1;
+        pos += (long)miniblocks;
+        for (i = 0; i < (long)miniblocks && ndeltas > 0; i++) {
+            int w = widths[i];
+            long take = ndeltas < vpm ? ndeltas : vpm;
+            if (w == 0) {
+                long j;
+                for (j = 0; j < take; j++) {
+                    value += min_delta;
+                    out[written++] = (int64_t)value;
+                }
+            } else if (w >= 64) {
+                long j, bytes = 8 * vpm;
+                if (pos + bytes > n)
+                    return -1;
+                for (j = 0; j < vpm; j++) {
+                    uint64_t d;
+                    memcpy(&d, in + pos, 8);
+                    pos += 8;
+                    if (j < take) {
+                        value += min_delta + d;
+                        out[written++] = (int64_t)value;
+                    }
+                }
+            } else {
+                uint64_t acc = 0;
+                int nbits = 0;
+                long j, bytes = ((long)w * vpm) >> 3;
+                uint64_t mask = (1ULL << w) - 1;
+                if (w > 57)
+                    return -2;  /* accumulator can't span; caller falls back */
+                if (pos + bytes > n)
+                    return -1;
+                for (j = 0; j < vpm; j++) {
+                    while (nbits < w) {
+                        acc |= ((uint64_t)in[pos++]) << nbits;
+                        nbits += 8;
+                    }
+                    if (j < take) {
+                        value += min_delta + (acc & mask);
+                        out[written++] = (int64_t)value;
+                    }
+                    acc >>= w;
+                    nbits -= w;
+                }
+            }
+            ndeltas -= take;
+        }
+    }
+    return pos;
+}
+
 /* PLAIN BYTE_ARRAY framing: <u4 len><bytes>... (write side).
  * out capacity must be >= 4*n + sum(lens).  Returns bytes written. */
 long pack_byte_array_c(const int64_t *lens, long n, const uint8_t *data,
@@ -198,6 +294,10 @@ def _load() -> ctypes.CDLL | None:
         lib.pack_byte_array_c.restype = ctypes.c_long
         lib.pack_byte_array_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p]
+        lib.delta_unpack_c.restype = ctypes.c_long
+        lib.delta_unpack_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_long]
         lib.unpack_byte_array_c.restype = ctypes.c_long
         lib.unpack_byte_array_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
@@ -262,6 +362,28 @@ def unpack_byte_array_native(buf, count: int, offset: int):
     if pos < 0:
         raise ValueError("byte-array framing overruns the page buffer")
     return lens, data[: int(lens.sum())], int(pos)
+
+
+def delta_unpack_native(buf, offset: int, total: int):
+    """C DELTA_BINARY_PACKED decode from ``offset``; returns
+    (int64 values, next_pos) or None when unavailable / the stream
+    uses >57-bit miniblock widths (accumulator limit — caller falls
+    back to the vectorized numpy path)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) \
+        else np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.empty(total, dtype=np.int64)
+    pos = lib.delta_unpack_c(src.ctypes.data, len(src), offset,
+                             out.ctypes.data, total)
+    if pos == -2:
+        return None
+    if pos < 0:
+        raise ValueError("malformed DELTA_BINARY_PACKED stream")
+    return out, int(pos)
 
 
 def fsst_decode_native(buf, dplan, escape: int):

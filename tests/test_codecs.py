@@ -194,3 +194,42 @@ def test_legacy_lz4_hadoop_roundtrip(tmp_path):
     )
     block = pa.Codec("lz4_raw").compress(b"x" * 1000).to_pybytes()
     assert _lz4_hadoop_decompress(block, 1000) == b"x" * 1000
+
+
+def test_delta_decode_native_matches_numpy():
+    """The C DELTA decoder and the vectorized numpy decoder must return
+    identical values AND stream positions for any encoder output,
+    including the >57-bit-width streams the C kernel hands back."""
+    import os
+
+    import numpy as np
+
+    import fastparquet_spark.codecs.native as native
+    from fastparquet_spark.codecs.delta import delta_decode, delta_encode
+
+    if native._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(21)
+    cases = [
+        np.cumsum(rng.integers(0, 50, 50_000)).astype(np.int64),
+        rng.integers(-(1 << 31), 1 << 31, 20_000).astype(np.int64),
+        rng.integers(-(1 << 62), 1 << 62, 5_000).astype(np.int64),
+        np.array([-(2**63), 2**63 - 1, 0, -1, 5], np.int64),
+        np.array([7], np.int64),
+        np.array([], np.int64),
+    ]
+    for v in cases:
+        for bw in (32, 64) if len(v) and v.max() < 2**31 and v.min() >= -(2**31) else (64,):
+            enc = delta_encode(v, bit_width=bw)
+            got_c, pos_c = delta_decode(enc, count=len(v), bit_width=bw)
+            os.environ["FPS_DISABLE_NATIVE"] = "1"
+            native._lib, native._lib_tried = None, False
+            try:
+                got_np, pos_np = delta_decode(enc, count=len(v), bit_width=bw)
+            finally:
+                del os.environ["FPS_DISABLE_NATIVE"]
+                native._lib, native._lib_tried = None, False
+            assert pos_c == pos_np
+            assert np.array_equal(got_c, got_np)
