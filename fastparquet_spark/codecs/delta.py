@@ -93,6 +93,11 @@ def delta_encode(values: np.ndarray, bit_width: int = 64) -> bytes:
     """
     v = np.ascontiguousarray(values, dtype=np.int64)
     n = len(v)
+    from fastparquet_spark.codecs.native import delta_pack_native
+
+    res = delta_pack_native(v, bit_width)
+    if res is not None:
+        return res
     header = (
         uvarint_encode(BLOCK_SIZE)
         + uvarint_encode(MINIBLOCKS)
@@ -121,18 +126,20 @@ def delta_encode(values: np.ndarray, bit_width: int = 64) -> bytes:
     used = (nreal + VALUES_PER_MINIBLOCK - 1) // VALUES_PER_MINIBLOCK
     mb_used = np.arange(MINIBLOCKS) < used[:, None]          # (nblocks, MB)
     mb_max = mbs.max(axis=2)
-    # bit width per miniblock: ceil(log2(max+1)), 0 for unused/zero blocks.
-    # float64 log2 can only OVERestimate the width (x >= 2^(k-1) rounds to
-    # a float >= 2^(k-1), so floor(log2) >= k-1), and only by crossing a
-    # power of two — clipping to the type width is therefore exact.  A max
-    # shifted delta within ~2048 of 2^64 otherwise yields width 65 and a
-    # pack_bits ValueError on legal int64 input.
+    # bit width per miniblock: EXACT integer bit length of the max
+    # shifted delta (0 for unused/zero blocks).  float64 log2 can only
+    # OVERestimate (x >= 2^(k-1) rounds to a float >= 2^(k-1)) and only
+    # by crossing a power of two, so one decrement-check makes it exact
+    # — required for the C encoder to produce bit-identical streams.
     widths = np.zeros((nblocks, MINIBLOCKS), dtype=np.uint8)
     nz = (mb_max > 0) & mb_used
-    widths[nz] = np.minimum(
+    w = np.minimum(
         np.floor(np.log2(mb_max[nz].astype(np.float64))).astype(np.uint64) + 1,
         bit_width,
-    ).astype(np.uint8)
+    ).astype(np.uint64)
+    over = (w > 1) & (mb_max[nz] < (np.uint64(1) << (w - np.uint64(1))))
+    w[over] -= 1
+    widths[nz] = w.astype(np.uint8)
 
     # ---- vectorized assembly: sizes -> offsets -> three scatters --------
     vflat, vlen = _uvarint_encode_array(zigzag_encode(min_delta))

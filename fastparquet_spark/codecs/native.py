@@ -205,6 +205,105 @@ long delta_unpack_c(const uint8_t *in, long n, long pos, int64_t *out,
     return pos;
 }
 
+/* DELTA_BINARY_PACKED encode: mirrors the numpy encoder BIT-EXACTLY
+ * (block 128 / 4 miniblocks of 32, zigzag varint header and
+ * min_deltas, exact bit widths, LSB-first packing, stored deltas
+ * masked to the type width).  Streams with any miniblock width >57
+ * return -2 (accumulator limit) and the caller falls back to numpy.
+ * out capacity: 40 + nblocks*(14 + 4 + 128*8) is always enough. */
+static long dbp_putuv(uint8_t *out, long o, uint64_t v)
+{
+    while (v > 127) {
+        out[o++] = (uint8_t)((v & 0x7F) | 0x80);
+        v >>= 7;
+    }
+    out[o++] = (uint8_t)v;
+    return o;
+}
+
+long delta_pack_c(const int64_t *v, long n, uint8_t *out, int bit_width)
+{
+    long o = 0, nd = n - 1, b, i, j;
+    uint64_t span_mask = bit_width >= 64 ? ~0ULL
+        : ((1ULL << bit_width) - 1);
+    uint64_t half = bit_width >= 64 ? 0 : (1ULL << (bit_width - 1));
+    o = dbp_putuv(out, o, 128);
+    o = dbp_putuv(out, o, 4);
+    o = dbp_putuv(out, o, (uint64_t)n);
+    {
+        uint64_t f = n ? (uint64_t)v[0] : 0;
+        o = dbp_putuv(out, o, n ? ((f << 1) ^ (uint64_t)((int64_t)f >> 63)) : 0);
+    }
+    if (nd <= 0)
+        return o;
+    for (b = 0; b < nd; b += 128) {
+        long nreal = nd - b < 128 ? nd - b : 128;
+        int64_t mind = 0;
+        int first = 1;
+        int64_t deltas[128];
+        uint64_t shifted[128];
+        for (i = 0; i < nreal; i++) {
+            uint64_t d = (uint64_t)v[b + i + 1] - (uint64_t)v[b + i];
+            if (bit_width < 64)  /* modular wrap into the signed range */
+                d = ((d + half) & span_mask) - half;
+            deltas[i] = (int64_t)d;
+            if (first || deltas[i] < mind) {
+                mind = deltas[i];
+                first = 0;
+            }
+        }
+        for (i = 0; i < nreal; i++) {
+            uint64_t s = (uint64_t)deltas[i] - (uint64_t)mind;
+            shifted[i] = bit_width < 64 ? (s & span_mask) : s;
+        }
+        for (i = nreal; i < 128; i++)
+            shifted[i] = 0;
+        {
+            uint64_t zzm = ((uint64_t)mind << 1) ^ (uint64_t)(mind >> 63);
+            long used = (nreal + 31) / 32;
+            int widths[4];
+            long wo;
+            o = dbp_putuv(out, o, zzm);
+            for (i = 0; i < 4; i++) {
+                uint64_t mx = 0;
+                widths[i] = 0;
+                if (i < used) {
+                    for (j = 0; j < 32; j++)
+                        if (shifted[i * 32 + j] > mx)
+                            mx = shifted[i * 32 + j];
+                    while (mx) {
+                        widths[i]++;
+                        mx >>= 1;
+                    }
+                }
+                if (widths[i] > 57)
+                    return -2;
+            }
+            wo = o;
+            for (i = 0; i < 4; i++)
+                out[o++] = (uint8_t)widths[i];
+            (void)wo;
+            for (i = 0; i < 4; i++) {
+                int w = widths[i];
+                uint64_t acc = 0;
+                int nbits = 0;
+                if (!w)
+                    continue;
+                for (j = 0; j < 32; j++) {
+                    acc |= (shifted[i * 32 + j] & ((1ULL << w) - 1)) << nbits;
+                    nbits += w;
+                    while (nbits >= 8) {
+                        out[o++] = (uint8_t)acc;
+                        acc >>= 8;
+                        nbits -= 8;
+                    }
+                }
+            }
+        }
+    }
+    return o;
+}
+
 /* PLAIN BYTE_ARRAY framing: <u4 len><bytes>... (write side).
  * out capacity must be >= 4*n + sum(lens).  Returns bytes written. */
 long pack_byte_array_c(const int64_t *lens, long n, const uint8_t *data,
@@ -298,6 +397,9 @@ def _load() -> ctypes.CDLL | None:
         lib.delta_unpack_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_long]
+        lib.delta_pack_c.restype = ctypes.c_long
+        lib.delta_pack_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
         lib.unpack_byte_array_c.restype = ctypes.c_long
         lib.unpack_byte_array_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
@@ -362,6 +464,25 @@ def unpack_byte_array_native(buf, count: int, offset: int):
     if pos < 0:
         raise ValueError("byte-array framing overruns the page buffer")
     return lens, data[: int(lens.sum())], int(pos)
+
+
+def delta_pack_native(values, bit_width: int):
+    """C DELTA_BINARY_PACKED encode; bytes, or None when unavailable or
+    a miniblock needs >57-bit packing (caller falls back to numpy —
+    whose output is bit-identical where both run)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    n = len(v)
+    nblocks = max((n - 1 + 127) // 128, 0) if n else 0
+    out = np.empty(48 + nblocks * (20 + 4 + 128 * 8), dtype=np.uint8)
+    written = lib.delta_pack_c(v.ctypes.data, n, out.ctypes.data, bit_width)
+    if written == -2:
+        return None
+    return out[:written].tobytes()
 
 
 def delta_unpack_native(buf, offset: int, total: int):

@@ -233,3 +233,43 @@ def test_delta_decode_native_matches_numpy():
                 native._lib, native._lib_tried = None, False
             assert pos_c == pos_np
             assert np.array_equal(got_c, got_np)
+
+
+def test_delta_encode_native_matches_numpy_bit_identical():
+    """The C DELTA encoder must emit byte-identical streams to the
+    numpy encoder wherever it runs (>57-bit-width inputs already fall
+    back to numpy inside delta_encode, so equality holds everywhere)."""
+    import os
+
+    import numpy as np
+
+    import fastparquet_spark.codecs.native as native
+    from fastparquet_spark.codecs.delta import delta_encode
+
+    if native._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(31)
+    cases = [np.cumsum(rng.integers(0, 50, 10_000)).astype(np.int64),
+             rng.integers(-(1 << 31), 1 << 31, 5_000).astype(np.int64),
+             rng.integers(-(1 << 62), 1 << 62, 3_000).astype(np.int64),
+             np.array([-(2**63), 2**63 - 1, 0, -1], np.int64),
+             np.zeros(500, np.int64), np.array([], np.int64)]
+    for trial in range(150):
+        n = int(rng.integers(0, 200))
+        mag = int(rng.integers(1, 63))
+        cases.append(rng.integers(-(1 << mag), 1 << mag, n).astype(np.int64))
+    for v in cases:
+        for bw in (32, 64):
+            if bw == 32 and len(v) and (v.max() >= 2**31 or v.min() < -(2**31)):
+                continue
+            a = delta_encode(v, bit_width=bw)
+            os.environ["FPS_DISABLE_NATIVE"] = "1"
+            native._lib, native._lib_tried = None, False
+            try:
+                b = delta_encode(v, bit_width=bw)
+            finally:
+                del os.environ["FPS_DISABLE_NATIVE"]
+                native._lib, native._lib_tried = None, False
+            assert a == b
