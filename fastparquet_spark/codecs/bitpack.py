@@ -21,6 +21,12 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     if width > 64:
         raise ValueError(f"width {width} > 64")
     v = np.ascontiguousarray(values, dtype="<u8")
+    if width % 8:
+        from fastparquet_spark.codecs.native import pack_bits_native
+
+        res = pack_bits_native(v, width)
+        if res is not None:
+            return res
     if width % 8 == 0:
         # byte-multiple widths: the LSB-first layout IS the low bytes of
         # each little-endian word — slice, no bit matrix (8x less temp)
@@ -40,6 +46,12 @@ def unpack_bits(buf, width: int, count: int, offset: int = 0) -> np.ndarray:
     if width == 0 or count == 0:
         return np.zeros(count, dtype=np.uint64)
     nbytes = (count * width + 7) // 8
+    if width % 8:
+        from fastparquet_spark.codecs.native import unpack_bits_native
+
+        res = unpack_bits_native(buf, width, count, offset)
+        if res is not None:
+            return res
     if width % 8 == 0:
         nb = width >> 3
         raw = np.frombuffer(buf, dtype=np.uint8, count=count * nb, offset=offset)

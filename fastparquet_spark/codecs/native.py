@@ -304,6 +304,48 @@ long delta_pack_c(const int64_t *v, long n, uint8_t *out, int bit_width)
     return o;
 }
 
+/* LSB-first bit pack/unpack at widths 1..57 (past 57 the 64-bit
+ * accumulator cannot hold a value plus carry bits; callers fall back
+ * to the vectorized numpy paths, as for the delta kernels). */
+long pack_bits_c(const uint64_t *v, long n, int w, uint8_t *out)
+{
+    uint64_t acc = 0;
+    int nbits = 0;
+    long i, o = 0;
+    uint64_t mask = (1ULL << w) - 1;
+    for (i = 0; i < n; i++) {
+        acc |= (v[i] & mask) << nbits;
+        nbits += w;
+        while (nbits >= 8) {
+            out[o++] = (uint8_t)acc;
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+    if (nbits)
+        out[o++] = (uint8_t)acc;
+    return o;
+}
+
+void unpack_bits_c(const uint8_t *in, long nbytes, int w, uint64_t *out,
+                   long count)
+{
+    uint64_t acc = 0;
+    int nbits = 0;
+    long i, pos = 0;
+    uint64_t mask = (1ULL << w) - 1;
+    for (i = 0; i < count; i++) {
+        while (nbits < w) {
+            acc |= (pos < nbytes ? (uint64_t)in[pos] : 0) << nbits;
+            pos++;
+            nbits += 8;
+        }
+        out[i] = acc & mask;
+        acc >>= w;
+        nbits -= w;
+    }
+}
+
 /* PLAIN BYTE_ARRAY framing: <u4 len><bytes>... (write side).
  * out capacity must be >= 4*n + sum(lens).  Returns bytes written. */
 long pack_byte_array_c(const int64_t *lens, long n, const uint8_t *data,
@@ -400,6 +442,13 @@ def _load() -> ctypes.CDLL | None:
         lib.delta_pack_c.restype = ctypes.c_long
         lib.delta_pack_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
+        lib.pack_bits_c.restype = ctypes.c_long
+        lib.pack_bits_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p]
+        lib.unpack_bits_c.restype = None
+        lib.unpack_bits_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_long]
         lib.unpack_byte_array_c.restype = ctypes.c_long
         lib.unpack_byte_array_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
@@ -464,6 +513,37 @@ def unpack_byte_array_native(buf, count: int, offset: int):
     if pos < 0:
         raise ValueError("byte-array framing overruns the page buffer")
     return lens, data[: int(lens.sum())], int(pos)
+
+
+def pack_bits_native(values, width: int):
+    """C LSB-first bit pack (widths 1..57); bytes or None."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or width > 57:
+        return None
+    v = np.ascontiguousarray(values, dtype="<u8")
+    out = np.empty((len(v) * width + 7) // 8, dtype=np.uint8)
+    written = lib.pack_bits_c(v.ctypes.data, len(v), width, out.ctypes.data)
+    return out[:written].tobytes()
+
+
+def unpack_bits_native(buf, width: int, count: int, offset: int):
+    """C LSB-first bit unpack (widths 1..57); uint64 array or None."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or width > 57:
+        return None
+    nbytes = (count * width + 7) // 8
+    src = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) \
+        else np.ascontiguousarray(buf, dtype=np.uint8)
+    if offset:
+        src = src[offset:]
+    src = np.ascontiguousarray(src[:nbytes])
+    out = np.empty(count, dtype=np.uint64)
+    lib.unpack_bits_c(src.ctypes.data, len(src), width, out.ctypes.data, count)
+    return out
 
 
 def delta_pack_native(values, bit_width: int):

@@ -273,3 +273,36 @@ def test_delta_encode_native_matches_numpy_bit_identical():
                 del os.environ["FPS_DISABLE_NATIVE"]
                 native._lib, native._lib_tried = None, False
             assert a == b
+
+
+def test_bitpack_native_matches_numpy():
+    """C bit pack/unpack (widths 1-57) must be byte-identical to the
+    numpy paths; widths >57 and byte-multiples stay numpy."""
+    import os
+
+    import numpy as np
+
+    import fastparquet_spark.codecs.native as native
+    from fastparquet_spark.codecs.bitpack import pack_bits, unpack_bits
+
+    if native._load() is None:
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    rng = np.random.default_rng(41)
+    for _ in range(120):
+        w = int(rng.integers(1, 65))
+        n = int(rng.integers(0, 300))
+        v = rng.integers(0, 1 << min(w, 63), n).astype(np.uint64)
+        a = pack_bits(v, w)
+        os.environ["FPS_DISABLE_NATIVE"] = "1"
+        native._lib, native._lib_tried = None, False
+        try:
+            b = pack_bits(v, w)
+            back_np = unpack_bits(a, w, n)
+        finally:
+            del os.environ["FPS_DISABLE_NATIVE"]
+            native._lib, native._lib_tried = None, False
+        assert a == b
+        assert np.array_equal(unpack_bits(a, w, n), v)
+        assert np.array_equal(back_np, v)
