@@ -503,6 +503,59 @@ GROUP BY vec_id, label
 """
 
 
+def engine_snapshot_travel(spark, sf_dir):
+    """Snapshot time travel end-to-end: write documents with doc_id <
+    300, append the rest as generation 1, then read BOTH snapshots —
+    AS OF generation 0 must see only the first batch, AS OF 1 the
+    union.  The oracle computes the same two aggregates from the raw
+    table, so snapshot membership must be exactly the generation-0
+    file set (no leakage either way)."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import append_dataset, encode_dataset
+    from fastparquet_spark.format.dataset import (
+        read_snapshot, write_metadata_sidecar,
+    )
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_tt_")
+    encode_dataset(spark, docs.filter(F.col("doc_id") < 300), out,
+                   compression="ZSTD", partition_cols=("lang",),
+                   num_partitions=4, sort_within=("doc_id",),
+                   resume=False).collect()
+    write_metadata_sidecar(out)
+    append_dataset(spark, docs.filter(F.col("doc_id") >= 300), out,
+                   compression="ZSTD", partition_cols=("lang",),
+                   num_partitions=4, sort_within=("doc_id",), resume=False)
+
+    def agg(df, gen):
+        return df.agg(
+            F.lit(gen).cast("int").alias("generation"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(F.concat_ws(",", F.array_sort(
+                F.collect_list(F.col("doc_id").cast("string"))))
+                .cast("binary")).alias("doc_set_h"))
+
+    return agg(read_snapshot(spark, out, 0), 0).unionAll(
+        agg(read_snapshot(spark, out, 1), 1))
+
+
+ORACLES["engine_snapshot_travel"] = """
+SELECT CAST(0 AS INT) AS generation, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+           ORDER BY CAST(doc_id AS VARCHAR))) AS doc_set_h
+FROM documents WHERE doc_id < 300
+UNION ALL
+SELECT CAST(1 AS INT), count(*),
+       CAST(sum(n_chars) AS BIGINT),
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+           ORDER BY CAST(doc_id AS VARCHAR)))
+FROM documents
+"""
+
+
 def engine_manifest(spark, sf_dir):
     """Lineage manifest surface (rows-only check: content is wall-clock
     dependent)."""
@@ -603,5 +656,6 @@ WHERE round(list_dot_product(a.e, b.e)
 QUERIES["engine_dataset_stats"] = engine_dataset_stats
 QUERIES["engine_decimal38_roundtrip"] = engine_decimal38_roundtrip
 QUERIES["engine_embeddings_roundtrip"] = engine_embeddings_roundtrip
+QUERIES["engine_snapshot_travel"] = engine_snapshot_travel
 QUERIES["sim_neardup_pairs"] = similarity.sim_neardup_pairs
 QUERIES["sim_neardup_lsh"] = similarity.sim_neardup_lsh
