@@ -60,6 +60,10 @@ class ColumnBlock:
 
 
 def _arrow_type_name(t: pa.DataType) -> str:
+    if pa.types.is_list(t):
+        # canonical child field name: Spark's Arrow batches say
+        # "list<element: T>", pyarrow says "list<item: T>"
+        return f"list<item: {_arrow_type_name(t.value_type)}>"
     return str(t)
 
 
@@ -81,6 +85,8 @@ _SIMPLE_TYPES = {
 def _type_from_name(name: str) -> pa.DataType:
     if name in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[name]
+    if name.startswith("list<item: ") and name.endswith(">"):
+        return pa.list_(_type_from_name(name[len("list<item: "):-1]))
     raise ValueError(f"unsupported container type {name}")
 
 
@@ -113,7 +119,6 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
             # fail fast: anything the read path can't restore is rejected at
             # write time instead of producing an unreadable container
             _type_from_name(_arrow_type_name(field.type))
-            ptype, _, cast_to = _map_type(field.type)
             n = len(arr)
             null_count = arr.null_count
             validity_b = b""
@@ -123,6 +128,25 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 arr_nn = arr.drop_null()
             else:
                 arr_nn = arr
+            if pa.types.is_list(field.type):
+                # composite LIST block: row validity + delta-coded list
+                # lengths + child validity + plain+codec child values
+                col_bytes, meta_extra, raw_bytes = _write_list_block(
+                    arr_nn, validity_b, codec)
+                f.write(col_bytes)
+                cols_meta.append({"name": field.name, "codec": "list",
+                                  "arrow_type": _arrow_type_name(field.type),
+                                  "ptype": _map_type(field.type.value_type)[0],
+                                  "n": n, "null_count": null_count,
+                                  "offset": pos, "size": len(col_bytes),
+                                  "block_codec": codec, **meta_extra})
+                blocks.append(ColumnBlock(field.name, "list",
+                                          _arrow_type_name(field.type), n,
+                                          null_count, raw_bytes,
+                                          len(col_bytes)))
+                pos += len(col_bytes)
+                continue
+            ptype, _, cast_to = _map_type(field.type)
             if (cast_to is not None and arr_nn.type != cast_to
                     and ptype != Type.BYTE_ARRAY
                     and not pa.types.is_timestamp(arr_nn.type)):
@@ -206,6 +230,44 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
     finally:
         if own:
             f.close()
+
+
+def _write_list_block(arr_nn: pa.Array, validity_b: bytes,
+                      codec: int) -> tuple[bytes, dict, int]:
+    """Serialize the sections of a LIST column (non-null rows already
+    selected): <row validity> <u4 + delta lengths> <u1 child-nulls
+    flag [+ child validity]> <u8 raw + u8 comp + plain child values>."""
+    import pyarrow.compute as pc
+
+    from fastparquet_spark.codecs.delta import delta_encode
+    from fastparquet_spark.codecs.plain import encode_plain
+    from fastparquet_spark.format.writer import _extract
+
+    offs = np.frombuffer(arr_nn.buffers()[1], dtype=np.int32,
+                         count=len(arr_nn) + 1,
+                         offset=arr_nn.offset * 4).astype(np.int64)
+    lengths = np.diff(offs)
+    lens_b = delta_encode(lengths)
+    flat = pc.list_flatten(arr_nn)
+    child_nulls = flat.null_count
+    parts = [validity_b, len(lens_b).to_bytes(4, "little"), lens_b,
+             bytes([1 if child_nulls else 0])]
+    if child_nulls:
+        cval = flat.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+        parts.append(encode_hybrid(cval, 1, prepend_length=True))
+        flat_nn = flat.drop_null()
+    else:
+        flat_nn = flat
+    eptype, _, ecast = _map_type(flat_nn.type)
+    if ecast is not None and flat_nn.type != ecast:
+        flat_nn = flat_nn.cast(ecast)
+    raw = encode_plain(_extract(flat_nn, eptype), eptype)
+    body = comp.compress(raw, codec)
+    parts += [len(raw).to_bytes(8, "little"),
+              len(body).to_bytes(8, "little"), body]
+    return b"".join(parts), {"child_n": len(flat),
+                             "child_null_count": child_nulls}, \
+        int(lengths.sum()) * 8 + len(lengths) * 8
 
 
 def _column_stats_meta(arr_nn: pa.Array, ptype: int) -> dict:
@@ -319,6 +381,8 @@ def _decode_column(buf, cm: dict, pos: int) -> pa.Array:
         levels, pos = decode_hybrid(buf, 1, n, offset=pos)
         validity = levels.astype(bool)
     n_nn = int(validity.sum())
+    if cm["codec"] == "list":
+        return _decode_list_column(buf, cm, pos, validity, n_nn)
     if cm["codec"] == "fsst":
         tlen = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
         ftab, _ = FsstTable.deserialize(buf, pos); pos += tlen
@@ -341,6 +405,38 @@ def _decode_column(buf, cm: dict, pos: int) -> pa.Array:
         else:
             vals, _ = decode_plain(body, ptype, n_nn)
     return _assemble(validity, vals, cm)
+
+
+def _decode_list_column(buf, cm: dict, pos: int, validity: np.ndarray,
+                        n_nn: int) -> pa.Array:
+    """Inflate a composite LIST block back to an arrow ListArray."""
+    list_type = _type_from_name(cm["arrow_type"])
+    n = cm["n"]
+    lenlens = int.from_bytes(buf[pos:pos + 4], "little"); pos += 4
+    lengths, _ = delta_decode(buf[pos:pos + lenlens], count=n_nn); pos += lenlens
+    has_child_nulls = buf[pos]; pos += 1
+    child_n = cm["child_n"]
+    cvalidity = np.ones(child_n, dtype=bool)
+    if has_child_nulls:
+        levels, pos = decode_hybrid(buf, 1, child_n, offset=pos)
+        cvalidity = levels.astype(bool)
+    rawlen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+    blen = int.from_bytes(buf[pos:pos + 8], "little"); pos += 8
+    body = comp.decompress(buf[pos:pos + blen], cm["block_codec"], rawlen)
+    vals, _ = decode_plain(body, cm["ptype"], int(cvalidity.sum()))
+    child = _assemble(cvalidity, vals, {
+        "ptype": cm["ptype"],
+        "arrow_type": _arrow_type_name(list_type.value_type)})
+    full_lens = np.zeros(n, dtype=np.int64)
+    full_lens[validity] = lengths
+    offsets = np.concatenate(([0], np.cumsum(full_lens))).astype(np.int32)
+    nulls = not validity.all()
+    vbuf = pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()) \
+        if nulls else None
+    return pa.Array.from_buffers(
+        list_type, n, [vbuf, pa.py_buffer(offsets.tobytes())],
+        null_count=int((~validity).sum()) if nulls else 0,
+        children=[child])
 
 
 def _assemble(validity: np.ndarray, vals, cm: dict) -> pa.Array:

@@ -222,3 +222,48 @@ def test_read_fpsc_projection(spark, tmp_path):
     assert got.columns == ["repo", "path"]
     assert got.count() == 3000
     assert got.selectExpr("count(distinct repo)").collect()[0][0] == 3
+
+
+def test_container_list_columns_roundtrip(tmp_path):
+    """LIST columns in the own-format container: row validity +
+    delta-coded lengths + child validity + plain child values —
+    null rows / empty lists / null elements all survive, and ranged
+    projection works on list columns too."""
+    t = pa.table({
+        "id": pa.array(range(6)),
+        "emb": pa.array([[1.0, 2.0, 3.0], None, [], [4.5], [None, 6.0],
+                         [7.0, 8.0]], type=pa.list_(pa.float32())),
+        "nums": pa.array([[1, 2], [3], None, [], [5, None, 7], [8]],
+                         type=pa.list_(pa.int64())),
+    })
+    path = str(tmp_path / "lists.fpsc")
+    blocks = write_container(path, t, compression="ZSTD")
+    assert {b.name: b.codec for b in blocks}["emb"] == "list"
+    got = read_container(path)
+    for c in t.column_names:
+        assert got.column(c).combine_chunks().cast(
+            t.schema.field(c).type).to_pylist() == t.column(c).to_pylist(), c
+    pr = read_container(path, columns=["nums"])
+    assert pr.column("nums").to_pylist() == t.column("nums").to_pylist()
+
+
+def test_fpsc_job_embeddings_table(spark):
+    """The distributed FPSC path handles the embeddings table
+    (array<float>) end to end with per-vector exactness."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine.fpsc_job import encode_dataset_fpsc, read_fpsc
+
+    import tempfile
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = tempfile.mkdtemp(prefix="fpsc_emb_")
+    m = encode_dataset_fpsc(spark, emb, out, num_partitions=2,
+                            salt_rows=10**9).collect()
+    assert sum(r["rows"] for r in m) == emb.count()
+    back = read_fpsc(spark, out)
+    key = lambda df: df.select(F.md5(F.concat_ws(",", F.col("vec_id"),
+        F.concat_ws("|", F.transform("embedding",
+            lambda x: F.format_number(x.cast("double"), 6))))).alias("h"))
+    a, b = key(emb), key(back)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
