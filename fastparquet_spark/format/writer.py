@@ -129,9 +129,10 @@ def _map_type(t: pa.DataType):
         # FIXED-decimal branch mirrors it (format/reader.py _to_arrow)
         return Type.FIXED_LEN_BYTE_ARRAY, ConvertedType.DECIMAL, None
     raise TypeError(
-        f"unsupported arrow type {t} (LIST columns are handled a level up "
-        "in ParquetWriter; deeper nesting is out of scope — the reference "
-        "writer is flat-only entirely, fastparquet/writer.py:472)"
+        f"unsupported arrow type {t} (LIST/STRUCT/MAP of primitives are "
+        "handled a level up in ParquetWriter; deeper nesting is out of "
+        "scope — the reference writer is flat-only entirely, "
+        "fastparquet/writer.py:472)"
     )
 
 
@@ -338,6 +339,59 @@ class ParquetWriter:
                 self.schema_elems.append(eelem)
                 self.col_meta.append(("list", (eptype, ecast), fld.name))
                 continue
+            if pa.types.is_map(fld.type):
+                # MAP write: optional group (MAP) > repeated key_value >
+                # required key + optional value; key max_def=2, value
+                # max_def=3, max_rep=1 — same entry geometry as LIST
+                # with two leaf chunks.
+                kptype, kconv, kcast = _map_type(fld.type.key_type)
+                vptype, vconv, vcast = _map_type(fld.type.item_type)
+                self.schema_elems.append(
+                    {"name": fld.name, "repetition_type": Repetition.OPTIONAL,
+                     "converted_type": ConvertedType.MAP, "num_children": 1})
+                self.schema_elems.append(
+                    {"name": "key_value",
+                     "repetition_type": Repetition.REPEATED,
+                     "num_children": 2})
+                kelem = {"name": "key", "type": kptype,
+                         "repetition_type": Repetition.REQUIRED}
+                if kconv is not None:
+                    kelem["converted_type"] = kconv
+                velem = {"name": "value", "type": vptype,
+                         "repetition_type": Repetition.OPTIONAL}
+                if vconv is not None:
+                    velem["converted_type"] = vconv
+                self.schema_elems.append(kelem)
+                self.schema_elems.append(velem)
+                self.col_meta.append(
+                    ("map", ((kptype, kcast), (vptype, vcast)), fld.name))
+                continue
+            if pa.types.is_struct(fld.type):
+                # STRUCT write — also beyond the flat-only reference.
+                # One leaf chunk per field under an OPTIONAL group;
+                # max_def=2 (struct null / field null / value), no rep.
+                leaves = []
+                self.schema_elems.append(
+                    {"name": fld.name, "repetition_type": Repetition.OPTIONAL,
+                     "num_children": fld.type.num_fields})
+                for sub in fld.type:
+                    sptype, sconv, scast = _map_type(sub.type)
+                    selem = {"name": sub.name, "type": sptype,
+                             "repetition_type": Repetition.OPTIONAL}
+                    if sconv is not None:
+                        selem["converted_type"] = sconv
+                    if sptype == Type.FIXED_LEN_BYTE_ARRAY:
+                        selem["type_length"] = sub.type.byte_width
+                    if sconv == ConvertedType.DECIMAL:
+                        selem["scale"] = sub.type.scale
+                        selem["precision"] = sub.type.precision
+                    lt = _logical_type(sub.type)
+                    if lt is not None:
+                        selem["logicalType"] = lt
+                    self.schema_elems.append(selem)
+                    leaves.append((sub.name, sptype, scast))
+                self.col_meta.append(("struct", leaves, fld.name))
+                continue
             ptype, conv, cast_to = _map_type(fld.type)
             # JSON/BSON annotations (reference fastparquet/writer.py:114-154
             # object-encoding 'json'/'bson') are requested via Arrow field
@@ -441,6 +495,130 @@ class ParquetWriter:
             compressed_size=written)
         return written, {"file_offset": pos, "meta_data": cmd}, colres
 
+    def _write_map_column(self, arr: pa.Array, name: str, meta, pos: int):
+        """Two leaf chunks (key, value) sharing one LIST-shaped entry
+        geometry.  Key defs: 0 null map / 1 empty / 2 entry (REQUIRED
+        key); value defs add 3 = non-null value.  rep 0 opens a row."""
+        (kptype, kcast), (vptype, vcast) = meta
+        n = len(arr)
+        row_valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                             count=n + 1, offset=arr.offset * 4).astype(np.int64)
+        lens = np.diff(offs)
+        lens_v = np.where(row_valid, lens, 0)
+        entries = np.maximum(lens_v, 1)
+        total = int(entries.sum())
+        row_start = np.zeros(n, dtype=np.int64)
+        np.cumsum(entries[:-1], out=row_start[1:])
+        reps = np.ones(total, dtype=np.uint8)
+        reps[row_start] = 0
+        elem_mask = np.ones(total, dtype=bool)
+        elem_mask[row_start[~row_valid]] = False
+        elem_mask[row_start[row_valid & (lens == 0)]] = False
+        kdefs = np.full(total, 2, dtype=np.uint8)
+        kdefs[row_start[~row_valid]] = 0
+        kdefs[row_start[row_valid & (lens == 0)]] = 1
+        keys = arr.keys.slice(int(offs[0]), int(offs[-1] - offs[0]))
+        items = arr.items.slice(int(offs[0]), int(offs[-1] - offs[0]))
+        # non-null rows' entries in order == flattened children minus the
+        # spans of null rows
+        if not row_valid.all():
+            keep = np.repeat(row_valid, lens)
+            keys = keys.filter(pa.array(keep))
+            items = items.filter(pa.array(keep))
+        vdefs = np.where(kdefs == 2, 3, kdefs).astype(np.uint8)
+        if items.null_count:
+            idx = np.nonzero(elem_mask)[0]
+            ivalid = items.is_valid().to_numpy(zero_copy_only=False)
+            vdefs[idx[~ivalid]] = 2
+            items_nn = items.drop_null()
+        else:
+            items_nn = items
+        if kcast is not None and keys.type != kcast:
+            keys = keys.cast(kcast)
+        if vcast is not None and items_nn.type != vcast:
+            items_nn = items_nn.cast(vcast)
+        rep_b = encode_hybrid(reps, 1)
+        written_total = 0
+        entries_out = []
+        colres_out = []
+        for leaf, defs, leaf_arr, lptype in (
+                ("key", kdefs, keys, kptype),
+                ("value", vdefs, items_nn, vptype)):
+            def_b = encode_hybrid(defs, 2)
+            data = encode_plain(_extract(leaf_arr, lptype), lptype)
+            body = (len(rep_b).to_bytes(4, "little") + rep_b
+                    + len(def_b).to_bytes(4, "little") + def_b + data)
+            comp_body = comp.compress(body, self.codec)
+            ph = thrift.write_struct("PageHeader", {
+                "type": PageType.DATA_PAGE,
+                "uncompressed_page_size": len(body),
+                "compressed_page_size": len(comp_body),
+                "data_page_header": {
+                    "num_values": total, "encoding": Encoding.PLAIN,
+                    "definition_level_encoding": Encoding.RLE,
+                    "repetition_level_encoding": Encoding.RLE},
+            }, SPECS)
+            self.f.write(ph)
+            self.f.write(comp_body)
+            written = len(ph) + len(comp_body)
+            cmd = {"type": lptype,
+                   "encodings": [Encoding.RLE, Encoding.PLAIN],
+                   "path_in_schema": [name, "key_value", leaf],
+                   "codec": self.codec, "num_values": total,
+                   "total_uncompressed_size": len(body) + len(ph),
+                   "total_compressed_size": written,
+                   "data_page_offset": pos + written_total}
+            entries_out.append({"file_offset": pos + written_total,
+                                "meta_data": cmd})
+            colres_out.append(ColumnResult(
+                name=f"{name}.{leaf}", encoding="plain", num_values=total,
+                null_count=int((defs < (2 if leaf == "key" else 3)).sum()),
+                uncompressed_size=len(body) + len(ph),
+                compressed_size=written))
+            written_total += written
+        return written_total, entries_out, colres_out
+
+    def _write_struct_leaf(self, arr: pa.Array, name: str, leaf: str,
+                           sptype: int, scast, pos: int):
+        """One leaf chunk of a STRUCT column: def levels 0 (struct
+        null) / 1 (field null) / 2 (value), no repetition, PLAIN
+        values of the doubly-valid entries."""
+        svalid = arr.is_valid().to_numpy(zero_copy_only=False)
+        child = arr.field(leaf)
+        cvalid = child.is_valid().to_numpy(zero_copy_only=False) & svalid
+        defs = np.where(cvalid, 2, np.where(svalid, 1, 0)).astype(np.uint8)
+        def_b = encode_hybrid(defs, 2)
+        leaf_nn = child.filter(pa.array(cvalid))
+        if scast is not None and leaf_nn.type != scast:
+            leaf_nn = leaf_nn.cast(scast)
+        data = encode_plain(_extract(leaf_nn, sptype), sptype)
+        body = len(def_b).to_bytes(4, "little") + def_b + data
+        comp_body = comp.compress(body, self.codec)
+        n = len(arr)
+        ph = thrift.write_struct("PageHeader", {
+            "type": PageType.DATA_PAGE,
+            "uncompressed_page_size": len(body),
+            "compressed_page_size": len(comp_body),
+            "data_page_header": {
+                "num_values": n, "encoding": Encoding.PLAIN,
+                "definition_level_encoding": Encoding.RLE,
+                "repetition_level_encoding": Encoding.RLE},
+        }, SPECS)
+        written = len(ph) + len(comp_body)
+        self.f.write(ph)
+        self.f.write(comp_body)
+        cmd = {"type": sptype, "encodings": [Encoding.RLE, Encoding.PLAIN],
+               "path_in_schema": [name, leaf], "codec": self.codec,
+               "num_values": n,
+               "total_uncompressed_size": len(body) + len(ph),
+               "total_compressed_size": written, "data_page_offset": pos}
+        colres = ColumnResult(
+            name=f"{name}.{leaf}", encoding="plain", num_values=n,
+            null_count=int((~cvalid).sum()), uncompressed_size=len(body) + len(ph),
+            compressed_size=written)
+        return written, {"file_offset": pos, "meta_data": cmd}, colres
+
     def write_row_group(self, chunk: pa.Table) -> None:
         """Encode one row group from an Arrow table/batch slice."""
         if isinstance(chunk, pa.RecordBatch):
@@ -483,6 +661,23 @@ class ParquetWriter:
                 self.result.columns.append(colres)
                 rg_bytes += written
                 pos += written
+                continue
+            if ptype == "map":
+                written, entries, colres_list = self._write_map_column(
+                    arr, name, cast_to, pos)
+                chunks_cols.extend(entries)
+                self.result.columns.extend(colres_list)
+                rg_bytes += written
+                pos += written
+                continue
+            if ptype == "struct":
+                for leaf_name, sptype, scast in cast_to:
+                    written, cmd_entry, colres = self._write_struct_leaf(
+                        arr, name, leaf_name, sptype, scast, pos)
+                    chunks_cols.append(cmd_entry)
+                    self.result.columns.append(colres)
+                    rg_bytes += written
+                    pos += written
                 continue
             if cast_to is not None and arr.type != cast_to:
                 arr = arr.cast(cast_to)

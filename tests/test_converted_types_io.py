@@ -310,3 +310,51 @@ def test_list_column_write_roundtrip(tmp_path):
     rows = duckdb.sql(f"SELECT emb, nums FROM '{path}' ORDER BY id").fetchall()
     assert rows[0] == ([1.0, 2.0, 3.0], [1, 2])
     assert rows[4] == ([None, 6.0], [5, None, 7])
+
+
+def test_struct_and_map_write_roundtrip(tmp_path):
+    """STRUCT and MAP write — the rest of the nested-write matrix
+    (reference writer is flat-only).  Null structs / null fields /
+    null maps / empty maps / null values all survive through pyarrow,
+    DuckDB and our own assembly reader, across row-group splits."""
+    import duckdb
+
+    st = [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"},
+          {"a": 4, "b": None}, {"a": 5, "b": "z"}, {"a": 6, "b": "w"}]
+    mp = [[("a", 1), ("b", 2)], None, [], [("c", None)], [("d", 4)],
+          [("e", 5), ("f", None)]]
+    t = pa.table({
+        "id": pa.array(range(6)),
+        "st": pa.array(st, type=pa.struct([("a", pa.int64()),
+                                           ("b", pa.string())])),
+        "mp": pa.array(mp, type=pa.map_(pa.string(), pa.int64())),
+    })
+    path = str(tmp_path / "nested2.parquet")
+    write_file(path, t, compression="ZSTD", row_group_rows=4)
+    got = pq.read_table(path)
+    assert got.column("st").to_pylist() == st
+    assert got.column("mp").to_pylist() == mp
+    own = read_file(path)
+    assert own.column("st").to_pylist() == st
+    assert own.column("mp").to_pylist() == mp
+    rows = duckdb.sql(
+        f"SELECT st.a, st.b, mp FROM '{path}' ORDER BY id").fetchall()
+    assert rows[0][0] == 1 and rows[0][1] == "x"
+    assert rows[3][2] == {"key": ["c"], "value": [None]}
+
+
+def test_struct_map_readable_by_spark(spark, tmp_path):
+    st = [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"}]
+    mp = [[("a", 1)], None, [("c", None), ("d", 9)]]
+    t = pa.table({
+        "id": pa.array(range(3)),
+        "st": pa.array(st, type=pa.struct([("a", pa.int64()),
+                                           ("b", pa.string())])),
+        "mp": pa.array(mp, type=pa.map_(pa.string(), pa.int64())),
+    })
+    path = str(tmp_path / "nested_spark.parquet")
+    write_file(path, t)
+    rows = spark.read.parquet(path).orderBy("id").collect()
+    assert rows[0]["st"]["a"] == 1 and rows[1]["st"] is None
+    assert rows[0]["mp"] == {"a": 1} and rows[1]["mp"] is None
+    assert rows[2]["mp"] == {"c": None, "d": 9}
