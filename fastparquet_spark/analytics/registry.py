@@ -312,24 +312,34 @@ FROM embeddings GROUP BY 1
 """
 
 
-def _neardup_lsh_sql(n_bits: int = 8, threshold: float = 0.7) -> str:
-    dims_per = 64 // n_bits
-    parts = []
-    for j in range(n_bits):
-        lo = j * dims_per + 1
-        hi = lo + dims_per - 1
-        parts.append(
-            f"CASE WHEN list_aggregate((embedding::DOUBLE[])[{lo}:{hi}], 'sum') > 0 "
-            f"THEN {1 << j} ELSE 0 END")
+def _neardup_lsh_sql(threshold: float = 0.7) -> str:
+    """Oracle for the ADAPTIVE-n_bits near-dup query: the SQL derives
+    n_bits from count(*) with the same clamp(ceil(log2(N/target)),4,16)
+    formula as similarity.derive_n_bits, builds the j-th sign bit via an
+    unnested generate_series (one slice-sum per bit, same slices the
+    Spark side takes), then applies identical bucketing + cap + scoring.
+    One static string therefore stays correct at every scale factor."""
     cos = ("round(list_dot_product(a.ed, b.ed) / "
            "(sqrt(list_dot_product(a.ed, a.ed)) * "
            "sqrt(list_dot_product(b.ed, b.ed))), 6)")
     # bucket membership capped at the MAX_LSH_BUCKET smallest vec_ids,
     # exactly like the Spark side's rank filter
     return f"""
-WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ed,
-                   CAST({' + '.join(parts)} AS INT) AS bucket
-            FROM embeddings),
+WITH p AS (SELECT least(16, greatest(4,
+                  CAST(ceil(log2(count(*) / {similarity.LSH_TARGET_BUCKET}.0))
+                       AS INT))) AS n_bits
+           FROM embeddings),
+p2 AS (SELECT n_bits, CAST(64 / n_bits AS INT) AS dims_per FROM p),
+eb AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+ej AS (SELECT eb.vec_id, eb.ed, p2.dims_per,
+              unnest(generate_series(0, p2.n_bits - 1)) AS j
+       FROM eb, p2),
+bk AS (SELECT vec_id,
+              CAST(sum(CASE WHEN list_aggregate(
+                            ed[j*dims_per+1 : (j+1)*dims_per], 'sum') > 0
+                       THEN 1 << j ELSE 0 END) AS INT) AS bucket
+       FROM ej GROUP BY vec_id),
+e0 AS (SELECT eb.vec_id, eb.ed, bk.bucket FROM eb JOIN bk USING (vec_id)),
 e AS (SELECT * FROM e0
       QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
               <= {similarity.MAX_LSH_BUCKET})

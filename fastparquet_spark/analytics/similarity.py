@@ -98,9 +98,24 @@ def _bucket_expr(n_bits: int = 8):
 
 
 MAX_LSH_BUCKET = 1024  # vectors considered per sign bucket (smallest vec_ids)
+LSH_TARGET_BUCKET = 64  # aimed-for mean bucket membership
 
 
-def sim_neardup_lsh(spark, sf_dir, n_bits: int = 8, threshold: float = 0.7,
+def derive_n_bits(n_rows: int, target_bucket: int = LSH_TARGET_BUCKET,
+                  lo: int = 4, hi: int = 16) -> int:
+    """Bucket-bit count that keeps MEAN bucket size near ``target_bucket``
+    as the corpus grows: n_bits = clamp(ceil(log2(N / target)), lo, hi).
+    A fixed n_bits makes recall collapse at scale — a 256-bucket space
+    with a 1024-member cap examines a vanishing fraction of a 10^9-vector
+    corpus; growing n_bits with log2(N) keeps the examined fraction
+    stable.  hi=16 caps the expression size (16 slice-sums per row)."""
+    import math
+
+    return min(hi, max(lo, math.ceil(math.log2(max(n_rows, 1) / target_bucket))))
+
+
+def sim_neardup_lsh(spark, sf_dir, n_bits: int | None = None,
+                    threshold: float = 0.7,
                     max_bucket: int = MAX_LSH_BUCKET):
     """Embedding near-duplicate pairs THE SCALE WAY: candidates are
     generated only inside sign-LSH buckets (high-cosine vectors share
@@ -111,14 +126,18 @@ def sim_neardup_lsh(spark, sf_dir, n_bits: int = 8, threshold: float = 0.7,
     self-join, so the pair space is bounded by n_buckets * max_bucket^2
     even when the corpus grows 1000x past the fixed bucket count
     (without the cap, 256 buckets make the join N^2/256 — still
-    quadratic).  At real scale ``n_bits`` should also grow with
-    log2(N / target_bucket_size); the cap is the hard safety net.
-    Recall tradeoff vs the exact all-pairs baseline (sim_neardup_pairs)
-    is inherent to LSH; the oracle applies identical bucketing AND the
-    identical cap, so the CORRECTNESS gate checks the bucketed
-    semantics exactly."""
+    quadratic).  ``n_bits`` defaults to :func:`derive_n_bits` of the
+    corpus size (one cheap metadata-backed count), so the bucket space
+    GROWS with the corpus and recall doesn't silently collapse at 1000x
+    — the cap stays as the hard safety net.  The oracle derives n_bits
+    with the identical formula in SQL and applies identical bucketing
+    AND the identical cap, so the CORRECTNESS gate checks the bucketed
+    semantics exactly.  Recall tradeoff vs the exact all-pairs baseline
+    (sim_neardup_pairs) is inherent to LSH."""
     from pyspark.sql.window import Window
 
+    if n_bits is None:
+        n_bits = derive_n_bits(load(spark, sf_dir, "embeddings").count())
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("e"),

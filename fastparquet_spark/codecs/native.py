@@ -391,10 +391,31 @@ _lib = None
 _lib_tried = False
 
 
+def _uid() -> int:
+    return os.getuid() if hasattr(os, "getuid") else 0
+
+
 def _cache_dir() -> str:
-    return os.environ.get("FPS_NATIVE_CACHE",
-                          os.path.join(tempfile.gettempdir(),
-                                       "fastparquet_spark_native"))
+    # Per-user, never a shared world-writable location: loading a .so from
+    # a predictable path another user can pre-create is arbitrary code
+    # execution in every importing process.
+    env = os.environ.get("FPS_NATIVE_CACHE")
+    if env:
+        return env
+    home = os.path.expanduser("~")
+    if home and home != "~" and os.path.isdir(home):
+        return os.path.join(home, ".cache", "fastparquet_spark_native")
+    return os.path.join(tempfile.gettempdir(),
+                        f"fastparquet_spark_native-uid{_uid()}")
+
+
+def _owned_and_private(path: str) -> bool:
+    """True iff *path* exists, is owned by us, and not group/other-writable."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == _uid() and not (st.st_mode & 0o022)
 
 
 def _load() -> ctypes.CDLL | None:
@@ -408,16 +429,31 @@ def _load() -> ctypes.CDLL | None:
         tag = hashlib.sha256(_C_SRC.encode()).hexdigest()[:16]
         cache = _cache_dir()
         so_path = os.path.join(cache, f"fsst_{tag}.so")
+        os.makedirs(cache, mode=0o700, exist_ok=True)
+        if not _owned_and_private(cache):
+            return None  # someone else owns the dir or it's writable by others
         if not os.path.exists(so_path):
-            os.makedirs(cache, exist_ok=True)
-            src_path = os.path.join(cache, f"fsst_{tag}.c")
-            with open(src_path, "w") as f:
+            # unique temp names for BOTH the source and the object so a
+            # racer (or attacker) can't swap contents between write and use
+            fd, src_path = tempfile.mkstemp(suffix=".c", prefix=f"fsst_{tag}_",
+                                            dir=cache)
+            with os.fdopen(fd, "w") as f:
                 f.write(_C_SRC)
-            tmp = so_path + f".tmp.{os.getpid()}"
-            subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, src_path],
-                check=True, capture_output=True, timeout=60)
-            os.replace(tmp, so_path)  # atomic publish; racers agree
+            tmp = os.path.join(cache, f".fsst_{tag}.{os.getpid()}.so.tmp")
+            try:
+                subprocess.run(
+                    ["cc", "-O3", "-shared", "-fPIC", "-o", tmp, src_path],
+                    check=True, capture_output=True, timeout=60)
+                os.chmod(tmp, 0o700)  # owner-only regardless of umask
+                os.replace(tmp, so_path)  # atomic publish; racers agree
+            finally:
+                for p in (src_path, tmp):
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+        if not _owned_and_private(so_path):
+            return None  # refuse to load a library we don't own
         lib = ctypes.CDLL(so_path)
         lib.fsst_encode_c.restype = ctypes.c_long
         lib.fsst_encode_c.argtypes = [

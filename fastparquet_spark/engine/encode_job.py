@@ -223,7 +223,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
         pa_w.set_cpu_count(1)  # see file_job.run: avoid pool oversubscription
 
         fs = get_fs(out_dir_)  # same seam as the driver: URIs work end to end
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         fname = f"{file_prefix_}-{pid:05d}.parquet"
         mpath = _u_join(out_dir_, f"{MANIFEST_DIR}/{file_prefix_}-{pid:05d}.json")
         if resume_ and fs.exists(mpath):
@@ -246,7 +247,13 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 self.final = _u_join(out_dir_, rel)
                 if "/" in rel:
                     fs.makedirs(self.final.rsplit("/", 1)[0])
-                self.tmp = self.final + ".inprogress"
+                # attempt-suffixed, DOT-HIDDEN stage name: a failed or
+                # speculative attempt never publishes anything under a
+                # final name, twin attempts can't collide on the stage
+                # file, and Spark/Hive readers (which skip '.'/'_'
+                # basenames) can't see in-flight data
+                d, b = self.final.rsplit("/", 1)
+                self.tmp = f"{d}/.{b}.stage-{attempt}"
                 self.sink = fs.open_write(self.tmp)
                 self.writer = ParquetWriter(self.sink, schema_,
                                             compression=compression_,
@@ -290,10 +297,14 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                     self.buf, self.buf_rows, self.buf_bytes = [], 0, 0
 
             def finish(self) -> dict:
+                # close the sink but do NOT publish: all of this task's
+                # files are renamed together at task commit, just before
+                # the manifest write — a task that dies mid-way leaves
+                # only .stage-N garbage, never committed-looking data
                 self.flush(final=True)
                 res = self.writer.close()
                 self.sink.close()
-                fs.replace(self.tmp, self.final)  # atomic publish
+                pending.append((self.tmp, self.final))
                 cols = {c.name: c.encoding for c in res.columns}
                 return {"partition": pid, "file": self.rel, "rows": self.rows,
                         "input_bytes": self.in_bytes,
@@ -310,6 +321,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
 
         outs: dict[tuple, _Out] = {}
         done_rows: list[dict] = []
+        pending: list[tuple[str, str]] = []  # (staged, final) publish queue
         seqs: dict[tuple, int] = {}  # files already closed per key
         try:
             for b in batches:
@@ -365,6 +377,27 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
             for row in done_rows:
                 row["encode_secs"] = total_secs
                 row["kernel_secs"] = kernel_secs
+            # task commit: (1) sweep stale finals this partition id left in
+            # any touched hive dir from an earlier failed attempt (batch
+            # boundaries after a shuffle are not deterministic, so the old
+            # attempt's -rN split may not be reproduced), (2) publish all
+            # staged files, (3) write the manifest marker.  Step 1 + the
+            # deterministic names make retries self-healing; step 2's
+            # placement means a task that dies earlier published NOTHING.
+            finals = {f for _t, f in pending}
+            staged = {t for t, _f in pending}
+            if layout_ == "hive":
+                me = f"{file_prefix_}-{pid:05d}"
+                for d in sorted({f.rsplit("/", 1)[0] for f in finals}):
+                    for p in fs.listdir(d):
+                        base = p.rsplit("/", 1)[1]
+                        core = base[1:] if base.startswith(".") else base
+                        if (p not in finals and p not in staged
+                                and (core.startswith(me + ".")
+                                     or core.startswith(me + "-r"))):
+                            fs.remove(p)  # dead attempt's file or stage
+            for staged, final in pending:
+                fs.replace(staged, final)  # atomic per file
             # manifest written AFTER all data files: its existence == commit
             payload = done_rows[0] if (layout_ == "flat" and len(done_rows) == 1) \
                 else done_rows
@@ -376,6 +409,12 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
         except BaseException:
             for out in outs.values():
                 out.abort()
+            for staged, _final in pending:
+                try:
+                    if fs.exists(staged):
+                        fs.remove(staged)
+                except OSError:
+                    pass
             raise
 
     return work.mapInArrow(encode_partition, schema)

@@ -165,7 +165,13 @@ def read_fpsc(spark, in_dir: str, schema=None, columns=None):
             [(cm["name"], _type_from_name(cm["arrow_type"]))
              for cm in cms]))
 
-    rdd = spark.sparkContext.parallelize([(f,) for f in files], len(files))
+    # task granularity: several container files per task, not one —
+    # 100k single-file tasks would be pure scheduler overhead; 4x the
+    # core count keeps every executor busy with work-stealing headroom
+    # while the inflate loop streams file-by-file (bounded memory)
+    n_parts = max(1, min(len(files),
+                         4 * spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize([(f,) for f in files], n_parts)
     paths_df = spark.createDataFrame(
         rdd, StructType([StructField("path", StringType())]))
     columns_ = list(columns) if columns is not None else None

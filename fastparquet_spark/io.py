@@ -119,7 +119,16 @@ class ArrowFS:
             cands = self.listdir(base)  # final-segment-only: flat list
         else:
             cands = self.walk_files(base)
-        return sorted(p for p in cands if fnmatch.fnmatch(p, pattern))
+
+        # match per path SEGMENT ('*' must not cross '/'), the LocalFS /
+        # glob.glob semantics — a naive full-path fnmatch would let
+        # ds/lang=*/part-*.pq swallow files in deeper subdirectories
+        def _seg_match(path: str) -> bool:
+            ps = path.split("/")
+            return len(ps) == len(segs) and all(
+                fnmatch.fnmatch(p, s) for p, s in zip(ps, segs))
+
+        return sorted(p for p in cands if _seg_match(p))
 
     def exists(self, path: str) -> bool:
         from pyarrow.fs import FileType

@@ -214,9 +214,14 @@ class FpscWriter(DataSourceArrowWriter):
         return _Committed(tuple(done))
 
     def _sweep_stages(self, fs) -> None:
-        """Remove staged leftovers from failed/speculative attempts."""
+        """Remove staged leftovers from THIS job's failed/speculative
+        attempts only — a concurrent job's in-flight stages (different
+        job token in the name) must survive our commit/abort."""
+        import os
+
         for p in fs.walk_files(self.path):
-            if ".fpsc.stage-" in p:
+            base = os.path.basename(p)
+            if ".fpsc.stage-" in base and base.startswith(f"part-{self.job}-"):
                 fs.remove(p)
 
     def commit(self, messages):
@@ -227,13 +232,19 @@ class FpscWriter(DataSourceArrowWriter):
         fs = get_fs(self.path)
         renames = [(s, f) for m in messages
                    for (s, f) in (getattr(m, "files", ()) or ())]
+        # overwrite ordering: snapshot the pre-existing containers FIRST,
+        # publish the new ones, and only then remove the old — a crash
+        # mid-commit can leave extra old files (re-run heals) but can
+        # never lose the old data with the new not yet visible
+        old: list[str] = []
         if self.overwrite:
             keep = {f for _s, f in renames}
-            for p in fs.walk_files(self.path):
-                if p.endswith(".fpsc") and os.path.basename(p) not in keep:
-                    fs.remove(p)
+            old = [p for p in fs.walk_files(self.path)
+                   if p.endswith(".fpsc") and os.path.basename(p) not in keep]
         for staged, final in renames:
             fs.replace(self._full(staged), self._full(final))
+        for p in old:
+            fs.remove(p)
         self._sweep_stages(fs)
 
     def abort(self, messages):

@@ -117,10 +117,12 @@ def test_overwrite_replaces_dataset(registered, tmp_path):
     assert back.agg({"id": "max"}).collect()[0][0] == 299
 
 
-def test_staged_leftovers_never_read_and_get_swept(registered, tmp_path):
-    """A stale .stage- file (crashed/speculative attempt) is invisible
-    to readers and swept by the next job's commit — the no-duplicates
-    guarantee for task retries."""
+def test_staged_leftovers_never_read_and_sweep_is_job_scoped(registered,
+                                                             tmp_path):
+    """A stale .stage- file (crashed/speculative attempt) is invisible to
+    readers; a job's commit sweeps only ITS OWN staged leftovers — a
+    foreign job token's stage file is left alone (it may belong to a
+    concurrent in-flight job, deleting it would corrupt that job)."""
     import os
 
     spark = registered
@@ -130,6 +132,10 @@ def test_staged_leftovers_never_read_and_get_swept(registered, tmp_path):
     stale.write_bytes(b"garbage from a dead attempt")
     assert spark.read.format("fpsc").load(str(out)).count() == 500
     _df(spark, 100).write.format("fpsc").mode("append").save(str(out))
-    assert not stale.exists()
+    # the foreign stage survives (concurrent-job safety) but stays invisible
+    assert stale.exists()
     assert spark.read.format("fpsc").load(str(out)).count() == 600
-    assert not any(".stage-" in f for f in os.listdir(out))
+    # and no stage file from the jobs that DID commit remains
+    others = [f for f in os.listdir(out)
+              if ".stage-" in f and not f.startswith("part-deadbeef-")]
+    assert others == []
