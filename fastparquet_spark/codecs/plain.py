@@ -109,7 +109,9 @@ def encode_plain(values, ptype: int) -> bytes:
     if ptype == BYTE_ARRAY:
         lengths, data = values
         return pack_byte_array(np.asarray(lengths), np.asarray(data, dtype=np.uint8))
-    if ptype == FIXED:
+    if ptype in (FIXED, INT96):
+        # both are fixed-width byte rows ((n, width) uint8); INT96 rows
+        # are 12 bytes: nanos-of-day (8B LE) + Julian day (4B LE)
         return np.ascontiguousarray(values, dtype=np.uint8).tobytes()
     raise ValueError(f"unsupported physical type {ptype}")
 

@@ -66,28 +66,63 @@ def _decode_stat(raw: bytes | None, ptype: int, conv: int | None):
     return None
 
 
-def _partition_values(rel_path: str) -> dict[str, Any]:
-    """Parse hive ``key=value`` path segments into {col: value}
+def _coerce_partition_value(raw: str) -> Any:
+    """int -> float -> bool -> str, the reference's ``val_to_num``
+    semantics (fastparquet/util.py:59-95; timestamps out of scope)."""
+    for conv in (int, float):
+        try:
+            return conv(raw)
+        except ValueError:
+            pass
+    if raw == "True":
+        return True
+    if raw == "False":
+        return False
+    return raw
+
+
+def detect_scheme(rel_paths: list[str]) -> str:
+    """Partition scheme of a dataset's relative file paths — the
+    reference's ``get_file_scheme``/``paths_to_cats`` detection
+    (fastparquet/util.py:356-388, api.py:700-758):
+
+    - ``flat``: every file directly in the root;
+    - ``hive``: equal-depth dirs, every segment ``key=value``;
+    - ``drill``: equal-depth dirs whose names are bare labels — they
+      become columns ``dir0..dirN``;
+    - ``other``: unequal depths; no partition columns are inferred."""
+    dirs = [p.rsplit("/", 1)[0] if "/" in p else "" for p in rel_paths]
+    if all(d == "" for d in dirs):
+        return "flat"
+    parts = [d.split("/") for d in dirs if d]
+    if any(d == "" for d in dirs) or len({len(p) for p in parts}) > 1:
+        return "other"
+    if all("=" in seg for p in parts for seg in p):
+        return "hive"
+    return "drill"
+
+
+def _partition_values(rel_path: str, scheme: str = "hive") -> dict[str, Any]:
+    """Parse one file's partition path segments into {col: value}
     (the reference's partition parsing, fastparquet/api.py:700-758).
-    Values are coerced int -> float -> str, like Spark's discovery."""
+    Hive values are URL-unescaped; both schemes coerce via
+    :func:`_coerce_partition_value`."""
     from urllib.parse import unquote
 
     out: dict[str, Any] = {}
-    for seg in rel_path.split("/")[:-1]:
+    segs = rel_path.split("/")[:-1]
+    if scheme == "drill":
+        for i, seg in enumerate(segs):
+            out[f"dir{i}"] = _coerce_partition_value(seg)
+        return out
+    for seg in segs:
         if "=" not in seg:
             continue
         k, _, raw = seg.partition("=")
         if raw == "__HIVE_DEFAULT_PARTITION__":
             out[k] = None
             continue
-        v: Any = unquote(raw)
-        for conv in (int, float):
-            try:
-                v = conv(v)
-                break
-            except ValueError:
-                pass
-        out[k] = v
+        out[k] = _coerce_partition_value(unquote(raw))
     return out
 
 
@@ -106,7 +141,10 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
     add files must refresh the sidecar (append_dataset does)."""
     fs = get_fs(out_dir, fs)
     if any(c in out_dir for c in "*?["):
-        # glob input (the reference's ParquetFile(glob), api.py:95-162)
+        # glob input (the reference's ParquetFile(glob), api.py:95-162);
+        # the dataset root is ambiguous here, so only hive key=value
+        # segments (position-independent) are parsed — drill columns
+        # need relative depths, i.e. a directory root
         files = sorted(p for p in fs.glob(out_dir) if p.endswith(".parquet"))
         tails = fetch_footers(files, fs)
         return [{"file": os.path.basename(p), "fmd": read_footer_tail(t),
@@ -120,6 +158,7 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
         for rg in fmd["row_groups"]:
             fp = rg["columns"][0].get("file_path") or ""
             by_file.setdefault(fp, []).append(rg)
+        scheme = detect_scheme(sorted(by_file))
         out = []
         for rel in sorted(by_file):
             rgs = []
@@ -133,7 +172,7 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
                    "num_rows": sum(r["num_rows"] for r in rgs),
                    "row_groups": rgs}
             out.append({"file": rel, "fmd": sub,
-                        "partitions": _partition_values(rel)})
+                        "partitions": _partition_values(rel, scheme)})
         return out
     prefix = out_dir.rstrip("/") + "/"
 
@@ -146,13 +185,12 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
             not any(s.startswith(("_", ".")) for s in segs)
 
     files = [p for p in fs.walk_files(out_dir) if is_data(rel_of(p))]
+    rels = [rel_of(p) for p in files]
+    scheme = detect_scheme(rels)
     tails = fetch_footers(files, fs)
-    out = []
-    for p, t in zip(files, tails):
-        rel = rel_of(p)
-        out.append({"file": rel, "fmd": read_footer_tail(t),
-                    "partitions": _partition_values(rel)})
-    return out
+    return [{"file": rel, "fmd": read_footer_tail(t),
+             "partitions": _partition_values(rel, scheme)}
+            for rel, t in zip(rels, tails)]
 
 
 def _join(out_dir: str, name: str) -> str:
@@ -399,7 +437,8 @@ def _chunk_may_match(cols, clause) -> bool:
     return True
 
 
-def filter_row_groups(out_dir: str, filters, fs=None) -> list[tuple[str, int]]:
+def filter_row_groups(out_dir: str, filters, fs=None,
+                      metas=None) -> list[tuple[str, int]]:
     """Surviving (file, row_group) pairs for a DNF filter — a flat
     AND-list ``[(col,op,val),...]`` or OR-of-ANDs ``[[...],[...]]``."""
     if filters and isinstance(filters[0], tuple):
@@ -408,26 +447,78 @@ def filter_row_groups(out_dir: str, filters, fs=None) -> list[tuple[str, int]]:
         for col, op, _v in clause:
             if op not in OPS:
                 raise ValueError(f"unsupported filter op {op!r}")
+    if metas is None:
+        metas = dataset_metadata(out_dir, fs=fs)
     keep = []
-    for f, ri, cols, _n in _iter_chunks(dataset_metadata(out_dir, fs=fs)):
+    for f, ri, cols, _n in _iter_chunks(metas):
         if any(_chunk_may_match(cols, clause) for clause in filters):
             keep.append((f, ri))
     return keep
 
 
-def filtered_read(spark, out_dir: str, filters):
-    """Spark DataFrame over only the stats-surviving part files, with the
-    exact residual predicate applied on top."""
+def _attach_drill_columns(df, metas):
+    """Add ``dir0..dirN`` columns to a Spark scan of a drill-layout
+    dataset (Spark discovers hive ``k=v`` natively but ignores bare
+    label dirs).  The value comes from ``input_file_name()`` segment
+    arithmetic — a JVM expression, no Python in the row path — and is
+    cast to long/double/boolean when every observed directory value
+    coerces (the reference's val_to_num typing)."""
     from pyspark.sql import functions as F
 
-    keep_files = sorted({f for f, _ri in filter_row_groups(out_dir, filters)})
+    parts = [m["partitions"] for m in metas]
+    if not parts or not parts[0] or "dir0" not in parts[0]:
+        return df
+    depth = len(parts[0])
+    segs = F.split(F.input_file_name(), "/")
+    for i in range(depth):
+        name = f"dir{i}"
+        vals = {p[name] for p in parts}
+        c = F.element_at(segs, -(depth - i + 1))
+        if all(type(v) is int for v in vals):
+            c = c.cast("long")
+        elif all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                 for v in vals):
+            c = c.cast("double")
+        elif all(isinstance(v, bool) for v in vals):
+            c = c == "True"
+        df = df.withColumn(name, c)
+    return df
+
+
+def drill_read(spark, out_dir: str):
+    """Spark DataFrame over a drill-layout dataset (bare value directory
+    names, the reference's 'drill' file scheme, fastparquet/util.py:
+    356-388) with ``dir0..dirN`` partition columns attached."""
+    metas = dataset_metadata(out_dir)
+    # bare label dirs aren't partition dirs to Spark, so its default
+    # listing skips them; recursive lookup scans the leaves directly
+    df = (spark.read.option("recursiveFileLookup", "true")
+          .parquet(out_dir))
+    return _attach_drill_columns(df, metas)
+
+
+def filtered_read(spark, out_dir: str, filters):
+    """Spark DataFrame over only the stats-surviving part files, with the
+    exact residual predicate applied on top.  Hive partition columns come
+    from Spark's own discovery (basePath); drill ``dirN`` columns are
+    attached from the file path."""
+    from pyspark.sql import functions as F
+
+    metas = dataset_metadata(out_dir)
+    drill = bool(metas and "dir0" in (metas[0].get("partitions") or {}))
+    keep_files = sorted({f for f, _ri in
+                         filter_row_groups(out_dir, filters, metas=metas)})
     if not keep_files:
-        # empty scan with the right schema (hive partition cols included)
+        # empty scan with the right schema (partition cols included)
+        if drill:
+            return drill_read(spark, out_dir).limit(0)
         return spark.read.option("basePath", out_dir).parquet(out_dir).limit(0)
     # basePath keeps hive key=value partition columns in the schema when
     # individual files are listed explicitly
     df = (spark.read.option("basePath", out_dir)
           .parquet(*[os.path.join(out_dir, f) for f in keep_files]))
+    if drill:
+        df = _attach_drill_columns(df, metas)
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
     ors = None

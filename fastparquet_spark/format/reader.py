@@ -213,6 +213,27 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
             # RLE-encoded boolean values (length-prefixed hybrid, width 1)
             bits, off = decode_hybrid(raw, 1, n_nonnull, offset=off, length=None)
             vals = bits.astype(bool)
+        elif enc == Encoding.BYTE_STREAM_SPLIT:
+            # modern encodings (codecs/split.py) — BEYOND the reference's
+            # read set (fastparquet/core.py:130-165): pyarrow/Spark emit
+            # these for float and string columns
+            from fastparquet_spark.codecs.split import bss_decode
+
+            vals, off = bss_decode(raw, ptype, n_nonnull, offset=off,
+                                   type_length=type_length)
+        elif enc == Encoding.DELTA_LENGTH_BYTE_ARRAY and ptype == Type.BYTE_ARRAY:
+            from fastparquet_spark.codecs.split import dlba_decode
+
+            vals, off = dlba_decode(raw, n_nonnull, offset=off)
+        elif enc == Encoding.DELTA_BYTE_ARRAY and ptype in (
+                Type.BYTE_ARRAY, Type.FIXED_LEN_BYTE_ARRAY):
+            from fastparquet_spark.codecs.split import dba_decode
+
+            vals, off = dba_decode(raw, n_nonnull, offset=off)
+            if ptype == Type.FIXED_LEN_BYTE_ARRAY:
+                lengths, data = vals
+                vals = data.reshape(n_nonnull, type_length) if n_nonnull \
+                    else data.reshape(0, type_length)
         else:
             raise NotImplementedError(f"encoding {enc}")
         all_defs.append(np.asarray(levels, dtype=np.int64))

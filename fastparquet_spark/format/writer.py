@@ -181,6 +181,18 @@ def _extract(arr: pa.Array, ptype: int):
     """Non-null physical values as numpy (or (lengths, data))."""
     if arr.null_count:
         arr = arr.drop_null()
+    if ptype == Type.INT96:
+        # legacy Impala/Hive layout the reference emits for times='int96'
+        # (fastparquet/writer.py:192-197): 12-byte rows of nanos-of-day
+        # (8B LE) + Julian day (4B LE); our reader's inverse is
+        # format/reader.py's INT96 branch
+        e = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = e // 86_400_000_000_000  # floor: pre-1970 lands on prior day
+        nod = e - day * 86_400_000_000_000
+        out = np.empty((len(e), 12), np.uint8)
+        out[:, :8] = nod.astype("<i8").view(np.uint8).reshape(-1, 8)
+        out[:, 8:] = (day + 2440588).astype("<i4").view(np.uint8).reshape(-1, 4)
+        return out
     if ptype == Type.BYTE_ARRAY:
         return _binary_parts(arr)
     if ptype == Type.FIXED_LEN_BYTE_ARRAY:
@@ -256,12 +268,23 @@ def _encode_values(values, ptype: int, encoding: int):
         return encode_plain(values, ptype), None, 0
     if encoding == Encoding.DELTA_BINARY_PACKED:
         return delta_encode(values, bit_width=32 if ptype == Type.INT32 else 64), None, 0
+    if encoding == Encoding.BYTE_STREAM_SPLIT:
+        from fastparquet_spark.codecs.split import bss_encode
+
+        tl = values.shape[1] if getattr(values, "ndim", 1) == 2 else 0
+        return bss_encode(values, ptype, type_length=tl), None, 0
+    if encoding == Encoding.DELTA_LENGTH_BYTE_ARRAY:
+        from fastparquet_spark.codecs.split import dlba_encode
+
+        lengths, data = values
+        return dlba_encode(lengths, data), None, 0
     raise ValueError(f"encoding {encoding} handled elsewhere")
 
 
 def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
                encodings: dict | None = None, row_group_rows: int | None = None,
-               stats: bool = True, data_page_version: int = 1) -> FileResult:
+               stats: bool = True, data_page_version: int = 1,
+               times: str = "int64", compat: str = "reference") -> FileResult:
     """Write an Arrow table as a parquet file to ``sink`` (path or file-like).
 
     ``encodings``: optional {column: 'plain'|'dict'|'delta'} override;
@@ -269,6 +292,12 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
     ``data_page_version``: 1 (default, widest compat — the reference's
     default, fastparquet/writer.py:411) or 2 (levels uncompressed outside
     the compressed values section, fastparquet/writer.py:564-591).
+    ``times``: 'int64' (default: INT64 + TIMESTAMP_MICROS) or 'int96'
+    (legacy 12-byte Impala/Hive layout, the reference's times='int96').
+    ``compat``: 'reference' (default — auto-selection stays inside the
+    reference reader's encoding set) or 'modern' (BYTE_STREAM_SPLIT /
+    DELTA_LENGTH_BYTE_ARRAY admitted on a measured compressed-size win;
+    pyarrow/DuckDB/Spark-readable, reference-reader not).
     Returns a FileResult with per-column lineage metrics.
     """
     if data_page_version not in (1, 2):
@@ -277,14 +306,16 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
     f = open(sink, "wb") if own else sink
     try:
         return _write(f, table, compression, encodings or {}, row_group_rows,
-                      stats, data_page_version)
+                      stats, data_page_version, times, compat)
     finally:
         if own:
             f.close()
 
 
 _ENC_NAMES = {Encoding.PLAIN: "plain", Encoding.PLAIN_DICTIONARY: "dict",
-              Encoding.DELTA_BINARY_PACKED: "delta"}
+              Encoding.DELTA_BINARY_PACKED: "delta",
+              Encoding.BYTE_STREAM_SPLIT: "bss",
+              Encoding.DELTA_LENGTH_BYTE_ARRAY: "delta_length"}
 _ENC_BY_NAME = {v: k for k, v in _ENC_NAMES.items()}
 
 
@@ -297,9 +328,26 @@ class ParquetWriter:
 
     def __init__(self, f, schema: pa.Schema, compression: str | int = "SNAPPY",
                  encodings: dict | None = None, stats: bool = True,
-                 data_page_version: int = 1):
+                 data_page_version: int = 1, times: str = "int64",
+                 compat: str = "reference"):
         if data_page_version not in (1, 2):
             raise ValueError("data_page_version must be 1 or 2")
+        if times not in ("int64", "int96"):
+            raise ValueError("times must be 'int64' or 'int96'")
+        if compat not in ("reference", "modern"):
+            raise ValueError("compat must be 'reference' or 'modern'")
+        # 'reference': auto-selection stays inside the encoding set the
+        # reference's own reader decodes (PLAIN/dict/RLE/DELTA —
+        # fastparquet/core.py:130-165), preserving the round-trip
+        # invariant.  'modern' additionally admits BYTE_STREAM_SPLIT
+        # (floats) and DELTA_LENGTH_BYTE_ARRAY (strings) when a
+        # compressed-size trial on the first row group says they win.
+        # Reader support: pyarrow/DuckDB/our reader decode both; Spark's
+        # vectorized reader handles DELTA_LENGTH but rejects BSS in any
+        # file (pyarrow-written included) — its row-based reader
+        # (spark.sql.parquet.enableVectorizedReader=false) reads BSS.
+        # The reference reader decodes neither, hence opt-in.
+        self.compat = compat
         self.f = f
         self.codec = comp.codec_id(compression)
         self.encodings = encodings or {}
@@ -392,6 +440,17 @@ class ParquetWriter:
                     leaves.append((sub.name, sptype, scast))
                 self.col_meta.append(("struct", leaves, fld.name))
                 continue
+            if times == "int96" and pa.types.is_timestamp(fld.type):
+                # legacy INT96 timestamps on request (the reference's
+                # times='int96', fastparquet/writer.py:192-197; behavioral
+                # spec: its Spark-interop matrix test_aroundtrips.py:
+                # 112-137).  INT96 is its own physical type — no converted
+                # type, no LogicalType annotation.
+                self.schema_elems.append(
+                    {"name": fld.name, "type": Type.INT96,
+                     "repetition_type": Repetition.OPTIONAL})
+                self.col_meta.append((Type.INT96, pa.timestamp("ns"), fld.name))
+                continue
             ptype, conv, cast_to = _map_type(fld.type)
             # JSON/BSON annotations (reference fastparquet/writer.py:114-154
             # object-encoding 'json'/'bson') are requested via Arrow field
@@ -426,6 +485,7 @@ class ParquetWriter:
         # (selection.column_stats) costs ~30% of kernel time, and later
         # row groups of one task share the first's distribution
         self._chosen: dict[str, int] = {}
+        self._modern_used = False  # any BSS/DELTA_LENGTH page written
 
     def _write_list_column(self, arr: pa.Array, name: str, meta, pos: int):
         """One LIST column chunk: vectorized Dremel level GENERATION
@@ -619,6 +679,38 @@ class ParquetWriter:
             compressed_size=written)
         return written, {"file_offset": pos, "meta_data": cmd}, colres
 
+    def _modern_trial(self, ptype: int, values) -> int:
+        """compat='modern' admission: compress a bounded sample of the
+        column both ways and keep the modern encoding only on a >2%
+        compressed-size win (the same hysteresis the FSST selection
+        uses) — so the choice is measured, never assumed.  Runs once per
+        column per file (the result lands in ``_chosen``)."""
+        from fastparquet_spark.codecs.split import bss_encode, dlba_encode
+
+        cap = 65_536
+        if ptype in (Type.FLOAT, Type.DOUBLE):
+            sample = values[:cap]
+            if len(sample) < 64:
+                return Encoding.PLAIN
+            plain = encode_plain(sample, ptype)
+            alt = bss_encode(sample, ptype)
+            enc = Encoding.BYTE_STREAM_SPLIT
+        elif ptype == Type.BYTE_ARRAY:
+            lengths, data = values
+            if len(lengths) < 64:
+                return Encoding.PLAIN
+            ln = np.asarray(lengths[:cap])
+            dt = np.asarray(data[: int(ln.sum())])
+            plain = encode_plain((ln, dt), ptype)
+            alt = dlba_encode(ln, dt)
+            enc = Encoding.DELTA_LENGTH_BYTE_ARRAY
+        else:
+            return Encoding.PLAIN
+        if len(comp.compress(alt, self.codec)) < \
+                0.98 * len(comp.compress(plain, self.codec)):
+            return enc
+        return Encoding.PLAIN
+
     def write_row_group(self, chunk: pa.Table) -> None:
         """Encode one row group from an Arrow table/batch slice."""
         if isinstance(chunk, pa.RecordBatch):
@@ -632,7 +724,12 @@ class ParquetWriter:
         """Write footer + magic; returns the accumulated FileResult."""
         if self._closed:
             return self.result
-        fmd = {"version": 1, "schema": self.schema_elems,
+        # Spark's vectorized reader rejects v2 encodings (BYTE_STREAM_
+        # SPLIT etc.) unless FileMetaData.version is 2, so files that
+        # used one advertise 2; everything else stays at the reference's
+        # version 1 (fastparquet/writer.py footer)
+        fmd = {"version": 2 if self._modern_used else 1,
+               "schema": self.schema_elems,
                "num_rows": self.result.rows,
                "row_groups": self.row_groups, "created_by": CREATED_BY}
         footer = thrift.write_struct("FileMetaData", fmd, SPECS)
@@ -688,7 +785,8 @@ class ParquetWriter:
             enc_override = encodings.get(name)
             if enc_override is not None:
                 encoding = _ENC_BY_NAME[enc_override]
-            elif ptype == Type.FIXED_LEN_BYTE_ARRAY or pa.types.is_decimal(arr.type):
+            elif ptype in (Type.FIXED_LEN_BYTE_ARRAY, Type.INT96) \
+                    or pa.types.is_decimal(arr.type):
                 encoding = Encoding.PLAIN
             elif name in self._chosen:
                 encoding = self._chosen[name]
@@ -699,8 +797,13 @@ class ParquetWriter:
                 else:
                     st = column_stats(values, ptype)
                 encoding = choose_encoding(st, ptype, parquet_compat=True)
+                if self.compat == "modern" and encoding == Encoding.PLAIN:
+                    encoding = self._modern_trial(ptype, values)
                 self._chosen[name] = encoding
 
+            if encoding in (Encoding.BYTE_STREAM_SPLIT,
+                            Encoding.DELTA_LENGTH_BYTE_ARRAY):
+                self._modern_used = True
             dict_page_bytes = None
             n_dict = 0
             if encoding == Encoding.PLAIN_DICTIONARY:
@@ -800,11 +903,12 @@ class ParquetWriter:
 
 
 def _write(f, table, compression, encodings, row_group_rows, want_stats,
-           page_version=1):
+           page_version=1, times="int64", compat="reference"):
     n_rows = table.num_rows
     rg_rows = row_group_rows or max(n_rows, 1)
     w = ParquetWriter(f, table.schema, compression, encodings,
-                      stats=want_stats, data_page_version=page_version)
+                      stats=want_stats, data_page_version=page_version,
+                      times=times, compat=compat)
     for start in range(0, n_rows, rg_rows):
         w.write_row_group(table.slice(start, rg_rows))
     return w.close()
@@ -819,8 +923,9 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
     if n_dict:
         st["distinct_count"] = n_dict
     try:
-        if ptype == Type.FIXED_LEN_BYTE_ARRAY or pa.types.is_decimal(arr.type):
-            return st  # unsupported stat shapes: emit only null_count
+        if ptype in (Type.FIXED_LEN_BYTE_ARRAY, Type.INT96) \
+                or pa.types.is_decimal(arr.type):
+            return st  # unsupported/deprecated stat shapes: null_count only
         if ptype in (Type.FLOAT, Type.DOUBLE) and len(arr) - null_count > 0 \
                 and bool(np.isnan(values).any()):
             # NaN poisons min/max ordering (NaN compares false everywhere),

@@ -94,10 +94,19 @@ def main() -> None:
     bench("fsst_decode (vectorized expansion)", data.nbytes,
           lambda: fsst_decode(blob, table))
 
+    # PINNED from r4 on: 2M 2-char strings, 4 distinct values.  (r1/r2's
+    # dict_build rows used an unrecorded ad-hoc probe; this shape is the
+    # stable row-over-row basis going forward.)
     langs = pa.array([["py", "rs", "go", "js"][i % 4]
                       for i in range(2_000_000)])
-    bench("dict_build (Arrow hash)", 2_000_000 * 2,
+    bench("dict_build (2M x 2-char, 4 distinct)", 2_000_000 * 2,
           lambda: dict_build(langs))
+    # second pinned shape: higher-cardinality identifiers (dict build at
+    # its admission boundary), so regressions in the hash path show even
+    # when the low-cardinality row is flat
+    ids = pa.array([f"repo-{i % 50_000:05d}" for i in range(2_000_000)])
+    bench("dict_build (2M x 10-char, 50k distinct)", 2_000_000 * 10,
+          lambda: dict_build(ids))
 
 
 if __name__ == "__main__":

@@ -306,3 +306,42 @@ def test_bitpack_native_matches_numpy():
         assert a == b
         assert np.array_equal(unpack_bits(a, w, n), v)
         assert np.array_equal(back_np, v)
+
+
+# ---- modern encodings (codecs/split.py) -------------------------------------
+def test_bss_roundtrip_property():
+    import numpy as np
+
+    from fastparquet_spark.codecs.split import bss_decode, bss_encode
+    from fastparquet_spark.format.metadata import Type
+
+    rng = np.random.default_rng(3)
+    for ptype, arr in [
+            (Type.FLOAT, rng.normal(0, 1, 1000).astype(np.float32)),
+            (Type.DOUBLE, rng.normal(0, 1, 1000)),
+            (Type.INT32, rng.integers(-2**31, 2**31, 1000, dtype=np.int32)),
+            (Type.INT64, rng.integers(-2**62, 2**62, 1000, dtype=np.int64))]:
+        buf = bss_encode(arr, ptype)
+        out, pos = bss_decode(buf, ptype, len(arr))
+        assert pos == len(buf)
+        np.testing.assert_array_equal(out, arr)
+    # FLBA rows
+    rows = rng.integers(0, 256, (500, 16)).astype(np.uint8)
+    buf = bss_encode(rows, Type.FIXED_LEN_BYTE_ARRAY, type_length=16)
+    out, _ = bss_decode(buf, Type.FIXED_LEN_BYTE_ARRAY, 500, type_length=16)
+    np.testing.assert_array_equal(out, rows)
+
+
+def test_dlba_roundtrip():
+    import numpy as np
+
+    from fastparquet_spark.codecs.split import dlba_decode, dlba_encode
+
+    strs = [f"value-{i}-{'x' * (i % 37)}".encode() for i in range(2000)]
+    lengths = np.array([len(s) for s in strs], np.int64)
+    data = np.frombuffer(b"".join(strs), np.uint8)
+    buf = dlba_encode(lengths, data)
+    (lo, do), pos = dlba_decode(buf, len(strs))
+    assert pos == len(buf)
+    np.testing.assert_array_equal(lo, lengths)
+    np.testing.assert_array_equal(do, data)

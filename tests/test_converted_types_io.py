@@ -358,3 +358,43 @@ def test_struct_map_readable_by_spark(spark, tmp_path):
     assert rows[0]["st"]["a"] == 1 and rows[1]["st"] is None
     assert rows[0]["mp"] == {"a": 1} and rows[1]["mp"] is None
     assert rows[2]["mp"] == {"c": None, "d": 9}
+
+
+def test_int96_write_roundtrip(tmp_path):
+    """times='int96' (the reference's legacy timestamp mode,
+    fastparquet/writer.py:192-197; behavioral spec test_aroundtrips.py:
+    112-137): 12-byte nanos-of-day + Julian day, decodable by pyarrow,
+    DuckDB and our own INT96 read path — including pre-1970 values."""
+    import datetime as dt
+
+    import duckdb
+
+    ts = [dt.datetime(1969, 12, 31, 23, 59, 59, 123456),
+          dt.datetime(1970, 1, 1), None,
+          dt.datetime(2026, 8, 16, 12, 34, 56, 789012),
+          dt.datetime(1900, 2, 28, 1, 2, 3)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "x": pa.array(range(5))})
+    path = str(tmp_path / "i96.parquet")
+    write_file(path, t, times="int96")
+    md = pq.read_metadata(path)
+    assert md.row_group(0).column(0).physical_type == "INT96"
+    assert pq.read_table(path).column("ts").cast(
+        pa.timestamp("us")).to_pylist() == ts
+    assert read_file(path).column("ts").cast(
+        pa.timestamp("us")).to_pylist() == ts
+    got = duckdb.sql(f"SELECT ts FROM '{path}' ORDER BY x").fetchall()
+    assert [r[0] for r in got] == ts
+
+
+def test_int96_readable_by_spark(spark, tmp_path):
+    import datetime as dt
+
+    ts = [dt.datetime(2001, 1, 1, 6, 30), None,
+          dt.datetime(2026, 8, 16, 23, 59, 59, 500000)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "x": pa.array(range(3))})
+    path = str(tmp_path / "i96s.parquet")
+    write_file(path, t, times="int96")
+    rows = spark.read.parquet(path).orderBy("x").collect()
+    assert [r["ts"] for r in rows] == ts

@@ -74,3 +74,62 @@ def test_filtered_read_exact(dataset_dir, spark):
     # in / not-in ops
     got = filtered_read(spark, dataset_dir, [("k", "in", [5, 5999])]).collect()
     assert sorted(r["k"] for r in got) == [5, 5999]
+
+
+def _drill_fixture(tmp_path):
+    """Drill layout: bare value dirs <year>/<region>/part.parquet."""
+    import pyarrow as pa
+
+    from fastparquet_spark.format import write_file
+
+    root = tmp_path / "drill"
+    k = 0
+    for year in (2020, 2021):
+        for region in ("emea", "apac"):
+            d = root / str(year) / region
+            d.mkdir(parents=True)
+            write_file(str(d / "part-0.parquet"),
+                       pa.table({"k": pa.array([k, k + 1], pa.int64())}))
+            k += 2
+    return str(root)
+
+
+def test_drill_scheme_detection_and_values(tmp_path):
+    from fastparquet_spark.format.dataset import (
+        dataset_metadata, detect_scheme,
+    )
+
+    root = _drill_fixture(tmp_path)
+    metas = dataset_metadata(root)
+    assert detect_scheme([m["file"] for m in metas]) == "drill"
+    parts = {m["file"]: m["partitions"] for m in metas}
+    assert parts["2020/emea/part-0.parquet"] == {"dir0": 2020, "dir1": "emea"}
+    assert parts["2021/apac/part-0.parquet"] == {"dir0": 2021, "dir1": "apac"}
+    # hive and flat stay themselves
+    assert detect_scheme(["lang=en/a.parquet", "lang=zh/b.parquet"]) == "hive"
+    assert detect_scheme(["a.parquet", "b.parquet"]) == "flat"
+    assert detect_scheme(["x/a.parquet", "x/y/b.parquet"]) == "other"
+
+
+def test_drill_pruning_and_read(tmp_path, spark):
+    from fastparquet_spark.format.dataset import (
+        drill_read, filter_row_groups, filtered_read,
+    )
+
+    root = _drill_fixture(tmp_path)
+    # partition pruning on the inferred dir columns
+    keep = filter_row_groups(root, [("dir0", "==", 2020)])
+    assert sorted(f for f, _ in keep) == [
+        "2020/apac/part-0.parquet", "2020/emea/part-0.parquet"]
+    keep = filter_row_groups(root, [("dir0", ">", 2020), ("dir1", "==", "emea")])
+    assert [f for f, _ in keep] == ["2021/emea/part-0.parquet"]
+    # full read attaches typed partition columns
+    df = drill_read(spark, root)
+    assert dict(df.dtypes)["dir0"] == "bigint"
+    assert df.count() == 8
+    rows = filtered_read(spark, root,
+                         [("dir0", "==", 2021), ("dir1", "==", "apac")]).collect()
+    assert len(rows) == 2
+    assert {r["dir0"] for r in rows} == {2021}
+    assert {r["dir1"] for r in rows} == {"apac"}
+    assert sorted(r["k"] for r in rows) == [6, 7]

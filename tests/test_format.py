@@ -265,3 +265,108 @@ def test_read_row_groups_and_head(sample_table, tmp_path):
     assert h.num_rows == 7
     assert h.column("text").to_pylist() == \
         sample_table.column("text").to_pylist()[:7]
+
+
+def test_modern_compat_mode_all_readers(tmp_path):
+    """compat='modern': BYTE_STREAM_SPLIT floats + DELTA_LENGTH strings
+    are auto-admitted on a measured compressed win, the file shrinks vs
+    reference-compat, and pyarrow + DuckDB + our reader all round-trip
+    it.  The DEFAULT stays reference-readable — modern is opt-in."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "f": pa.array(rng.normal(0, 1, 40_000).astype(np.float32)),
+        "d": pa.array(rng.normal(0, 1, 40_000)),
+        "p": pa.array([f"src/pkg{i % 977}/module_{i}.py"
+                       for i in range(40_000)]),
+    })
+    mod = str(tmp_path / "modern.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    rm = write_file(mod, t, compression="ZSTD", compat="modern")
+    write_file(ref, t, compression="ZSTD")
+    enc = {c.name: c.encoding for c in rm.columns}
+    assert enc == {"f": "bss", "d": "bss", "p": "delta_length"}
+    import os
+    assert os.path.getsize(mod) < os.path.getsize(ref)
+    back = pq.read_table(mod)
+    for c in t.column_names:
+        assert back.column(c).to_pylist() == t.column(c).to_pylist()
+    own = read_file(mod)
+    for c in t.column_names:
+        assert own.column(c).to_pylist() == t.column(c).to_pylist()
+    n = duckdb.sql(f"SELECT count(*) FROM '{mod}' WHERE p LIKE 'src/%'").fetchone()[0]
+    assert n == 40_000
+
+
+def test_modern_trial_rejects_when_no_win(tmp_path):
+    """Constant-ish strings dict-encode; tiny columns stay PLAIN — the
+    trial only admits a modern encoding on a real compressed win."""
+    t = pa.table({"tiny": pa.array([1.5, 2.5], pa.float64())})
+    r = write_file(str(tmp_path / "t.parquet"), t, compression="ZSTD",
+                   compat="modern")
+    assert r.columns[0].encoding == "plain"
+
+
+def test_reads_pyarrow_modern_encodings(tmp_path):
+    """Read-side superset of the reference: pyarrow-written
+    BYTE_STREAM_SPLIT, DELTA_LENGTH_BYTE_ARRAY and DELTA_BYTE_ARRAY
+    files decode value-equal (the reference reader raises on all
+    three, fastparquet/core.py:130-165)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "f": pa.array(rng.normal(0, 1, 5000).astype(np.float32)),
+        "p": pa.array(sorted(f"repo/{i % 50}/file_{i:05d}.rs"
+                             for i in range(5000))),
+    })
+    p1 = str(tmp_path / "bss_dba.parquet")
+    pq.write_table(t, p1, use_dictionary=False,
+                   use_byte_stream_split=["f"],
+                   column_encoding={"p": "DELTA_BYTE_ARRAY"})
+    own = read_file(p1)
+    for c in t.column_names:
+        assert own.column(c).to_pylist() == t.column(c).to_pylist()
+    p2 = str(tmp_path / "dlba.parquet")
+    pq.write_table(t, p2, use_dictionary=False,
+                   column_encoding={"p": "DELTA_LENGTH_BYTE_ARRAY"})
+    assert read_file(p2).column("p").to_pylist() == t.column("p").to_pylist()
+
+
+def test_modern_readable_by_spark(spark, tmp_path):
+    """Spark reads our modern-encoded files: DELTA_LENGTH_BYTE_ARRAY
+    through the default vectorized reader; BYTE_STREAM_SPLIT through the
+    row-based reader (this Spark build's vectorized reader rejects BSS
+    in ANY file — pyarrow-written ones fail identically — so that is an
+    ecosystem limitation, not a property of our files)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    t = pa.table({
+        "f": pa.array(rng.normal(0, 1, 20_000).astype(np.float32)),
+        "p": pa.array([f"a/b{i % 100}/c_{i}.go" for i in range(20_000)]),
+        "k": pa.array(range(20_000)),
+    })
+    path = str(tmp_path / "modern_spark.parquet")
+    r = write_file(path, t, compression="ZSTD",
+                   encodings={"f": "bss", "p": "delta_length"})
+    assert {c.name: c.encoding for c in r.columns}["f"] == "bss"
+    from pyspark.sql import functions as F
+
+    # vectorized reader: column pruning means only p/k pages are decoded
+    got = (spark.read.parquet(path)
+           .agg(F.count("*"), F.sum("k"),
+                F.sum(F.length("p"))).collect()[0])
+    assert got[0] == 20_000 and got[1] == sum(range(20_000))
+    assert got[2] == sum(len(f"a/b{i % 100}/c_{i}.go") for i in range(20_000))
+    # BSS column via the row-based reader
+    spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+    try:
+        s = spark.read.parquet(path).agg(
+            F.sum(F.col("f").cast("double"))).collect()[0][0]
+        assert abs(s - float(np.sum(np.asarray(t.column("f")),
+                                    dtype=np.float64))) < 1e-3
+    finally:
+        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")

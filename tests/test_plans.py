@@ -109,3 +109,26 @@ def test_neardup_lsh_cap_binds(spark):
     """With max_bucket=1 no bucket keeps two members, so zero candidate
     pairs survive — proves the cap actually gates the join input."""
     assert similarity.sim_neardup_lsh(spark, SF, max_bucket=1).count() == 0
+
+
+def test_encode_dataset_single_shuffle(spark):
+    """The encode job's one-shuffle claim, pinned: the task input is fed
+    by exactly ONE repartition Exchange (partition cols + salt), the
+    skewed-key salt counts arrive by BroadcastHashJoin (never a
+    SortMergeJoin), and the only other Exchange is the count aggregate
+    feeding that broadcast."""
+    import tempfile
+
+    from fastparquet_spark.engine import encode_dataset
+
+    docs = relational.load(spark, SF, "documents")
+    df = encode_dataset(spark, docs, tempfile.mkdtemp(prefix="fps_plan_"),
+                        partition_cols=("lang",), num_partitions=4,
+                        resume=False)
+    p = plan_of(df)
+    assert "MapInArrow" in p
+    assert p.count("REPARTITION_BY_NUM") == 1
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert p.count(") Exchange") == 2  # repartition + salt-count agg
+    # the salt-count scan reads ONLY the key column and pushes its filter
+    assert "PushedFilters: [IsNotNull(lang)]" in p
