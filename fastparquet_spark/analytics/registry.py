@@ -607,6 +607,36 @@ FROM documents GROUP BY lang
 """
 
 
+def engine_bloom_prune(spark, sf_dir):
+    """Needle-in-a-haystack point lookup through OUR writer's split-block
+    bloom filters (parquet spec; the reference has none): encode documents
+    UNSORTED with a bloom on doc_id — every file's min/max then spans the
+    whole id range, so stats pruning keeps everything and only the bloom
+    can rule files out — and read back just the sought ids via
+    filtered_read (bloom pass + exact residual predicate).  The oracle
+    recomputes the rows from the raw table, so bloom pruning must lose
+    nothing (false NEGATIVES are impossible by construction; the gate
+    proves it end-to-end)."""
+    from fastparquet_spark.engine import encode_dataset
+    from fastparquet_spark.format.dataset import filtered_read
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_bl_")
+    encode_dataset(spark, docs, out, compression="ZSTD",
+                   partition_cols=("lang",), num_partitions=4,
+                   sort_within=(), resume=False,
+                   bloom_filters={"doc_id": 0.01}).collect()
+    ids = [7, 123, 404]
+    return (filtered_read(spark, out, [("doc_id", "in", ids)])
+            .select("doc_id", "lang", "n_chars"))
+
+
+ORACLES["engine_bloom_prune"] = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id IN (7, 123, 404)
+"""
+
+
 # ------------------------------------------------------------------ registry -
 QUERIES = {
     "q1_pricing_summary": relational.q1_pricing_summary,
@@ -693,6 +723,7 @@ WHERE round(list_dot_product(a.e, b.e)
 """
 
 QUERIES["engine_dataset_stats"] = engine_dataset_stats
+QUERIES["engine_bloom_prune"] = engine_bloom_prune
 QUERIES["engine_decimal38_roundtrip"] = engine_decimal38_roundtrip
 QUERIES["engine_embeddings_roundtrip"] = engine_embeddings_roundtrip
 QUERIES["engine_snapshot_travel"] = engine_snapshot_travel

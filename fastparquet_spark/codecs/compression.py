@@ -33,12 +33,28 @@ if "LZ4_RAW" in CODECS:
 
 
 def codec_id(name: str | int) -> int:
-    if isinstance(name, int):
-        return name
+    if isinstance(name, (int, dict)):
+        return codec_spec(name)[0]
     key = (name or "UNCOMPRESSED").upper()
     if key not in CODECS:
         raise ValueError(f"codec {name!r} unavailable; have {sorted(CODECS)}")
     return CODECS[key]
+
+
+def codec_spec(spec) -> tuple[int, int | None]:
+    """(codec_id, level) from any accepted compression spec: a name,
+    an id, or a dict — ``{"codec": "ZSTD", "level": 10}`` or the
+    reference's ``{"type": "zstd", "args": {"level": 10}}`` form
+    (fastparquet/compression.py:73 compress_data's dict contract)."""
+    if isinstance(spec, dict):
+        name = spec.get("codec") or spec.get("type") or "UNCOMPRESSED"
+        level = spec.get("level")
+        if level is None:
+            level = (spec.get("args") or {}).get("level")
+        return codec_id(str(name)), level
+    if isinstance(spec, int):
+        return spec, None
+    return codec_id(spec), None
 
 
 # speed-leaning defaults: zstd-1 ~3x faster than zstd-3 for ~2% ratio loss

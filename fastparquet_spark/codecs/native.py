@@ -385,6 +385,71 @@ long unpack_byte_array_c(const uint8_t *buf, long bufn, long pos,
     }
     return pos;
 }
+
+/* XXH64 (public-domain algorithm; constants from the published spec),
+ * one hash per variable-length value concatenated in `data`. */
+#define XP1 0x9E3779B185EBCA87ULL
+#define XP2 0xC2B2AE3D27D4EB4FULL
+#define XP3 0x165667B19E3779F9ULL
+#define XP4 0x85EBCA77C2B2AE63ULL
+#define XP5 0x27D4EB2F165667C5ULL
+static uint64_t xrotl(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+static uint64_t xround(uint64_t acc, uint64_t lane)
+{
+    acc += lane * XP2;
+    return xrotl(acc, 31) * XP1;
+}
+static uint64_t xread64(const uint8_t *p) { uint64_t v; memcpy(&v, p, 8); return v; }
+static uint64_t xread32(const uint8_t *p) { uint32_t v; memcpy(&v, p, 4); return v; }
+
+static uint64_t xxh64_one(const uint8_t *p, long n, uint64_t seed)
+{
+    const uint8_t *end = p + n;
+    uint64_t h;
+    if (n >= 32) {
+        uint64_t v1 = seed + XP1 + XP2, v2 = seed + XP2,
+                 v3 = seed, v4 = seed - XP1;
+        const uint8_t *limit = end - 32;
+        do {
+            v1 = xround(v1, xread64(p)); p += 8;
+            v2 = xround(v2, xread64(p)); p += 8;
+            v3 = xround(v3, xread64(p)); p += 8;
+            v4 = xround(v4, xread64(p)); p += 8;
+        } while (p <= limit);
+        h = xrotl(v1, 1) + xrotl(v2, 7) + xrotl(v3, 12) + xrotl(v4, 18);
+        h = (h ^ xround(0, v1)) * XP1 + XP4;
+        h = (h ^ xround(0, v2)) * XP1 + XP4;
+        h = (h ^ xround(0, v3)) * XP1 + XP4;
+        h = (h ^ xround(0, v4)) * XP1 + XP4;
+    } else {
+        h = seed + XP5;
+    }
+    h += (uint64_t)n;
+    while (p + 8 <= end) {
+        h = xrotl(h ^ xround(0, xread64(p)), 27) * XP1 + XP4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h = xrotl(h ^ (xread32(p) * XP1), 23) * XP2 + XP3;
+        p += 4;
+    }
+    while (p < end) {
+        h = xrotl(h ^ (*p * XP5), 11) * XP1;
+        p++;
+    }
+    h ^= h >> 33; h *= XP2; h ^= h >> 29; h *= XP3; h ^= h >> 32;
+    return h;
+}
+
+void xxh64_many_c(const int64_t *lens, long n, const uint8_t *data,
+                  uint64_t seed, uint64_t *out)
+{
+    long i, pos = 0;
+    for (i = 0; i < n; i++) {
+        out[i] = xxh64_one(data + pos, lens[i], seed);
+        pos += lens[i];
+    }
+}
 """
 
 _lib = None
@@ -489,6 +554,10 @@ def _load() -> ctypes.CDLL | None:
         lib.unpack_byte_array_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.xxh64_many_c.restype = None
+        lib.xxh64_many_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_uint64, ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None  # no compiler / sandboxed exec / unsupported platform
@@ -640,3 +709,18 @@ def fsst_decode_native(buf, dplan, escape: int):
         dplan.code_lut.ctypes.data, dplan.sym_data.ctypes.data,
         dplan.sym_off.ctypes.data, dplan.sym_len.ctypes.data, escape)
     return out[:written]
+
+
+def xxh64_many_native(lengths, data, seed: int = 0):
+    """C XXH64 per concatenated variable-length value; None if unavailable."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    out = np.empty(len(lengths), dtype=np.uint64)
+    lib.xxh64_many_c(lengths.ctypes.data, len(lengths), data.ctypes.data,
+                     ctypes.c_uint64(seed), out.ctypes.data)
+    return out

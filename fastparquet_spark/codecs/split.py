@@ -75,6 +75,48 @@ def dlba_decode(buf, count: int, offset: int = 0):
     return (lengths, data), pos + total
 
 
+_DBA_PREFIX_CAP = 64  # bytes of common prefix the encoder looks for
+
+
+def dba_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
+    """DELTA_BYTE_ARRAY write: per-value common-prefix length vs the
+    PREVIOUS value (delta block) + the suffixes as a DELTA_LENGTH block.
+    Prefix search is vectorized by comparing the first
+    ``_DBA_PREFIX_CAP`` bytes of adjacent values as a padded matrix —
+    a shorter-than-maximal prefix is always legal (less compression,
+    never wrong), so the cap costs nothing on typical sorted keys and
+    keeps the kernel a handful of numpy ops."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n = len(lengths)
+    if n == 0 or len(data) == 0:  # empty column / all-empty strings
+        return delta_encode(np.zeros(n, np.int64), bit_width=32) + \
+            dlba_encode(lengths, data[:0])
+    starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+    C = _DBA_PREFIX_CAP
+    col = np.arange(C)
+    idx = starts[:, None] + col[None, :]
+    valid = col[None, :] < lengths[:, None]
+    # int16 matrix with -1 padding: padding never equals a real byte,
+    # so length differences terminate the prefix automatically
+    mat = np.full((n, C), -1, dtype=np.int16)
+    np.copyto(mat, data[np.minimum(idx, max(len(data) - 1, 0))],
+              where=valid)
+    eq = mat[1:] == mat[:-1]
+    run = np.cumprod(eq, axis=1, dtype=np.int32)  # 1 while still equal
+    prefix = np.zeros(n, dtype=np.int64)
+    prefix[1:] = run.sum(axis=1)
+    # pad rows identical within the cap: prefix may not exceed len
+    np.minimum(prefix, lengths, out=prefix)
+    np.minimum(prefix[1:], lengths[:-1], out=prefix[1:])
+    suf_lens = lengths - prefix
+    total = int(suf_lens.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(suf_lens)))[:-1], suf_lens)
+    suf_data = data[np.repeat(starts + prefix, suf_lens) + within]
+    return delta_encode(prefix, bit_width=32) + dlba_encode(suf_lens, suf_data)
+
+
 def dba_decode(buf, count: int, offset: int = 0):
     """DELTA_BYTE_ARRAY read: prefix lengths (delta block) + suffixes
     (DELTA_LENGTH block).  Reconstruction is inherently sequential

@@ -157,7 +157,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                    salt_rows: int = 250_000, sort_within: tuple = ("repo", "path"),
                    row_group_rows: int = 1_000_000, resume: bool = True,
                    encodings: dict | None = None, layout: str = "flat",
-                   file_prefix: str = "part"):
+                   file_prefix: str = "part",
+                   bloom_filters: dict | None = None):
     """Encode ``df`` into ``out_dir`` as parquet files + lineage manifests.
 
     Returns the manifest DataFrame (one row per written file).  Designed
@@ -206,6 +207,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     schema = _manifest_struct()
     compression_ = compression
     encodings_ = encodings
+    bloom_ = bloom_filters
     row_group_rows_ = row_group_rows
     out_dir_ = out_dir
     resume_ = resume
@@ -257,7 +259,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 self.sink = fs.open_write(self.tmp)
                 self.writer = ParquetWriter(self.sink, schema_,
                                             compression=compression_,
-                                            encodings=encodings_)
+                                            encodings=encodings_,
+                                            bloom_filters=bloom_)
                 self.buf: list[pa.Table] = []
                 self.buf_rows = 0
                 self.buf_bytes = 0

@@ -437,10 +437,198 @@ def _chunk_may_match(cols, clause) -> bool:
     return True
 
 
-def filter_row_groups(out_dir: str, filters, fs=None,
-                      metas=None) -> list[tuple[str, int]]:
+def read_page_index(path: str, fs=None) -> list[list[dict | None]]:
+    """Parse the PageIndex of every column chunk of ``path`` (our own
+    files and parquet-cpp/-java ones alike): per row group, per column,
+    ``{"locations": [...], "null_pages": [...], "min_values": [...],
+    "max_values": [...], "null_counts": [...]}`` or None when the chunk
+    carries no index."""
+    from fastparquet_spark.format import thrift
+    from fastparquet_spark.format.metadata import SPECS
+    from fastparquet_spark.io import fetch_footers
+
+    fs = get_fs(path, fs)
+    fmd = read_footer_tail(fetch_footers([path], fs)[0])
+    # one ranged read covering all index spans (they sit together just
+    # ahead of the footer in ours and parquet-cpp/-java files alike)
+    spans = [(cc.get("column_index_offset"), cc.get("column_index_length"))
+             for rg in fmd["row_groups"] for cc in rg["columns"]] + \
+            [(cc.get("offset_index_offset"), cc.get("offset_index_length"))
+             for rg in fmd["row_groups"] for cc in rg["columns"]]
+    spans = [(o, ln) for o, ln in spans if o is not None]
+    if not spans:
+        return [[None for _ in rg["columns"]] for rg in fmd["row_groups"]]
+    base = min(o for o, _ln in spans)
+    end = max(o + (ln or 0) for o, ln in spans)
+    with fs.open_read(path) as f:
+        f.seek(base)
+        blob = f.read(end - base)
+    out = []
+    for rg in fmd["row_groups"]:
+        row = []
+        for cc in rg["columns"]:
+            cio, oio = cc.get("column_index_offset"), cc.get("offset_index_offset")
+            if cio is None or oio is None:
+                row.append(None)
+                continue
+            ci, _ = thrift.read_struct("ColumnIndex", blob, cio - base, SPECS)
+            oi, _ = thrift.read_struct("OffsetIndex", blob, oio - base, SPECS)
+            row.append({"locations": oi["page_locations"],
+                        "null_pages": ci.get("null_pages"),
+                        "min_values": ci.get("min_values"),
+                        "max_values": ci.get("max_values"),
+                        "null_counts": ci.get("null_counts")})
+        out.append(row)
+    return out
+
+
+def filter_pages(path: str, filters, fs=None) -> list[tuple[int, int, int]]:
+    """PAGE-level pruning from the ColumnIndex (the tier below
+    filter_row_groups): returns surviving ``(row_group, first_row,
+    n_rows)`` row ranges for an AND-list of predicates.  Metadata-only —
+    footer + index spans, no data pages touched.  Chunks without an
+    index keep all their pages (conservative)."""
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]
+    if len(filters) != 1:
+        raise ValueError("filter_pages takes a single AND-clause")
+    clause = filters[0]
+    fs = get_fs(path, fs)
+    from fastparquet_spark.io import fetch_footers
+
+    fmd = read_footer_tail(fetch_footers([path], fs)[0])
+    elems = {e["name"]: e for e in fmd["schema"][1:]
+             if e.get("num_children") is None}
+    idx = read_page_index(path, fs=fs)
+    out = []
+    for ri, rg in enumerate(fmd["row_groups"]):
+        names = [".".join(cc["meta_data"]["path_in_schema"])
+                 for cc in rg["columns"]]
+        n_rows = rg["num_rows"]
+        # page boundaries per column differ only if page_rows differed;
+        # ours are uniform — use the first indexed filter column's grid
+        keep_mask = None
+        grid = None
+        for col, op, val in clause:
+            if col not in names:
+                continue
+            ci = idx[ri][names.index(col)]
+            if ci is None or ci.get("min_values") is None:
+                continue
+            locs = ci["locations"]
+            firsts = [loc["first_row_index"] for loc in locs]
+            if grid is None:
+                grid = firsts
+            elif firsts != grid:
+                continue  # unaligned page grids: skip this column
+            elem = elems.get(col.split(".")[-1])
+            mask = []
+            for pi in range(len(locs)):
+                if ci["null_pages"][pi]:
+                    mask.append(op == "is_null")
+                    continue
+                lo = _decode_stat(ci["min_values"][pi], elem["type"],
+                                  elem.get("converted_type"))
+                hi = _decode_stat(ci["max_values"][pi], elem["type"],
+                                  elem.get("converted_type"))
+                nulls = (ci.get("null_counts") or [None] * len(locs))[pi]
+                cols = {col: (lo, hi, nulls, None)}
+                mask.append(_chunk_may_match(cols, [(col, op, val)]))
+            keep_mask = mask if keep_mask is None else \
+                [a and b for a, b in zip(keep_mask, mask)]
+        if keep_mask is None:
+            out.append((ri, 0, n_rows))
+            continue
+        firsts = grid + [n_rows]
+        for pi, keep in enumerate(keep_mask):
+            if keep:
+                out.append((ri, firsts[pi], firsts[pi + 1] - firsts[pi]))
+    return out
+
+
+def read_bloom_filter(path: str, offset: int, length: int | None = None,
+                      fs=None):
+    """Load a split-block bloom filter at ``offset`` in ``path`` —
+    header is thrift-compact BloomFilterHeader, body the raw bitset.
+    Reads parquet-java-written filters as well as our own."""
+    from fastparquet_spark.codecs.bloom import SplitBlockBloom
+    from fastparquet_spark.format import thrift
+    from fastparquet_spark.format.metadata import SPECS
+
+    fs = get_fs(path, fs)
+    with fs.open_read(path) as f:
+        f.seek(offset)
+        blob = f.read(length if length else (1 << 20))
+    header, pos = thrift.read_struct("BloomFilterHeader", blob, 0, SPECS)
+    nb = header["numBytes"]
+    if "UNCOMPRESSED" not in (header.get("compression") or {"UNCOMPRESSED": {}}):
+        raise NotImplementedError("compressed bloom filters")
+    return SplitBlockBloom.frombytes(blob[pos:pos + nb])
+
+
+def _bloom_value_bytes(value, elem: dict) -> bytes | None:
+    """PLAIN-encode a point-predicate value for bloom hashing (the
+    parquet-java input contract); None when the type isn't bloomable."""
+    if isinstance(value, str):
+        return value.encode("utf8")
+    if isinstance(value, bytes):
+        return value
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        width = 4 if elem["type"] == Type.INT32 else 8
+        return int(value).to_bytes(width, "little", signed=True)
+    if isinstance(value, float):
+        fmt = "<f" if elem["type"] == Type.FLOAT else "<d"
+        return struct.pack(fmt, value)
+    return None
+
+
+def _bloom_rules_out(path: str, rg: dict, elems: dict, clause,
+                     fs=None) -> bool:
+    """True iff a bloom filter PROVES some ==/in term of the AND-clause
+    cannot match this row group (definite negative; bloom positives
+    prove nothing)."""
+    from fastparquet_spark.codecs.bloom import xxh64
+
+    by_name = {".".join(cc["meta_data"]["path_in_schema"]): cc["meta_data"]
+               for cc in rg["columns"]}
+    for col, op, val in clause:
+        cmd = by_name.get(col)
+        if cmd is None or "bloom_filter_offset" not in cmd:
+            continue
+        if op in ("==", "="):
+            vals = [val]
+        elif op == "in":
+            vals = list(val)
+        else:
+            continue
+        elem = elems.get(col.split(".")[-1])
+        if elem is None:
+            continue
+        encoded = [_bloom_value_bytes(v, elem) for v in vals]
+        if any(e is None for e in encoded):
+            continue
+        import numpy as np
+
+        bf = read_bloom_filter(path, cmd["bloom_filter_offset"],
+                               cmd.get("bloom_filter_length"), fs=fs)
+        hashes = np.array([xxh64(e, 0) for e in encoded], dtype=np.uint64)
+        if not bf.might_contain(hashes).any():
+            return True  # no sought value can be present
+    return False
+
+
+def filter_row_groups(out_dir: str, filters, fs=None, metas=None,
+                      use_bloom: bool = True) -> list[tuple[str, int]]:
     """Surviving (file, row_group) pairs for a DNF filter — a flat
-    AND-list ``[(col,op,val),...]`` or OR-of-ANDs ``[[...],[...]]``."""
+    AND-list ``[(col,op,val),...]`` or OR-of-ANDs ``[[...],[...]]``.
+
+    Two pruning passes: min/max/null stats (metadata already in hand),
+    then — for ==/in clauses on columns carrying a bloom filter —
+    a split-block bloom membership check (one small ranged read per
+    surviving chunk; the high-cardinality point-lookup path where
+    stats cannot discriminate)."""
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
     for clause in filters:
@@ -449,9 +637,25 @@ def filter_row_groups(out_dir: str, filters, fs=None,
                 raise ValueError(f"unsupported filter op {op!r}")
     if metas is None:
         metas = dataset_metadata(out_dir, fs=fs)
+    by_file = {m["file"]: m for m in metas}
+    root = out_dir.rstrip("/")
+    # glob inputs record basenames, so the bloom's file path can't be
+    # reconstructed — stats-only pruning there
+    use_bloom = use_bloom and not any(c in out_dir for c in "*?[")
     keep = []
     for f, ri, cols, _n in _iter_chunks(metas):
-        if any(_chunk_may_match(cols, clause) for clause in filters):
+        clauses = [c for c in filters if _chunk_may_match(cols, c)]
+        if not clauses:
+            continue
+        if use_bloom:
+            m = by_file[f]
+            elems = {e["name"]: e for e in m["fmd"]["schema"][1:]
+                     if e.get("num_children") is None}
+            rg = m["fmd"]["row_groups"][ri]
+            clauses = [c for c in clauses
+                       if not _bloom_rules_out(f"{root}/{f}", rg, elems, c,
+                                               fs=fs)]
+        if clauses:
             keep.append((f, ri))
     return keep
 

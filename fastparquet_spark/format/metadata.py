@@ -97,10 +97,39 @@ SPECS = {
         (7, "total_compressed_size", "i64"), (9, "data_page_offset", "i64"),
         (11, "dictionary_page_offset", "i64"),
         (12, "statistics", ("struct", "Statistics")),
+        (14, "bloom_filter_offset", "i64"),
+        (15, "bloom_filter_length", "i32"),
+    ],
+    # bloom filter header (unions, one field set — like LogicalType)
+    "BloomFilterAlgorithm": [(1, "BLOCK", ("struct", "Empty"))],
+    "BloomFilterHash": [(1, "XXHASH", ("struct", "Empty"))],
+    "BloomFilterCompression": [(1, "UNCOMPRESSED", ("struct", "Empty"))],
+    "BloomFilterHeader": [
+        (1, "numBytes", "i32"),
+        (2, "algorithm", ("struct", "BloomFilterAlgorithm")),
+        (3, "hash", ("struct", "BloomFilterHash")),
+        (4, "compression", ("struct", "BloomFilterCompression")),
     ],
     "ColumnChunk": [
         (1, "file_path", "str"), (2, "file_offset", "i64"),
         (3, "meta_data", ("struct", "ColumnMetaData")),
+        (4, "offset_index_offset", "i64"), (5, "offset_index_length", "i32"),
+        (6, "column_index_offset", "i64"), (7, "column_index_length", "i32"),
+    ],
+    # page index structs (parquet spec PageIndex.md)
+    "PageLocation": [
+        (1, "offset", "i64"), (2, "compressed_page_size", "i32"),
+        (3, "first_row_index", "i64"),
+    ],
+    "OffsetIndex": [
+        (1, "page_locations", ("list", ("struct", "PageLocation"))),
+    ],
+    "ColumnIndex": [
+        (1, "null_pages", ("list", "bool")),
+        (2, "min_values", ("list", "bin")),
+        (3, "max_values", ("list", "bin")),
+        (4, "boundary_order", "i32"),
+        (5, "null_counts", ("list", "i64")),
     ],
     "RowGroup": [
         (1, "columns", ("list", ("struct", "ColumnChunk"))),

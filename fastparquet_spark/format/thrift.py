@@ -49,6 +49,10 @@ def _encode_value(ftype, value, specs) -> bytes:
         if isinstance(value, str):
             value = value.encode("utf8")
         return uvarint_encode(len(value)) + value
+    if ftype == "bool":
+        # bool as a LIST ELEMENT: one byte, 1=true / 2=false (compact
+        # spec; as a struct field it lives in the field header instead)
+        return bytes([CT_TRUE if value else CT_FALSE])
     raise ValueError(f"unsupported thrift type {ftype}")
 
 
@@ -94,6 +98,8 @@ def _skip(buf, pos, ct):
         n, etype = head >> 4, head & 0x0F
         if n == 15:
             n, pos = uvarint_decode(buf, pos)
+        if etype in (CT_TRUE, CT_FALSE):
+            return pos + n  # bool list elements are one byte each
         for _ in range(n):
             pos = _skip(buf, pos, etype)
         return pos
@@ -130,6 +136,8 @@ def _decode_value(ftype, buf, pos, specs):
         n, pos = uvarint_decode(buf, pos)
         raw = bytes(buf[pos:pos + n])
         return (raw.decode("utf8") if ftype == "str" else raw), pos + n
+    if ftype == "bool":  # list element: 1 byte
+        return buf[pos] == CT_TRUE, pos + 1
     raise ValueError(f"unsupported thrift type {ftype}")
 
 

@@ -278,13 +278,20 @@ def _encode_values(values, ptype: int, encoding: int):
 
         lengths, data = values
         return dlba_encode(lengths, data), None, 0
+    if encoding == Encoding.DELTA_BYTE_ARRAY:
+        from fastparquet_spark.codecs.split import dba_encode
+
+        lengths, data = values
+        return dba_encode(lengths, data), None, 0
     raise ValueError(f"encoding {encoding} handled elsewhere")
 
 
 def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
                encodings: dict | None = None, row_group_rows: int | None = None,
                stats: bool = True, data_page_version: int = 1,
-               times: str = "int64", compat: str = "reference") -> FileResult:
+               times: str = "int64", compat: str = "reference",
+               bloom_filters: dict | None = None,
+               page_rows: int | None = None) -> FileResult:
     """Write an Arrow table as a parquet file to ``sink`` (path or file-like).
 
     ``encodings``: optional {column: 'plain'|'dict'|'delta'} override;
@@ -298,6 +305,10 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
     reference reader's encoding set) or 'modern' (BYTE_STREAM_SPLIT /
     DELTA_LENGTH_BYTE_ARRAY admitted on a measured compressed-size win;
     pyarrow/DuckDB/Spark-readable, reference-reader not).
+    ``bloom_filters``: {column: fpp or True} — split-block bloom filter
+    per column chunk (parquet spec, parquet-java-compatible), enabling
+    point-predicate pruning on high-cardinality unsorted columns where
+    min/max stats can't discriminate.
     Returns a FileResult with per-column lineage metrics.
     """
     if data_page_version not in (1, 2):
@@ -306,7 +317,8 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
     f = open(sink, "wb") if own else sink
     try:
         return _write(f, table, compression, encodings or {}, row_group_rows,
-                      stats, data_page_version, times, compat)
+                      stats, data_page_version, times, compat, bloom_filters,
+                      page_rows)
     finally:
         if own:
             f.close()
@@ -315,7 +327,8 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
 _ENC_NAMES = {Encoding.PLAIN: "plain", Encoding.PLAIN_DICTIONARY: "dict",
               Encoding.DELTA_BINARY_PACKED: "delta",
               Encoding.BYTE_STREAM_SPLIT: "bss",
-              Encoding.DELTA_LENGTH_BYTE_ARRAY: "delta_length"}
+              Encoding.DELTA_LENGTH_BYTE_ARRAY: "delta_length",
+              Encoding.DELTA_BYTE_ARRAY: "delta_byte_array"}
 _ENC_BY_NAME = {v: k for k, v in _ENC_NAMES.items()}
 
 
@@ -329,7 +342,8 @@ class ParquetWriter:
     def __init__(self, f, schema: pa.Schema, compression: str | int = "SNAPPY",
                  encodings: dict | None = None, stats: bool = True,
                  data_page_version: int = 1, times: str = "int64",
-                 compat: str = "reference"):
+                 compat: str = "reference", bloom_filters: dict | None = None,
+                 page_rows: int | None = None):
         if data_page_version not in (1, 2):
             raise ValueError("data_page_version must be 1 or 2")
         if times not in ("int64", "int96"):
@@ -349,7 +363,7 @@ class ParquetWriter:
         # The reference reader decodes neither, hence opt-in.
         self.compat = compat
         self.f = f
-        self.codec = comp.codec_id(compression)
+        self.codec, self.level = comp.codec_spec(compression)
         self.encodings = encodings or {}
         self.want_stats = stats
         self.page_version = data_page_version
@@ -486,6 +500,22 @@ class ParquetWriter:
         # row groups of one task share the first's distribution
         self._chosen: dict[str, int] = {}
         self._modern_used = False  # any BSS/DELTA_LENGTH page written
+        # split-block bloom filters (parquet spec; parquet-java-compatible,
+        # the reference has none): {column: fpp or True}.  Built per column
+        # CHUNK from the non-null value hashes, serialized before the
+        # footer at close, referenced via bloom_filter_offset/length.
+        self.bloom_cols = {
+            k: (0.01 if v is True else float(v))
+            for k, v in (bloom_filters or {}).items()}
+        self._blooms: list[tuple[dict, object]] = []  # (cmd, filter)
+        # page splitting + PageIndex (parquet spec; the reference writes
+        # neither): with page_rows set, each flat column chunk becomes
+        # ceil(n/page_rows) v1 data pages and the file carries a
+        # ColumnIndex (per-page min/max/nulls) + OffsetIndex (page
+        # locations) per chunk — parquet-java prunes PAGES on selective
+        # predicates instead of whole row groups
+        self.page_rows = page_rows
+        self._page_index: list[tuple[dict, dict]] = []  # (chunk_entry, idx)
 
     def _write_list_column(self, arr: pa.Array, name: str, meta, pos: int):
         """One LIST column chunk: vectorized Dremel level GENERATION
@@ -529,7 +559,7 @@ class ParquetWriter:
         def_b = encode_hybrid(defs, 2)
         body = (len(rep_b).to_bytes(4, "little") + rep_b
                 + len(def_b).to_bytes(4, "little") + def_b + data)
-        comp_body = comp.compress(body, self.codec)
+        comp_body = comp.compress(body, self.codec, self.level)
         ph = thrift.write_struct("PageHeader", {
             "type": PageType.DATA_PAGE,
             "uncompressed_page_size": len(body),
@@ -609,7 +639,7 @@ class ParquetWriter:
             data = encode_plain(_extract(leaf_arr, lptype), lptype)
             body = (len(rep_b).to_bytes(4, "little") + rep_b
                     + len(def_b).to_bytes(4, "little") + def_b + data)
-            comp_body = comp.compress(body, self.codec)
+            comp_body = comp.compress(body, self.codec, self.level)
             ph = thrift.write_struct("PageHeader", {
                 "type": PageType.DATA_PAGE,
                 "uncompressed_page_size": len(body),
@@ -654,7 +684,7 @@ class ParquetWriter:
             leaf_nn = leaf_nn.cast(scast)
         data = encode_plain(_extract(leaf_nn, sptype), sptype)
         body = len(def_b).to_bytes(4, "little") + def_b + data
-        comp_body = comp.compress(body, self.codec)
+        comp_body = comp.compress(body, self.codec, self.level)
         n = len(arr)
         ph = thrift.write_struct("PageHeader", {
             "type": PageType.DATA_PAGE,
@@ -685,16 +715,17 @@ class ParquetWriter:
         compressed-size win (the same hysteresis the FSST selection
         uses) — so the choice is measured, never assumed.  Runs once per
         column per file (the result lands in ``_chosen``)."""
-        from fastparquet_spark.codecs.split import bss_encode, dlba_encode
+        from fastparquet_spark.codecs.split import (
+            bss_encode, dba_encode, dlba_encode,
+        )
 
         cap = 65_536
         if ptype in (Type.FLOAT, Type.DOUBLE):
             sample = values[:cap]
             if len(sample) < 64:
                 return Encoding.PLAIN
+            cands = [(Encoding.BYTE_STREAM_SPLIT, bss_encode(sample, ptype))]
             plain = encode_plain(sample, ptype)
-            alt = bss_encode(sample, ptype)
-            enc = Encoding.BYTE_STREAM_SPLIT
         elif ptype == Type.BYTE_ARRAY:
             lengths, data = values
             if len(lengths) < 64:
@@ -702,14 +733,129 @@ class ParquetWriter:
             ln = np.asarray(lengths[:cap])
             dt = np.asarray(data[: int(ln.sum())])
             plain = encode_plain((ln, dt), ptype)
-            alt = dlba_encode(ln, dt)
-            enc = Encoding.DELTA_LENGTH_BYTE_ARRAY
+            cands = [(Encoding.DELTA_LENGTH_BYTE_ARRAY, dlba_encode(ln, dt)),
+                     (Encoding.DELTA_BYTE_ARRAY, dba_encode(ln, dt))]
         else:
             return Encoding.PLAIN
-        if len(comp.compress(alt, self.codec)) < \
-                0.98 * len(comp.compress(plain, self.codec)):
-            return enc
-        return Encoding.PLAIN
+        base = len(comp.compress(plain, self.codec, self.level))
+        best, best_sz = Encoding.PLAIN, base
+        for enc, alt in cands:
+            sz = len(comp.compress(alt, self.codec, self.level))
+            if sz < 0.98 * base and sz < best_sz:
+                best, best_sz = enc, sz
+        return best
+
+    def _write_flat_pages(self, arr, name: str, ptype: int, encoding: int,
+                          pos: int, values):
+        """Multi-page emission of one flat column chunk (v1 pages) plus
+        the per-page metadata the PageIndex needs.  Pages are
+        independent units per the spec (DELTA/DBA chains restart), so a
+        reader can decode any subset; a dictionary page, when the chunk
+        is dict-encoded, fronts the chunk and is shared by all pages."""
+        f, codec, level = self.f, self.codec, self.level
+        n = len(arr)
+        chunk_offset = pos
+        dict_off = None
+        written = 0
+        n_dict = 0
+        codes = None
+        dict_page_bytes = None
+        if encoding == Encoding.PLAIN_DICTIONARY:
+            nonnull = arr.drop_null() if arr.null_count else arr
+            codes, labels = dict_build(nonnull)
+            n_dict = len(labels)
+            dict_page_bytes = encode_plain(_extract_labels(labels, ptype),
+                                           ptype)
+            comp_dict = comp.compress(dict_page_bytes, codec, level)
+            ph = thrift.write_struct("PageHeader", {
+                "type": PageType.DICTIONARY_PAGE,
+                "uncompressed_page_size": len(dict_page_bytes),
+                "compressed_page_size": len(comp_dict),
+                "dictionary_page_header": {
+                    "num_values": n_dict,
+                    "encoding": Encoding.PLAIN_DICTIONARY},
+            }, SPECS)
+            dict_off = pos
+            f.write(ph); f.write(comp_dict)
+            written += len(ph) + len(comp_dict)
+            pos += len(ph) + len(comp_dict)
+
+        locs, null_pages, mins, maxs, null_counts = [], [], [], [], []
+        data_off = None
+        uncomp_total = written - (0 if dict_page_bytes is None
+                                  else len(comp_dict)) + \
+            (len(dict_page_bytes) if dict_page_bytes else 0)
+        total_nulls = 0
+        nn_seen = 0
+        for start in range(0, n, self.page_rows):
+            parr = arr.slice(start, self.page_rows)
+            pn = len(parr)
+            defs, nulls = _def_levels(parr, pn, v2=False)
+            total_nulls += nulls
+            pvals = None
+            if codes is not None:
+                nn = pn - nulls
+                data = dict_data_page(codes[nn_seen:nn_seen + nn], n_dict)
+                nn_seen += nn
+            else:
+                pvals = _extract(parr, ptype)
+                data, _, _ = _encode_values(pvals, ptype, encoding)
+            body = defs + data
+            comp_body = comp.compress(body, codec, level)
+            pst = _make_stats(parr, pvals, ptype, nulls, 0) \
+                if self.want_stats and pn else None
+            dph = {"num_values": pn, "encoding": encoding,
+                   "definition_level_encoding": Encoding.RLE,
+                   "repetition_level_encoding": Encoding.RLE}
+            if pst:
+                dph["statistics"] = pst
+            ph = thrift.write_struct("PageHeader", {
+                "type": PageType.DATA_PAGE,
+                "uncompressed_page_size": len(body),
+                "compressed_page_size": len(comp_body),
+                "data_page_header": dph,
+            }, SPECS)
+            if data_off is None:
+                data_off = pos
+            locs.append({"offset": pos,
+                         "compressed_page_size": len(ph) + len(comp_body),
+                         "first_row_index": start})
+            all_null = nulls == pn
+            null_pages.append(all_null)
+            lob = (pst or {}).get("min_value")
+            hib = (pst or {}).get("max_value")
+            mins.append(b"" if all_null or lob is None else lob)
+            maxs.append(b"" if all_null or hib is None else hib)
+            null_counts.append(nulls)
+            f.write(ph); f.write(comp_body)
+            written += len(ph) + len(comp_body)
+            uncomp_total += len(ph) + len(body)
+            pos += len(ph) + len(comp_body)
+
+        st = _make_stats(arr, values, ptype, total_nulls, n_dict) \
+            if self.want_stats and n else None
+        enc_list = sorted({Encoding.RLE, encoding} |
+                          ({Encoding.PLAIN} if dict_page_bytes else set()))
+        cmd = {"type": ptype, "encodings": enc_list,
+               "path_in_schema": [name], "codec": codec,
+               "num_values": n,
+               "total_uncompressed_size": uncomp_total,
+               "total_compressed_size": written,
+               "data_page_offset": data_off}
+        if dict_off is not None:
+            cmd["dictionary_page_offset"] = dict_off
+        if st:
+            cmd["statistics"] = st
+        idx = {"offset_index": {"page_locations": locs},
+               "column_index": {"null_pages": null_pages,
+                                "min_values": mins, "max_values": maxs,
+                                "boundary_order": 0,
+                                "null_counts": null_counts}}
+        colres = ColumnResult(
+            name=name, encoding=_ENC_NAMES[encoding], num_values=n,
+            null_count=total_nulls, uncompressed_size=uncomp_total,
+            compressed_size=written, dict_entries=n_dict)
+        return written, chunk_offset, cmd, idx, colres, values, total_nulls
 
     def write_row_group(self, chunk: pa.Table) -> None:
         """Encode one row group from an Arrow table/batch slice."""
@@ -724,6 +870,40 @@ class ParquetWriter:
         """Write footer + magic; returns the accumulated FileResult."""
         if self._closed:
             return self.result
+        # bloom filters land between the last page and the footer (the
+        # spec allows any placement; parquet-java reads them by offset)
+        for cmd, bf in self._blooms:
+            raw = bf.tobytes()
+            header = thrift.write_struct("BloomFilterHeader", {
+                "numBytes": len(raw),
+                "algorithm": {"BLOCK": {}},
+                "hash": {"XXHASH": {}},
+                "compression": {"UNCOMPRESSED": {}},
+            }, SPECS)
+            cmd["bloom_filter_offset"] = self.pos
+            cmd["bloom_filter_length"] = len(header) + len(raw)
+            self.f.write(header)
+            self.f.write(raw)
+            self.pos += len(header) + len(raw)
+        self._blooms.clear()
+        # PageIndex: all ColumnIndexes, then all OffsetIndexes, each
+        # chunk's ColumnChunk entry pointing at its spans (parquet-java's
+        # own layout order)
+        for entry, idx in self._page_index:
+            blob = thrift.write_struct("ColumnIndex", idx["column_index"],
+                                       SPECS)
+            entry["column_index_offset"] = self.pos
+            entry["column_index_length"] = len(blob)
+            self.f.write(blob)
+            self.pos += len(blob)
+        for entry, idx in self._page_index:
+            blob = thrift.write_struct("OffsetIndex", idx["offset_index"],
+                                       SPECS)
+            entry["offset_index_offset"] = self.pos
+            entry["offset_index_length"] = len(blob)
+            self.f.write(blob)
+            self.pos += len(blob)
+        self._page_index.clear()
         # Spark's vectorized reader rejects v2 encodings (BYTE_STREAM_
         # SPLIT etc.) unless FileMetaData.version is 2, so files that
         # used one advertise 2; everything else stays at the reference's
@@ -743,6 +923,7 @@ class ParquetWriter:
     def _write_row_group(self, chunk: pa.Table) -> None:
         f = self.f
         codec = self.codec
+        level = self.level
         encodings = self.encodings
         want_stats = self.want_stats
         page_version = self.page_version
@@ -802,8 +983,31 @@ class ParquetWriter:
                 self._chosen[name] = encoding
 
             if encoding in (Encoding.BYTE_STREAM_SPLIT,
-                            Encoding.DELTA_LENGTH_BYTE_ARRAY):
+                            Encoding.DELTA_LENGTH_BYTE_ARRAY,
+                            Encoding.DELTA_BYTE_ARRAY):
                 self._modern_used = True
+            if self.page_rows and page_version == 1:
+                (written, chunk_offset, cmd, idx, colres, values,
+                 null_count) = self._write_flat_pages(
+                    arr, name, ptype, encoding, pos, values)
+                if name in self.bloom_cols and n - null_count > 0 \
+                        and ptype != Type.BOOLEAN:
+                    from fastparquet_spark.codecs.bloom import (
+                        SplitBlockBloom, hash_values,
+                    )
+
+                    h = hash_values(values, ptype)
+                    bf = SplitBlockBloom(SplitBlockBloom.optimal_bytes(
+                        len(np.unique(h)), self.bloom_cols[name]))
+                    bf.insert(h)
+                    self._blooms.append((cmd, bf))
+                entry = {"file_offset": chunk_offset, "meta_data": cmd}
+                self._page_index.append((entry, idx))
+                chunks_cols.append(entry)
+                self.result.columns.append(colres)
+                rg_bytes += written
+                pos += written
+                continue
             dict_page_bytes = None
             n_dict = 0
             if encoding == Encoding.PLAIN_DICTIONARY:
@@ -825,7 +1029,7 @@ class ParquetWriter:
             dict_off = None
             written = 0
             if dict_page_bytes is not None:
-                comp_dict = comp.compress(dict_page_bytes, codec)
+                comp_dict = comp.compress(dict_page_bytes, codec, level)
                 ph = thrift.write_struct("PageHeader", {
                     "type": PageType.DICTIONARY_PAGE,
                     "uncompressed_page_size": len(dict_page_bytes),
@@ -839,7 +1043,7 @@ class ParquetWriter:
                 written += len(ph) + len(comp_dict)
                 pos += len(ph) + len(comp_dict)
             if page_version == 1:
-                comp_body = comp.compress(body, codec)
+                comp_body = comp.compress(body, codec, level)
                 dph = {"num_values": n,
                        "encoding": encoding,
                        "definition_level_encoding": Encoding.RLE,
@@ -855,7 +1059,7 @@ class ParquetWriter:
             else:
                 # v2: levels uncompressed outside the compressed values
                 # section (fastparquet/writer.py:564-591)
-                comp_data = comp.compress(data, codec)
+                comp_data = comp.compress(data, codec, level)
                 comp_body = defs + comp_data
                 dph = {"num_values": n, "num_nulls": null_count,
                        "num_rows": n, "encoding": encoding,
@@ -891,6 +1095,18 @@ class ParquetWriter:
                 cmd["dictionary_page_offset"] = dict_off
             if st:
                 cmd["statistics"] = st
+            if name in self.bloom_cols and n - null_count > 0 \
+                    and ptype != Type.BOOLEAN:
+                from fastparquet_spark.codecs.bloom import (
+                    SplitBlockBloom, hash_values,
+                )
+
+                h = hash_values(values, ptype)
+                ndv = len(np.unique(h))
+                bf = SplitBlockBloom(SplitBlockBloom.optimal_bytes(
+                    ndv, self.bloom_cols[name]))
+                bf.insert(h)
+                self._blooms.append((cmd, bf))
             chunks_cols.append({"file_offset": chunk_offset, "meta_data": cmd})
             self.result.columns.append(ColumnResult(
                 name=name, encoding=_ENC_NAMES[encoding], num_values=n,
@@ -903,12 +1119,14 @@ class ParquetWriter:
 
 
 def _write(f, table, compression, encodings, row_group_rows, want_stats,
-           page_version=1, times="int64", compat="reference"):
+           page_version=1, times="int64", compat="reference",
+           bloom_filters=None, page_rows=None):
     n_rows = table.num_rows
     rg_rows = row_group_rows or max(n_rows, 1)
     w = ParquetWriter(f, table.schema, compression, encodings,
                       stats=want_stats, data_page_version=page_version,
-                      times=times, compat=compat)
+                      times=times, compat=compat, bloom_filters=bloom_filters,
+                      page_rows=page_rows)
     for start in range(0, n_rows, rg_rows):
         w.write_row_group(table.slice(start, rg_rows))
     return w.close()

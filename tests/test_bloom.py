@@ -1,0 +1,169 @@
+"""Split-block Bloom filters (parquet spec) — write, read, prune, and
+the parquet-java differential.
+
+The reference has no bloom support; this is the needle-in-a-haystack
+operator at 100 TB: a point predicate on a high-cardinality unsorted
+column (commit hash) defeats min/max pruning — every chunk's range
+covers everything — but the bloom answers 'definitely not here' from a
+few KB per chunk, no data pages read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fastparquet_spark.codecs.bloom import (
+    SplitBlockBloom,
+    hash_values,
+    xxh64,
+    xxh64_many,
+)
+from fastparquet_spark.format import write_file
+from fastparquet_spark.format.dataset import (
+    filter_row_groups,
+    read_bloom_filter,
+)
+
+
+def test_xxh64_reference_vectors():
+    # public XXH64 test vectors (seed 0 and the classic prime seed)
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+    assert xxh64(b"", 2654435761) == 0xAC75FDA2929B17EF
+
+
+def test_xxh64_native_matches_python():
+    vals = [b"", b"a", b"abc", b"hello world", b"x" * 31, b"y" * 32,
+            b"z" * 100, bytes(range(256)), b"q" * 1000]
+    lens = np.array([len(v) for v in vals], np.int64)
+    data = np.frombuffer(b"".join(vals), np.uint8)
+    for seed in (0, 42, 2654435761):
+        got = xxh64_many(lens, data, seed)
+        exp = np.array([xxh64(v, seed) for v in vals], np.uint64)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_bloom_membership_and_fp_rate():
+    keys = [f"key-{i}".encode() for i in range(5000)]
+    lens = np.array([len(k) for k in keys], np.int64)
+    data = np.frombuffer(b"".join(keys), np.uint8)
+    h = xxh64_many(lens, data)
+    bf = SplitBlockBloom(SplitBlockBloom.optimal_bytes(5000, 0.01))
+    bf.insert(h)
+    assert bf.might_contain(h).all()
+    absent = [f"other-{i}".encode() for i in range(5000)]
+    la = np.array([len(k) for k in absent], np.int64)
+    da = np.frombuffer(b"".join(absent), np.uint8)
+    fp = bf.might_contain(xxh64_many(la, da)).mean()
+    assert fp < 0.03  # sized for 1%
+    # serialization round-trip
+    rt = SplitBlockBloom.frombytes(bf.tobytes())
+    assert rt.might_contain(h).all()
+
+
+def test_bloom_prunes_where_stats_cannot(tmp_path):
+    rng = np.random.default_rng(9)
+    commits = [f"{h:040x}" for h in rng.integers(0, 1 << 62, 20_000)]
+    t = pa.table({"commit": pa.array(commits),
+                  "v": pa.array(range(20_000))})
+    write_file(str(tmp_path / "a.parquet"), t, compression="ZSTD",
+               row_group_rows=5_000, bloom_filters={"commit": 0.01})
+    # the file is still a perfectly normal parquet file
+    assert pq.read_table(str(tmp_path / "a.parquet")) \
+             .column("commit").to_pylist() == commits
+    present = commits[12_500]  # lives in row group 2
+    keep = filter_row_groups(str(tmp_path), [("commit", "==", present)])
+    assert ("a.parquet", 2) in keep and len(keep) <= 2
+    absent = commits[100][:-4] + "beef"  # inside every chunk's range
+    assert absent not in set(commits)
+    stats_only = filter_row_groups(str(tmp_path),
+                                   [("commit", "==", absent)],
+                                   use_bloom=False)
+    assert len(stats_only) == 4  # min/max can NOT discriminate
+    assert filter_row_groups(str(tmp_path),
+                             [("commit", "==", absent)]) == []
+    # 'in' with one present value keeps its group
+    keep_in = filter_row_groups(
+        str(tmp_path), [("commit", "in", [absent, present])])
+    assert ("a.parquet", 2) in keep_in
+
+
+def test_bloom_int_and_hash_values_shapes(tmp_path):
+    rng = np.random.default_rng(4)
+    ids = rng.permutation(100_000)[:10_000].astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "f": pa.array(
+        rng.normal(0, 1, 10_000))})
+    write_file(str(tmp_path / "i.parquet"), t,
+               row_group_rows=2_500,
+               bloom_filters={"id": True, "f": True})
+    present = int(ids[7_000])
+    keep = filter_row_groups(str(tmp_path), [("id", "==", present)])
+    assert len(keep) >= 1
+    absent = int(max(ids) + 1)
+    # in-range absent value (stats keep everything, bloom drops all)
+    in_range_absent = None
+    present_set = set(int(x) for x in ids)
+    for cand in range(int(ids.min()) + 1, int(ids.max())):
+        if cand not in present_set:
+            in_range_absent = cand
+            break
+    assert filter_row_groups(str(tmp_path),
+                             [("id", "==", in_range_absent)]) == []
+    assert filter_row_groups(str(tmp_path), [("id", "==", absent)]) == []
+    # hash_values over numeric numpy equals per-value LE-byte hashing
+    h = hash_values(ids[:16], 2)  # Type.INT64
+    exp = np.array([xxh64(int(v).to_bytes(8, "little", signed=True), 0)
+                    for v in ids[:16]], np.uint64)
+    np.testing.assert_array_equal(h, exp)
+
+
+def test_parquet_java_differential(spark, tmp_path):
+    """parquet-java (Spark) writes bloom filters for string and int64
+    columns; OUR reader must load those exact bytes and get perfect
+    recall on present keys + spec fp on absent keys — proving hash,
+    block addressing and serialization all match the spec
+    implementation bit for bit.  And the reverse: Spark point-filters
+    a file whose bloom WE wrote (parquet.filter.bloom.enabled is on by
+    default, so a malformed filter would fail the read)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "sb")
+    df = spark.range(30_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("k"),
+        F.col("id").alias("n"))
+    (df.coalesce(1).write.mode("overwrite")
+     .option("parquet.bloom.filter.enabled#k", "true")
+     .option("parquet.bloom.filter.expected.ndv#k", "30000")
+     .option("parquet.bloom.filter.enabled#n", "true")
+     .option("parquet.bloom.filter.expected.ndv#n", "30000")
+     .parquet(out))
+    from fastparquet_spark.format.dataset import dataset_metadata
+
+    metas = [m for m in dataset_metadata(out)]
+    cmds = {".".join(cc["meta_data"]["path_in_schema"]): cc["meta_data"]
+            for cc in metas[0]["fmd"]["row_groups"][0]["columns"]}
+    assert cmds["k"].get("bloom_filter_offset") is not None
+    path = f"{out}/{metas[0]['file']}"
+    bf = read_bloom_filter(path, cmds["k"]["bloom_filter_offset"],
+                           cmds["k"].get("bloom_filter_length"))
+    pres = np.array([xxh64(f"doc-{i}".encode(), 0)
+                     for i in range(0, 30_000, 607)], np.uint64)
+    assert bf.might_contain(pres).all()
+    abst = np.array([xxh64(f"doc-{i}".encode(), 0)
+                     for i in range(40_000, 50_000, 97)], np.uint64)
+    assert bf.might_contain(abst).mean() < 0.05
+    # end-to-end: our pruner over the Spark-bloom dataset
+    assert len(filter_row_groups(out, [("k", "==", "doc-123")])) == 1
+    assert filter_row_groups(out, [("k", "==", "doc-9999999")]) == []
+    assert len(filter_row_groups(out, [("n", "==", 17)])) == 1
+    assert filter_row_groups(out, [("n", "==", 10**9)]) == []
+
+    # reverse direction: Spark reads + point-filters our bloom'd file
+    ours = str(tmp_path / "ours.parquet")
+    keys = [f"{i:08x}" for i in range(10_000)]
+    write_file(ours, pa.table({"k": pa.array(keys),
+                               "v": pa.array(range(10_000))}),
+               bloom_filters={"k": 0.01})
+    got = spark.read.parquet(ours).filter(F.col("k") == "00001388").collect()
+    assert len(got) == 1 and got[0]["v"] == 0x1388

@@ -345,3 +345,28 @@ def test_dlba_roundtrip():
     assert pos == len(buf)
     np.testing.assert_array_equal(lo, lengths)
     np.testing.assert_array_equal(do, data)
+
+
+def test_dba_roundtrip_shapes():
+    import numpy as np
+
+    from fastparquet_spark.codecs.split import dba_decode, dba_encode
+
+    for strs in (
+            [b"", b"", b"a", b"a", b"ab", b"abc", b"abd", b"b"],
+            sorted(f"repo/{i % 50:02d}/p_{i:06d}.rs".encode()
+                   for i in range(3000)),
+            [b"x" * 200, b"x" * 200, b"x" * 199 + b"y"],  # beyond 64B cap
+            [b""] * 5,
+            [bytes([i % 256]) * (i % 9) for i in range(500)]):
+        ln = np.array([len(s) for s in strs], np.int64)
+        dt = np.frombuffer(b"".join(strs), np.uint8)
+        buf = dba_encode(ln, dt)
+        (lo, do), pos = dba_decode(buf, len(strs))
+        assert pos == len(buf)
+        out, p = [], 0
+        db = do.tobytes()
+        for length in lo:
+            out.append(db[p:p + length])
+            p += length
+        assert out == strs

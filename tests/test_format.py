@@ -287,7 +287,8 @@ def test_modern_compat_mode_all_readers(tmp_path):
     rm = write_file(mod, t, compression="ZSTD", compat="modern")
     write_file(ref, t, compression="ZSTD")
     enc = {c.name: c.encoding for c in rm.columns}
-    assert enc == {"f": "bss", "d": "bss", "p": "delta_length"}
+    # the 3-way string trial: DELTA_BYTE_ARRAY beats DELTA_LENGTH here
+    assert enc == {"f": "bss", "d": "bss", "p": "delta_byte_array"}
     import os
     assert os.path.getsize(mod) < os.path.getsize(ref)
     back = pq.read_table(mod)
@@ -370,3 +371,43 @@ def test_modern_readable_by_spark(spark, tmp_path):
                                     dtype=np.float64))) < 1e-3
     finally:
         spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+
+
+def test_modern_picks_dba_for_sorted_paths(tmp_path):
+    """Sorted path-like strings: DELTA_BYTE_ARRAY wins the 3-way trial
+    and the file shrinks severalfold; pyarrow and DuckDB read it."""
+    import os
+
+    import duckdb
+
+    paths = sorted(f"src/{i % 37:02d}/pkg/module_{i:07d}.py"
+                   for i in range(20_000))
+    t = pa.table({"p": pa.array(paths), "k": pa.array(range(20_000))})
+    mod = str(tmp_path / "dba.parquet")
+    ref = str(tmp_path / "ref.parquet")
+    r = write_file(mod, t, compression="ZSTD", compat="modern")
+    write_file(ref, t, compression="ZSTD")
+    assert {c.name: c.encoding for c in r.columns}["p"] == "delta_byte_array"
+    assert os.path.getsize(mod) < 0.5 * os.path.getsize(ref)
+    assert pq.read_table(mod).column("p").to_pylist() == paths
+    assert read_file(mod).column("p").to_pylist() == paths
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{mod}' WHERE p LIKE 'src/%'"
+    ).fetchone()[0] == 20_000
+
+
+def test_compression_level_spec_parity(tmp_path):
+    """The reference's dict compression spec ({'type': ..., 'args':
+    {'level': N}}, fastparquet/compression.py:73) and the plain
+    {'codec','level'} form both steer the block codec level."""
+    import os
+
+    t = pa.table({"s": pa.array(sorted(f"src/{i % 37:02d}/pkg/module_{i:07d}.py"
+                                        for i in range(20_000)))})
+    hi = str(tmp_path / "hi.parquet")
+    lo = str(tmp_path / "lo.parquet")
+    write_file(hi, t, compression={"type": "zstd", "args": {"level": 12}})
+    write_file(lo, t, compression={"codec": "ZSTD", "level": 1})
+    assert os.path.getsize(hi) < os.path.getsize(lo)
+    assert pq.read_table(hi).column("s").to_pylist() == \
+        t.column("s").to_pylist()

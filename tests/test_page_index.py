@@ -1,0 +1,129 @@
+"""Multi-page column chunks + parquet PageIndex (ColumnIndex /
+OffsetIndex) — write, parse-back, page-level pruning, and the
+parquet-cpp/-java differentials.
+
+The reference writes one page per row group and no index at all; the
+PageIndex is the tier BELOW row-group pruning: a selective predicate
+skips pages (10^4-row units) instead of whole row groups (10^6-row
+units), which parquet-java does automatically on our files — so a
+wrong index would make Spark silently drop rows, and the Spark test
+here guards exactly that.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fastparquet_spark.format import read_file, write_file
+from fastparquet_spark.format.dataset import filter_pages, read_page_index
+
+
+def _table(n=50_000):
+    rng = np.random.default_rng(2)
+    return pa.table({
+        "k": pa.array(range(n)),
+        "lang": pa.array([["py", "rs", "go", "js"][i % 4]
+                          for i in range(n)]),
+        "s": pa.array([f"text {i} " + "x" * (i % 13) for i in range(n)]),
+        "f": pa.array(rng.normal(0, 1, n)),
+        "maybe": pa.array([i if i % 7 else None for i in range(n)],
+                          pa.int64()),
+    })
+
+
+def test_paged_file_roundtrips_all_readers(tmp_path):
+    import duckdb
+
+    t = _table()
+    path = str(tmp_path / "paged.parquet")
+    write_file(path, t, compression="ZSTD", row_group_rows=25_000,
+               page_rows=5_000)
+    back = pq.read_table(path)
+    own = read_file(path)
+    for c in t.column_names:
+        assert back.column(c).to_pylist() == t.column(c).to_pylist(), c
+        assert own.column(c).cast(t.schema.field(c).type).to_pylist() == \
+            t.column(c).to_pylist(), c
+    assert duckdb.sql(f"SELECT count(*), sum(k) FROM '{path}'").fetchone() \
+        == (50_000, sum(range(50_000)))
+
+
+def test_page_index_written_and_parsed(tmp_path):
+    t = _table()
+    path = str(tmp_path / "pidx.parquet")
+    write_file(path, t, compression="ZSTD", row_group_rows=25_000,
+               page_rows=5_000)
+    idx = read_page_index(path)
+    assert len(idx) == 2  # row groups
+    for rg in idx:
+        for chunk in rg:
+            assert chunk is not None
+            assert len(chunk["locations"]) == 5
+            assert [loc["first_row_index"] for loc in chunk["locations"]] \
+                == [0, 5_000, 10_000, 15_000, 20_000]
+    # the sorted column's per-page min equals its first row's value
+    kmins = [struct.unpack("<q", m)[0] for m in idx[1][0]["min_values"]]
+    assert kmins == [25_000, 30_000, 35_000, 40_000, 45_000]
+    # nullable column records per-page null counts
+    assert sum(idx[0][4]["null_counts"]) == \
+        sum(1 for i in range(25_000) if i % 7 == 0)
+
+
+def test_filter_pages_prunes_to_one_page(tmp_path):
+    t = _table()
+    path = str(tmp_path / "fp.parquet")
+    write_file(path, t, compression="ZSTD", row_group_rows=25_000,
+               page_rows=5_000)
+    assert filter_pages(path, [("k", ">=", 12_000), ("k", "<=", 12_999)]) \
+        == [(0, 10_000, 5_000)]
+    assert filter_pages(path, [("k", "==", 37_500)]) == [(1, 10_000, 5_000)]
+    assert filter_pages(path, [("k", "==", 10**9)]) == []
+    # unindexed predicate keeps whole row groups (conservative)
+    un = filter_pages(path, [("lang", "==", "py")])
+    assert sum(nr for _ri, _fr, nr in un) == 50_000
+
+
+def test_parses_pyarrow_page_index(tmp_path):
+    """parquet-cpp differential: pyarrow's own write_page_index=True
+    output parses through our reader with consistent semantics."""
+    t = _table()
+    path = str(tmp_path / "pa.parquet")
+    pq.write_table(t, path, use_dictionary=False, row_group_size=25_000,
+                   data_page_size=6_000, write_page_index=True)
+    idx = read_page_index(path)
+    locs = idx[0][0]["locations"]
+    assert len(locs) > 5  # pyarrow splits by bytes -> many pages
+    mins = idx[0][0]["min_values"]
+    assert struct.unpack("<q", mins[1])[0] == locs[1]["first_row_index"]
+    pruned = filter_pages(path, [("k", "==", 24_000)])
+    kept = sum(nr for _ri, _fr, nr in pruned)
+    assert 0 < kept < 25_000
+    assert any(fr <= 24_000 < fr + nr for ri, fr, nr in pruned if ri == 0)
+
+
+def test_spark_filters_paged_files_correctly(spark, tmp_path):
+    """parquet-java consumes the ColumnIndex for page skipping during
+    filtered scans — if our per-page min/max or first_row_index were
+    wrong, these filters would silently DROP rows."""
+    from pyspark.sql import functions as F
+
+    n = 120_000
+    rng = np.random.default_rng(6)
+    t = pa.table({"k": pa.array(range(n)),
+                  "r": pa.array(rng.permutation(n)),
+                  "s": pa.array([f"v{i}" for i in range(n)])})
+    path = str(tmp_path / "sp.parquet")
+    write_file(path, t, compression="ZSTD", row_group_rows=60_000,
+               page_rows=10_000)
+    df = spark.read.parquet(path)
+    got = df.filter((F.col("k") >= 55_000) & (F.col("k") < 56_000)).agg(
+        F.count("*"), F.sum("k"), F.sum("r")).collect()[0]
+    assert tuple(got) == (1000, sum(range(55_000, 56_000)),
+                          int(t.column("r").to_numpy()[55_000:56_000].sum()))
+    one = df.filter(F.col("k") == 111_111).collect()
+    assert len(one) == 1 and one[0]["s"] == "v111111"
+    assert df.filter(F.col("s").isin("v5", "v59999", "v60000")).count() == 3
