@@ -88,23 +88,24 @@ def encode_subprocess(cpus: int, mode: str = "parquet") -> dict:
     """One warm-up + timed encode passes in a fresh process.
 
     ``mode='parquet'``: encode_files (the footer-split throughput path).
-    ``mode='fpsc'``: encode_dataset_fpsc (FSST-enabled own container) —
-    records the container path's GB/s + ratio alongside parquet's."""
+    ``mode='fpsc'``: encode_files_fpsc (FSST-enabled own container on
+    the same footer-split architecture, driver-pretrained symbol
+    tables) — records the container path's GB/s + ratio alongside
+    parquet's."""
     if mode == "parquet":
         job = f"""
     m = encode_files(spark, {SRC_DIR!r}, out, compression="ZSTD",
                      rows_per_task=20000, resume=False).collect()"""
     else:
         job = f"""
-    m = encode_dataset_fpsc(spark, spark.read.parquet({SRC_DIR!r}), out,
-                            compression="ZSTD", rows_per_container=20000,
-                            resume=False).collect()"""
+    m = encode_files_fpsc(spark, {SRC_DIR!r}, out, compression="ZSTD",
+                          rows_per_task=20000, resume=False).collect()"""
     code = f"""
 import sys, time, json, tempfile, shutil
 sys.path.insert(0, {REPO!r})
 from bench import make_spark
 from fastparquet_spark.engine import encode_files
-from fastparquet_spark.engine.fpsc_job import encode_dataset_fpsc
+from fastparquet_spark.engine.file_job import encode_files_fpsc
 spark = make_spark({cpus})
 best = None
 # pass 0 is warm-up; min over 3 timed passes (this host's spare capacity

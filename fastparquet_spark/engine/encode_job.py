@@ -208,6 +208,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     compression_ = compression
     encodings_ = encodings
     bloom_ = bloom_filters
+    sort_cols_ = tuple(sort_cols)  # stamped as footer SortingColumn metadata
     row_group_rows_ = row_group_rows
     out_dir_ = out_dir
     resume_ = resume
@@ -260,7 +261,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 self.writer = ParquetWriter(self.sink, schema_,
                                             compression=compression_,
                                             encodings=encodings_,
-                                            bloom_filters=bloom_)
+                                            bloom_filters=bloom_,
+                                            sorting_columns=list(sort_cols_))
                 self.buf: list[pa.Table] = []
                 self.buf_rows = 0
                 self.buf_bytes = 0

@@ -170,3 +170,112 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
                 yield _arrow_manifest_batch(row)
 
     return sdf.mapInArrow(run, _manifest_struct())
+
+
+def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
+                      compression: str = "ZSTD", columns=None,
+                      rows_per_task: int = 2_000_000, resume: bool = True,
+                      pretrain_rows: int = 2_000):
+    """FPSC-container twin of :func:`encode_files` — the container
+    format's THROUGHPUT path.  Same split planning (footer-only, plan
+    moves not data), same manifest/resume contract, but each worker
+    writes an ``.fpsc`` container (FSST-enabled best-of codecs) instead
+    of parquet.  FSST symbol tables are trained ONCE on the driver from
+    a small pyarrow sample and shipped through the closure, so tasks
+    never pay the training cost (fpsc_job.encode_dataset_fpsc has the
+    same option for the shuffle path)."""
+    from fastparquet_spark.io import get_fs
+
+    drv_fs = get_fs(out_dir)
+    drv_fs.makedirs(out_dir)
+    drv_fs.makedirs(out_dir.rstrip("/") + "/" + MANIFEST_DIR)
+    splits = plan_splits(input_dir, rows_per_task)
+    if not splits:
+        return spark.createDataFrame([], _manifest_struct())
+    split_rows = [(s["split"], s["file"], json.dumps(s["row_groups"]))
+                  for s in splits]
+    rdd = spark.sparkContext.parallelize(split_rows, len(splits))
+    sdf = spark.createDataFrame(rdd, "split int, file string, rgs string")
+
+    pretrained: dict = {}
+    if pretrain_rows:
+        import numpy as np
+        import pyarrow.parquet as pq_d
+
+        from fastparquet_spark.codecs.fsst import fsst_train
+
+        head = pq_d.ParquetFile(splits[0]["file"]).read_row_group(
+            splits[0]["row_groups"][0], columns=columns,
+            use_threads=False).slice(0, pretrain_rows)
+        for field in head.schema:
+            if not (pa.types.is_string(field.type)
+                    or pa.types.is_large_string(field.type)
+                    or pa.types.is_binary(field.type)
+                    or pa.types.is_large_binary(field.type)):
+                continue
+            col = head.column(field.name).combine_chunks()
+            if col.null_count:
+                col = col.drop_null()
+            if len(col) == 0:
+                continue
+            buf = col.cast(pa.large_binary()).buffers()[2]
+            if buf is None or buf.size == 0:
+                continue
+            pretrained[field.name] = fsst_train(
+                np.frombuffer(buf, np.uint8, count=buf.size))
+
+    out_dir_ = out_dir
+    compression_ = compression
+    columns_ = list(columns) if columns else None
+    pretrained_ = pretrained
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow as pa_w
+        import pyarrow.parquet as pq
+
+        from fastparquet_spark.format.container import write_container
+        from fastparquet_spark.io import get_fs
+
+        fs = get_fs(out_dir_)
+        pa_w.set_cpu_count(1)
+        pa_w.set_io_thread_count(2)
+        fsst_cache: dict = dict(pretrained_)
+
+        for b in batches:
+            for sid, fpath, rgs_json in zip(b.column("split").to_pylist(),
+                                            b.column("file").to_pylist(),
+                                            b.column("rgs").to_pylist()):
+                fname = f"part-{sid:05d}.fpsc"
+                opath = out_dir_.rstrip("/") + "/" + fname
+                mpath = out_dir_.rstrip("/") + \
+                    f"/{MANIFEST_DIR}/part-{sid:05d}.json"
+                if resume and fs.exists(mpath):
+                    with fs.open_read(mpath) as fh:
+                        prev = json.loads(fh.read())
+                    prev["skipped"] = True
+                    yield _arrow_manifest_batch(prev)
+                    continue
+                t0 = time.perf_counter()
+                tbl = pq.ParquetFile(fpath).read_row_groups(
+                    json.loads(rgs_json), columns=columns_, use_threads=False)
+                k0 = time.perf_counter()
+                tmp = opath + ".inprogress"
+                with fs.open_write(tmp) as sink:
+                    blocks = write_container(sink, tbl,
+                                             compression=compression_,
+                                             fsst_cache=fsst_cache)
+                kernel = time.perf_counter() - k0
+                fs.replace(tmp, opath)
+                row = {"partition": sid, "file": fname, "rows": tbl.num_rows,
+                       "input_bytes": tbl.nbytes,
+                       "output_bytes": fs.size(opath),
+                       "encode_secs": time.perf_counter() - t0,
+                       "kernel_secs": kernel, "skipped": False,
+                       "columns": json.dumps({c.name: c.codec
+                                              for c in blocks})}
+                with fs.open_write(mpath + ".tmp") as fh:
+                    fh.write(json.dumps(row).encode())
+                fs.replace(mpath + ".tmp", mpath)
+                yield _arrow_manifest_batch(row)
+
+    return sdf.mapInArrow(run, _manifest_struct())

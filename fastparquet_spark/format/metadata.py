@@ -134,6 +134,11 @@ SPECS = {
     "RowGroup": [
         (1, "columns", ("list", ("struct", "ColumnChunk"))),
         (2, "total_byte_size", "i64"), (3, "num_rows", "i64"),
+        (4, "sorting_columns", ("list", ("struct", "SortingColumn"))),
+    ],
+    "SortingColumn": [
+        (1, "column_idx", "i32"), (2, "descending", "bool"),
+        (3, "nulls_first", "bool"),
     ],
     "FileMetaData": [
         (1, "version", "i32"),

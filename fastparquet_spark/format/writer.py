@@ -291,7 +291,9 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
                stats: bool = True, data_page_version: int = 1,
                times: str = "int64", compat: str = "reference",
                bloom_filters: dict | None = None,
-               page_rows: int | None = None) -> FileResult:
+               page_rows: int | None = None,
+               custom_metadata: dict | None = None,
+               sorting_columns: list | None = None) -> FileResult:
     """Write an Arrow table as a parquet file to ``sink`` (path or file-like).
 
     ``encodings``: optional {column: 'plain'|'dict'|'delta'} override;
@@ -318,7 +320,7 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
     try:
         return _write(f, table, compression, encodings or {}, row_group_rows,
                       stats, data_page_version, times, compat, bloom_filters,
-                      page_rows)
+                      page_rows, custom_metadata, sorting_columns)
     finally:
         if own:
             f.close()
@@ -343,7 +345,9 @@ class ParquetWriter:
                  encodings: dict | None = None, stats: bool = True,
                  data_page_version: int = 1, times: str = "int64",
                  compat: str = "reference", bloom_filters: dict | None = None,
-                 page_rows: int | None = None):
+                 page_rows: int | None = None,
+                 custom_metadata: dict | None = None,
+                 sorting_columns: list | None = None):
         if data_page_version not in (1, 2):
             raise ValueError("data_page_version must be 1 or 2")
         if times not in ("int64", "int96"):
@@ -516,6 +520,23 @@ class ParquetWriter:
         # predicates instead of whole row groups
         self.page_rows = page_rows
         self._page_index: list[tuple[dict, dict]] = []  # (chunk_entry, idx)
+        # footer key/value metadata (the reference's custom_metadata,
+        # fastparquet/writer.py:961-965) and declared row-group sort
+        # order (spec SortingColumn; readers can exploit it for merge
+        # scans).  sorting_columns: names or (name, descending,
+        # nulls_first) tuples; unknown names are ignored.
+        self.custom_metadata = custom_metadata
+        self._sorting = None
+        if sorting_columns:
+            leaf_names = [m[2] for m in self.col_meta]
+            sc = []
+            for s in sorting_columns:
+                name, desc, nf = (s, False, False) if isinstance(s, str) else s
+                if name in leaf_names:
+                    sc.append({"column_idx": leaf_names.index(name),
+                               "descending": bool(desc),
+                               "nulls_first": bool(nf)})
+            self._sorting = sc or None
 
     def _write_list_column(self, arr: pa.Array, name: str, meta, pos: int):
         """One LIST column chunk: vectorized Dremel level GENERATION
@@ -912,6 +933,10 @@ class ParquetWriter:
                "schema": self.schema_elems,
                "num_rows": self.result.rows,
                "row_groups": self.row_groups, "created_by": CREATED_BY}
+        if self.custom_metadata:
+            fmd["key_value_metadata"] = [
+                {"key": str(k), "value": str(v)}
+                for k, v in self.custom_metadata.items()]
         footer = thrift.write_struct("FileMetaData", fmd, SPECS)
         self.f.write(footer)
         self.f.write(len(footer).to_bytes(4, "little"))
@@ -1112,21 +1137,25 @@ class ParquetWriter:
                 name=name, encoding=_ENC_NAMES[encoding], num_values=n,
                 null_count=null_count, uncompressed_size=uncomp_total,
                 compressed_size=written, dict_entries=n_dict))
-        self.row_groups.append({"columns": chunks_cols,
-                                "total_byte_size": rg_bytes,
-                                "num_rows": chunk.num_rows})
+        rg = {"columns": chunks_cols, "total_byte_size": rg_bytes,
+              "num_rows": chunk.num_rows}
+        if self._sorting:
+            rg["sorting_columns"] = self._sorting
+        self.row_groups.append(rg)
         self.pos = pos
 
 
 def _write(f, table, compression, encodings, row_group_rows, want_stats,
            page_version=1, times="int64", compat="reference",
-           bloom_filters=None, page_rows=None):
+           bloom_filters=None, page_rows=None, custom_metadata=None,
+           sorting_columns=None):
     n_rows = table.num_rows
     rg_rows = row_group_rows or max(n_rows, 1)
     w = ParquetWriter(f, table.schema, compression, encodings,
                       stats=want_stats, data_page_version=page_version,
                       times=times, compat=compat, bloom_filters=bloom_filters,
-                      page_rows=page_rows)
+                      page_rows=page_rows, custom_metadata=custom_metadata,
+                      sorting_columns=sorting_columns)
     for start in range(0, n_rows, rg_rows):
         w.write_row_group(table.slice(start, rg_rows))
     return w.close()

@@ -98,3 +98,40 @@ def test_encode_files_preserves_hive_layout(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 4000
     assert df.filter("lang='rust'").count() == 2000
+
+
+def test_encode_files_fpsc_roundtrip_and_resume(spark, tmp_path):
+    """The container format's throughput path: footer-split planning,
+    driver-pretrained FSST tables, per-split containers + manifests,
+    idempotent resume — and every content byte survives (sha-equal
+    through read_fpsc)."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine.datagen import synthetic_source_table
+    from fastparquet_spark.engine.file_job import encode_files_fpsc
+    from fastparquet_spark.engine.fpsc_job import read_fpsc
+
+    src_dir = str(tmp_path / "src")
+    synthetic_source_table(spark, 6000, partitions=3) \
+        .write.mode("overwrite").parquet(src_dir)
+    out = str(tmp_path / "out")
+    m1 = encode_files_fpsc(spark, src_dir, out,
+                           rows_per_task=2000, resume=True).collect()
+    assert sum(r["rows"] for r in m1) == 6000
+    assert not any(r["skipped"] for r in m1)
+    back = read_fpsc(spark, out)
+    src = spark.read.parquet(src_dir)
+    a = {r[0] for r in src.select(F.sha2(F.col("content").cast("binary"),
+                                         256)).collect()}
+    b = {r[0] for r in back.select(F.sha2(F.col("content").cast("binary"),
+                                          256)).collect()}
+    assert back.count() == 6000 and a == b
+    # resume: second run skips every split
+    m2 = encode_files_fpsc(spark, src_dir, out,
+                           rows_per_task=2000, resume=True).collect()
+    assert all(r["skipped"] for r in m2)
+    # pretraining off still works (per-task training fallback)
+    out2 = str(tmp_path / "out2")
+    m3 = encode_files_fpsc(spark, src_dir, out2, rows_per_task=3000,
+                           resume=False, pretrain_rows=0).collect()
+    assert sum(r["rows"] for r in m3) == 6000

@@ -411,3 +411,48 @@ def test_compression_level_spec_parity(tmp_path):
     assert os.path.getsize(hi) < os.path.getsize(lo)
     assert pq.read_table(hi).column("s").to_pylist() == \
         t.column("s").to_pylist()
+
+
+def test_custom_metadata_and_sorting_columns(tmp_path):
+    """Footer key/value metadata (the reference's custom_metadata,
+    fastparquet/writer.py:961-965) and declared SortingColumn order,
+    both readable by pyarrow and our own footer parser."""
+    from fastparquet_spark.format.reader import read_footer
+
+    t = pa.table({"k": pa.array(range(1000)),
+                  "s": pa.array([f"v{i}" for i in range(1000)])})
+    path = str(tmp_path / "kv.parquet")
+    write_file(path, t, custom_metadata={"pipeline": "fps", "gen": "3"},
+               sorting_columns=[("k", False, False)], row_group_rows=500)
+    md = pq.read_metadata(path)
+    assert md.metadata[b"pipeline"] == b"fps" and md.metadata[b"gen"] == b"3"
+    for ri in range(md.num_row_groups):
+        sc = md.row_group(ri).sorting_columns
+        assert sc and sc[0].column_index == 0 and not sc[0].descending
+    fmd = read_footer(open(path, "rb").read())
+    assert fmd["row_groups"][0]["sorting_columns"] == [
+        {"column_idx": 0, "descending": False, "nulls_first": False}]
+    # unknown sort names are ignored, absent metadata stays absent
+    p2 = str(tmp_path / "plain.parquet")
+    write_file(p2, t, sorting_columns=["nope"])
+    assert pq.read_metadata(p2).row_group(0).sorting_columns == ()
+
+
+def test_engine_stamps_sorting_columns(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import encode_dataset
+
+    df = (spark.range(3000)
+          .withColumn("lang", (F.col("id") % 3).cast("string"))
+          .withColumn("text", F.concat(F.lit("d-"), F.col("id"))))
+    out = str(tmp_path / "ds")
+    encode_dataset(spark, df, out, partition_cols=("lang",),
+                   num_partitions=2, sort_within=("id",),
+                   resume=False).collect()
+    f = glob.glob(f"{out}/part-*.parquet")[0]
+    sc = pq.read_metadata(f).row_group(0).sorting_columns
+    names = pq.read_schema(f).names
+    assert sc and names[sc[0].column_index] == "id"
