@@ -351,7 +351,11 @@ WHERE {cos} >= {threshold}
 
 ORACLES["text_langid"] = _langid_sql()
 ORACLES["sim_lsh_buckets"] = _lsh_buckets_sql()
-ORACLES["sim_neardup_lsh"] = _neardup_lsh_sql()
+# gate threshold 0.45: the synthetic embeddings top out at cosine ~0.51,
+# so the semantic default (0.7) never exercises the pair-scoring math —
+# the driver gate runs the same operator at a threshold that produces
+# non-trivial rows on BOTH engines
+ORACLES["sim_neardup_lsh"] = _neardup_lsh_sql(threshold=0.45)
 
 
 # ---- engine end-to-end queries ----------------------------------------------
@@ -719,7 +723,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e)
-            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.7
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
 """
 
 QUERIES["engine_dataset_stats"] = engine_dataset_stats
@@ -727,5 +731,7 @@ QUERIES["engine_bloom_prune"] = engine_bloom_prune
 QUERIES["engine_decimal38_roundtrip"] = engine_decimal38_roundtrip
 QUERIES["engine_embeddings_roundtrip"] = engine_embeddings_roundtrip
 QUERIES["engine_snapshot_travel"] = engine_snapshot_travel
-QUERIES["sim_neardup_pairs"] = similarity.sim_neardup_pairs
-QUERIES["sim_neardup_lsh"] = similarity.sim_neardup_lsh
+QUERIES["sim_neardup_pairs"] = \
+    lambda spark, sf: similarity.sim_neardup_pairs(spark, sf, threshold=0.4)
+QUERIES["sim_neardup_lsh"] = \
+    lambda spark, sf: similarity.sim_neardup_lsh(spark, sf, threshold=0.45)

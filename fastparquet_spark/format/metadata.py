@@ -64,6 +64,7 @@ SPECS = {
         (1, "max", "bin"), (2, "min", "bin"),
         (3, "null_count", "i64"), (4, "distinct_count", "i64"),
         (5, "max_value", "bin"), (6, "min_value", "bin"),
+        (7, "is_max_value_exact", "bool"), (8, "is_min_value_exact", "bool"),
     ],
     "SchemaElement": [
         (1, "type", "i32"), (2, "type_length", "i32"),

@@ -21,6 +21,7 @@ inside Spark executors via ``mapInArrow``.
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -49,6 +50,15 @@ from fastparquet_spark.format.metadata import (
 )
 
 CREATED_BY = "fastparquet_spark 0.1.0"
+
+
+def _crc(payload: bytes) -> int:
+    """Spec page checksum: CRC32 of the bytes FOLLOWING the page header
+    (the potentially-compressed page body), as a signed i32 for thrift.
+    parquet-mr writes and (optionally) verifies the same field; pyarrow
+    verifies under page_checksum_verification=True."""
+    c = zlib.crc32(payload) & 0xFFFFFFFF
+    return c - (1 << 32) if c >= (1 << 31) else c
 
 
 @dataclass
@@ -585,6 +595,7 @@ class ParquetWriter:
             "type": PageType.DATA_PAGE,
             "uncompressed_page_size": len(body),
             "compressed_page_size": len(comp_body),
+            "crc": _crc(comp_body),
             "data_page_header": {
                 "num_values": total, "encoding": Encoding.PLAIN,
                 "definition_level_encoding": Encoding.RLE,
@@ -665,6 +676,7 @@ class ParquetWriter:
                 "type": PageType.DATA_PAGE,
                 "uncompressed_page_size": len(body),
                 "compressed_page_size": len(comp_body),
+                "crc": _crc(comp_body),
                 "data_page_header": {
                     "num_values": total, "encoding": Encoding.PLAIN,
                     "definition_level_encoding": Encoding.RLE,
@@ -711,6 +723,7 @@ class ParquetWriter:
             "type": PageType.DATA_PAGE,
             "uncompressed_page_size": len(body),
             "compressed_page_size": len(comp_body),
+            "crc": _crc(comp_body),
             "data_page_header": {
                 "num_values": n, "encoding": Encoding.PLAIN,
                 "definition_level_encoding": Encoding.RLE,
@@ -792,6 +805,7 @@ class ParquetWriter:
                 "type": PageType.DICTIONARY_PAGE,
                 "uncompressed_page_size": len(dict_page_bytes),
                 "compressed_page_size": len(comp_dict),
+                "crc": _crc(comp_dict),
                 "dictionary_page_header": {
                     "num_values": n_dict,
                     "encoding": Encoding.PLAIN_DICTIONARY},
@@ -834,6 +848,7 @@ class ParquetWriter:
                 "type": PageType.DATA_PAGE,
                 "uncompressed_page_size": len(body),
                 "compressed_page_size": len(comp_body),
+                "crc": _crc(comp_body),
                 "data_page_header": dph,
             }, SPECS)
             if data_off is None:
@@ -1059,6 +1074,7 @@ class ParquetWriter:
                     "type": PageType.DICTIONARY_PAGE,
                     "uncompressed_page_size": len(dict_page_bytes),
                     "compressed_page_size": len(comp_dict),
+                    "crc": _crc(comp_dict),
                     "dictionary_page_header": {
                         "num_values": n_dict,
                         "encoding": Encoding.PLAIN_DICTIONARY},
@@ -1079,6 +1095,7 @@ class ParquetWriter:
                     "type": PageType.DATA_PAGE,
                     "uncompressed_page_size": len(body),
                     "compressed_page_size": len(comp_body),
+                    "crc": _crc(comp_body),
                     "data_page_header": dph,
                 }, SPECS)
             else:
@@ -1097,6 +1114,7 @@ class ParquetWriter:
                     "type": PageType.DATA_PAGE_V2,
                     "uncompressed_page_size": len(body),
                     "compressed_page_size": len(comp_body),
+                    "crc": _crc(comp_body),
                     "data_page_header_v2": dph,
                 }, SPECS)
             data_off = pos
@@ -1185,6 +1203,32 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
                 lo, hi = mm["min"].as_py(), mm["max"].as_py()
                 if isinstance(lo, str):
                     lo, hi = lo.encode("utf8"), hi.encode("utf8")
+                if len(lo) > 64 or len(hi) > 64:
+                    # TRUNCATED bounds (spec is_*_value_exact, parquet-mr
+                    # behavior): min -> 64-byte prefix (a valid lower
+                    # bound), max -> prefix with its last non-0xFF byte
+                    # incremented (a strict upper bound).  Only the
+                    # modern min_value/max_value fields carry inexact
+                    # bounds — the legacy min/max pair is omitted, since
+                    # its consumers assume exactness.  Long content
+                    # columns keep prefix-range pruning instead of
+                    # losing stats entirely.
+                    if len(lo) <= 64:
+                        st["min_value"], st["is_min_value_exact"] = lo, True
+                    else:
+                        st["min_value"] = lo[:64]
+                        st["is_min_value_exact"] = False
+                    if len(hi) <= 64:
+                        st["max_value"], st["is_max_value_exact"] = hi, True
+                    else:
+                        p = bytearray(hi[:64])
+                        while p and p[-1] == 0xFF:
+                            p.pop()
+                        if p:  # all-0xFF prefix -> no finite upper bound
+                            p[-1] += 1
+                            st["max_value"] = bytes(p)
+                            st["is_max_value_exact"] = False
+                    return st
             elif pa.types.is_unsigned_integer(arr.type):
                 # values are the signed bit-reinterpretation; min/max must
                 # use UNSIGNED order, stored as the same reinterpreted bits

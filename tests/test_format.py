@@ -456,3 +456,59 @@ def test_engine_stamps_sorting_columns(spark, tmp_path):
     sc = pq.read_metadata(f).row_group(0).sorting_columns
     names = pq.read_schema(f).names
     assert sc and names[sc[0].column_index] == "id"
+
+
+def test_page_crc_checksums_verified_by_pyarrow(tmp_path):
+    """Every page header carries the spec CRC32 of its body; pyarrow's
+    page_checksum_verification=True read validates them on v1, paged,
+    v2 and nested page shapes — and a flipped byte is DETECTED."""
+    t = pa.table({
+        "k": pa.array(range(5000)),
+        "s": pa.array([f"t{i}" for i in range(5000)]),
+        "L": pa.array([[i, i + 1] for i in range(5000)],
+                      pa.list_(pa.int64())),
+    })
+    for kwargs in ({}, {"page_rows": 1000}):
+        path = str(tmp_path / "crc.parquet")
+        write_file(path, t, compression="ZSTD", row_group_rows=2500,
+                   **kwargs)
+        got = pq.read_table(path, page_checksum_verification=True)
+        assert got.column("k").to_pylist() == list(range(5000))
+    path2 = str(tmp_path / "crc2.parquet")
+    write_file(path2, t.select(["k", "s"]), compression="ZSTD",
+               data_page_version=2)
+    assert pq.read_table(path2, page_checksum_verification=True) \
+             .num_rows == 5000
+    # corruption detection: flip one byte inside the first data page
+    raw = bytearray(open(path2, "rb").read())
+    raw[200] ^= 0xFF
+    bad = str(tmp_path / "bad.parquet")
+    open(bad, "wb").write(bytes(raw))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)crc|corrupt|checksum"):
+        pq.read_table(bad, page_checksum_verification=True)
+
+
+def test_truncated_stats_for_long_strings(tmp_path):
+    """>64-byte strings keep TRUNCATED min/max bounds (prefix min,
+    incremented-prefix max, is_*_value_exact=false) instead of losing
+    stats entirely — prefix-range pruning on long content columns."""
+    from fastparquet_spark.format.dataset import filter_row_groups
+    from fastparquet_spark.format.reader import read_footer
+
+    long = sorted(f"{p}{'x' * 100}-{i:04d}"
+                  for i, p in enumerate(["alpha", "beta", "gamma"] * 200))
+    t = pa.table({"s": pa.array(long), "k": pa.array(range(600))})
+    path = str(tmp_path / "a.parquet")
+    write_file(path, t, row_group_rows=200)
+    st = read_footer(open(path, "rb").read())[
+        "row_groups"][0]["columns"][0]["meta_data"]["statistics"]
+    assert len(st["min_value"]) == 64 and st["is_min_value_exact"] is False
+    assert st["max_value"] > st["min_value"]  # strict upper bound
+    assert st["is_max_value_exact"] is False
+    assert "min" not in st  # legacy pair omitted: it promises exactness
+    keep = filter_row_groups(str(tmp_path), [("s", ">=", "gamma")])
+    assert keep and all(ri == 2 for _f, ri in keep)
+    keep2 = filter_row_groups(str(tmp_path), [("s", "==", long[300])])
+    assert ("a.parquet", 1) in keep2  # truncation never loses rows
