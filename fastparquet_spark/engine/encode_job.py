@@ -158,7 +158,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                    row_group_rows: int = 1_000_000, resume: bool = True,
                    encodings: dict | None = None, layout: str = "flat",
                    file_prefix: str = "part",
-                   bloom_filters: dict | None = None):
+                   bloom_filters: dict | None = None,
+                   page_rows: int | None = None):
     """Encode ``df`` into ``out_dir`` as parquet files + lineage manifests.
 
     Returns the manifest DataFrame (one row per written file).  Designed
@@ -208,6 +209,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     compression_ = compression
     encodings_ = encodings
     bloom_ = bloom_filters
+    page_rows_ = page_rows
     sort_cols_ = tuple(sort_cols)  # stamped as footer SortingColumn metadata
     row_group_rows_ = row_group_rows
     out_dir_ = out_dir
@@ -262,6 +264,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                                             compression=compression_,
                                             encodings=encodings_,
                                             bloom_filters=bloom_,
+                                            page_rows=page_rows_,
                                             sorting_columns=list(sort_cols_))
                 self.buf: list[pa.Table] = []
                 self.buf_rows = 0

@@ -82,7 +82,9 @@ def plan_splits(input_dir: str, rows_per_task: int = 2_000_000,
 def encode_files(spark, input_dir: str, out_dir: str, *,
                  compression: str = "ZSTD", columns=None,
                  rows_per_task: int = 2_000_000, resume: bool = True,
-                 encodings: dict | None = None, preserve_layout: bool = False):
+                 encodings: dict | None = None, preserve_layout: bool = False,
+                 bloom_filters: dict | None = None,
+                 page_rows: int | None = None):
     """Encode every parquet file under ``input_dir`` into ``out_dir``
     (our writer, auto-selected codecs), distributing (file, row-group)
     splits.  Returns the manifest DataFrame.
@@ -113,6 +115,8 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
     encodings_ = encodings
     columns_ = list(columns) if columns else None
     preserve_ = preserve_layout
+    bloom_ = bloom_filters
+    page_rows_ = page_rows
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -155,7 +159,9 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
                 tmp = opath + ".inprogress"
                 with fs.open_write(tmp) as sink:
                     res = write_file(sink, tbl, compression=compression_,
-                                     encodings=encodings_)
+                                     encodings=encodings_,
+                                     bloom_filters=bloom_,
+                                     page_rows=page_rows_)
                 kernel = time.perf_counter() - k0
                 fs.replace(tmp, opath)
                 cols = {c.name: c.encoding for c in res.columns}

@@ -497,53 +497,169 @@ def filter_pages(path: str, filters, fs=None) -> list[tuple[int, int, int]]:
     from fastparquet_spark.io import fetch_footers
 
     fmd = read_footer_tail(fetch_footers([path], fs)[0])
-    elems = {e["name"]: e for e in fmd["schema"][1:]
-             if e.get("num_children") is None}
     idx = read_page_index(path, fs=fs)
     out = []
     for ri, rg in enumerate(fmd["row_groups"]):
-        names = [".".join(cc["meta_data"]["path_in_schema"])
-                 for cc in rg["columns"]]
-        n_rows = rg["num_rows"]
-        # page boundaries per column differ only if page_rows differed;
-        # ours are uniform — use the first indexed filter column's grid
-        keep_mask = None
-        grid = None
-        for col, op, val in clause:
-            if col not in names:
-                continue
-            ci = idx[ri][names.index(col)]
-            if ci is None or ci.get("min_values") is None:
-                continue
-            locs = ci["locations"]
-            firsts = [loc["first_row_index"] for loc in locs]
-            if grid is None:
-                grid = firsts
-            elif firsts != grid:
-                continue  # unaligned page grids: skip this column
-            elem = elems.get(col.split(".")[-1])
-            mask = []
-            for pi in range(len(locs)):
-                if ci["null_pages"][pi]:
-                    mask.append(op == "is_null")
-                    continue
-                lo = _decode_stat(ci["min_values"][pi], elem["type"],
-                                  elem.get("converted_type"))
-                hi = _decode_stat(ci["max_values"][pi], elem["type"],
-                                  elem.get("converted_type"))
-                nulls = (ci.get("null_counts") or [None] * len(locs))[pi]
-                cols = {col: (lo, hi, nulls, None)}
-                mask.append(_chunk_may_match(cols, [(col, op, val)]))
-            keep_mask = mask if keep_mask is None else \
-                [a and b for a, b in zip(keep_mask, mask)]
+        grid, keep_mask = _page_keep_mask(fmd, idx, ri, clause)
         if keep_mask is None:
-            out.append((ri, 0, n_rows))
+            out.append((ri, 0, rg["num_rows"]))
             continue
-        firsts = grid + [n_rows]
+        firsts = grid + [rg["num_rows"]]
         for pi, keep in enumerate(keep_mask):
             if keep:
                 out.append((ri, firsts[pi], firsts[pi + 1] - firsts[pi]))
     return out
+
+
+def _page_keep_mask(fmd: dict, idx, ri: int, clause):
+    """(page grid, keep mask) for one row group under an AND-clause, or
+    (None, None) when no aligned ColumnIndex can discriminate.  Page
+    boundaries per column differ only if page_rows differed; ours are
+    uniform — the first indexed filter column fixes the grid."""
+    elems = {e["name"]: e for e in fmd["schema"][1:]
+             if e.get("num_children") is None}
+    rg = fmd["row_groups"][ri]
+    names = [".".join(cc["meta_data"]["path_in_schema"])
+             for cc in rg["columns"]]
+    keep_mask = None
+    grid = None
+    for col, op, val in clause:
+        if col not in names:
+            continue
+        ci = idx[ri][names.index(col)]
+        if ci is None or ci.get("min_values") is None:
+            continue
+        locs = ci["locations"]
+        firsts = [loc["first_row_index"] for loc in locs]
+        if grid is None:
+            grid = firsts
+        elif firsts != grid:
+            continue  # unaligned page grids: skip this column
+        elem = elems.get(col.split(".")[-1])
+        mask = []
+        for pi in range(len(locs)):
+            if ci["null_pages"][pi]:
+                mask.append(op == "is_null")
+                continue
+            lo = _decode_stat(ci["min_values"][pi], elem["type"],
+                              elem.get("converted_type"))
+            hi = _decode_stat(ci["max_values"][pi], elem["type"],
+                              elem.get("converted_type"))
+            nulls = (ci.get("null_counts") or [None] * len(locs))[pi]
+            cols = {col: (lo, hi, nulls, None)}
+            mask.append(_chunk_may_match(cols, [(col, op, val)]))
+        keep_mask = mask if keep_mask is None else \
+            [a and b for a, b in zip(keep_mask, mask)]
+    if keep_mask is None:
+        return None, None
+    return grid, keep_mask
+
+
+def read_pages(path: str, filters, columns=None, fs=None):
+    """PAGE-SKIPPING read: decode only the pages a ColumnIndex cannot
+    rule out for an AND-clause — the reader-side completion of
+    :func:`filter_pages` (which is metadata-only).  Returns a pyarrow
+    Table of the SURVIVING PAGES' rows (a page-granular superset of the
+    exact matches — the same contract as row-group pruning: pruning is
+    IO savings, exactness is the caller's residual filter).
+
+    Bytes moved = footer + index spans + dictionary pages + kept pages
+    ONLY (one ranged read per span through the fs seam) — proven by
+    byte counts in tests.  Flat columns only (our paged writer is
+    flat-only); unindexed or grid-unaligned row groups fall back to
+    decoding all their pages."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fastparquet_spark.format.reader import (
+        _ByteSource, _read_column_chunk, _to_arrow,
+    )
+
+    if filters and isinstance(filters[0], tuple):
+        filters = [filters]
+    if len(filters) != 1:
+        raise ValueError("read_pages takes a single AND-clause")
+    clause = filters[0]
+    fs = get_fs(path, fs)
+    idx = read_page_index(path, fs=fs)
+    src = _ByteSource(path, fs=fs)
+    try:
+        fmd = src.footer()
+        elems = {e["name"]: e for e in fmd["schema"][1:]
+                 if e.get("num_children") is None}
+        names_all = [e["name"] for e in fmd["schema"][1:]
+                     if e.get("num_children") is None]
+        want = list(columns) if columns is not None else names_all
+        pieces = []
+        for ri, rg in enumerate(fmd["row_groups"]):
+            grid, mask = _page_keep_mask(fmd, idx, ri, clause)
+            by_path = {".".join(cc["meta_data"]["path_in_schema"]):
+                       (cc["meta_data"], cii)
+                       for cii, cc in enumerate(rg["columns"])}
+            if mask is not None and not any(mask):
+                continue
+            arrays, fields = [], []
+            for name in want:
+                cmd, cii = by_path[name]
+                elem = elems[name]
+                ci = idx[ri][cii]
+                required = elem.get("repetition_type", 1) == 0
+                if mask is None or ci is None or \
+                        [loc["first_row_index"]
+                         for loc in ci["locations"]] != grid:
+                    # no usable index alignment: whole chunk
+                    start = min(p for p in (cmd.get("dictionary_page_offset"),
+                                            cmd["data_page_offset"])
+                                if p is not None)
+                    blob = src.range(start, cmd["total_compressed_size"])
+                    cmd2 = dict(cmd,
+                                data_page_offset=cmd["data_page_offset"] - start)
+                    if cmd.get("dictionary_page_offset") is not None:
+                        cmd2["dictionary_page_offset"] = \
+                            cmd["dictionary_page_offset"] - start
+                    n_keep = rg["num_rows"]
+                else:
+                    locs = ci["locations"]
+                    firsts = grid + [rg["num_rows"]]
+                    parts = []
+                    if cmd.get("dictionary_page_offset") is not None:
+                        dlen = locs[0]["offset"] - cmd["dictionary_page_offset"]
+                        parts.append(src.range(
+                            cmd["dictionary_page_offset"], dlen))
+                    dict_len = sum(len(p) for p in parts)
+                    n_keep = 0
+                    for pi, keep in enumerate(mask):
+                        if keep:
+                            parts.append(src.range(
+                                locs[pi]["offset"],
+                                locs[pi]["compressed_page_size"]))
+                            n_keep += firsts[pi + 1] - firsts[pi]
+                    blob = b"".join(parts)
+                    cmd2 = dict(cmd, num_values=n_keep,
+                                data_page_offset=dict_len)
+                    if dict_len:
+                        cmd2["dictionary_page_offset"] = 0
+                    else:
+                        cmd2.pop("dictionary_page_offset", None)
+                defs, _reps, vals = _read_column_chunk(
+                    blob, cmd2, elem.get("type_length", 0),
+                    required=required)
+                validity = defs.astype(bool) if not required else \
+                    np.ones(n_keep, dtype=bool)
+                arr = _to_arrow(validity, vals, elem)
+                arrays.append(arr)
+                fields.append(pa.field(name, arr.type))
+            pieces.append(pa.Table.from_arrays(arrays,
+                                               schema=pa.schema(fields)))
+        if not pieces:
+            from fastparquet_spark.format.reader import _arrow_type
+
+            return pa.Table.from_arrays(
+                [pa.array([], type=_arrow_type(elems[n])) for n in want],
+                names=want)
+        return pa.concat_tables(pieces)
+    finally:
+        src.close()
 
 
 def read_bloom_filter(path: str, offset: int, length: int | None = None,
