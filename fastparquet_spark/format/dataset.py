@@ -333,6 +333,51 @@ def read_snapshot(spark, out_dir: str, generation: int, fs=None):
             .parquet(*[out_dir.rstrip("/") + "/" + f for f in keep]))
 
 
+def drop_generations(out_dir: str, keep_from: int, fs=None) -> dict:
+    """Data RETENTION over append generations (a TTL drop, NOT Iceberg's
+    expire_snapshots — in this append-only model every generation's
+    files are referenced by all later snapshots, so removing them
+    removes those ROWS from the table): delete every data file of
+    generations BEFORE ``keep_from`` with their lineage manifests, then
+    rewrite the ``_metadata`` sidecar over the survivors.  Time travel
+    to a dropped generation raises; the dataset afterwards contains
+    exactly generations >= keep_from.
+
+    Refuses to drop the newest generation (that would empty the
+    dataset).  Returns {"removed_files", "removed_rows",
+    "kept_generations"}."""
+    fs = get_fs(out_dir, fs)
+    metas = dataset_metadata(out_dir, fs=fs, use_sidecar=False)
+    if not metas:
+        raise ValueError(f"no dataset under {out_dir}")
+    gens = sorted({_file_generation(m["file"]) for m in metas})
+    if keep_from > gens[-1]:
+        raise ValueError(
+            f"keep_from={keep_from} would delete every generation "
+            f"(dataset has {gens})")
+    doomed = [m for m in metas if _file_generation(m["file"]) < keep_from]
+    removed_rows = sum(m["fmd"]["num_rows"] for m in doomed)
+    for m in doomed:
+        fs.remove(_join(out_dir, m["file"]))
+    # manifests of removed generations (their part prefix matches the
+    # data file's first two dash segments)
+    man_dir = _join(out_dir, "_manifests")
+    if fs.isdir(man_dir):
+        dead_prefixes = {os.path.basename(m["file"]).rsplit(".", 1)[0]
+                         for m in doomed}
+        for p in fs.listdir(man_dir):
+            base = os.path.basename(p)
+            if base.endswith(".json") and base[:-5] in dead_prefixes:
+                fs.remove(p)
+    sidecar = _join(out_dir, "_metadata")
+    if fs.exists(sidecar):
+        fs.remove(sidecar)
+    if len(doomed) < len(metas):
+        write_metadata_sidecar(out_dir, fs=fs)
+    return {"removed_files": len(doomed), "removed_rows": removed_rows,
+            "kept_generations": [g for g in gens if g >= keep_from]}
+
+
 def _iter_chunks(metas):
     """Yield (file, rg_index, {col: (min,max,nulls,nvals)}) per row group.
 
