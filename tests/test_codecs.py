@@ -370,3 +370,74 @@ def test_dba_roundtrip_shapes():
             out.append(db[p:p + length])
             p += length
         assert out == strs
+
+
+# ---- hypothesis fuzz: modern encodings + bloom -----------------------------
+def test_split_codecs_hypothesis_roundtrip():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fastparquet_spark.codecs.split import (
+        bss_decode, bss_encode, dba_decode, dba_encode, dlba_decode,
+        dlba_encode,
+    )
+    from fastparquet_spark.format.metadata import Type
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=200), min_size=0,
+                    max_size=120))
+    def check_strings(strs):
+        ln = np.array([len(s) for s in strs], np.int64)
+        dt = np.frombuffer(b"".join(strs), np.uint8)
+        for enc, dec in ((dlba_encode, dlba_decode),
+                         (dba_encode, dba_decode)):
+            buf = enc(ln, dt)
+            (lo, do), pos = dec(buf, len(strs))
+            assert pos == len(buf)
+            out, p = [], 0
+            db = do.tobytes()
+            for length in lo:
+                out.append(db[p:p + length])
+                p += length
+            assert out == strs
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                              width=32),
+                    min_size=0, max_size=300))
+    def check_floats(vals):
+        arr = np.array(vals, dtype=np.float32)
+        buf = bss_encode(arr, Type.FLOAT)
+        out, pos = bss_decode(buf, Type.FLOAT, len(arr))
+        assert pos == len(buf)
+        np.testing.assert_array_equal(
+            out.view(np.uint32), arr.view(np.uint32))  # bit-exact, NaN-safe
+
+    check_strings()
+    check_floats()
+
+
+def test_bloom_hypothesis_no_false_negatives():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fastparquet_spark.codecs.bloom import SplitBlockBloom, xxh64_many
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.binary(min_size=0, max_size=64), min_size=1,
+                    max_size=200),
+           st.integers(min_value=32, max_value=4096))
+    def check(keys, nbytes):
+        ln = np.array([len(k) for k in keys], np.int64)
+        dt = np.frombuffer(b"".join(keys), np.uint8)
+        h = xxh64_many(ln, dt)
+        bf = SplitBlockBloom(nbytes)
+        bf.insert(h)
+        # the defining guarantee: NEVER a false negative, at any size
+        assert bf.might_contain(h).all()
+        rt = SplitBlockBloom.frombytes(bf.tobytes())
+        assert rt.might_contain(h).all()
+
+    check()
