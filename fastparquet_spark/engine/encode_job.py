@@ -159,7 +159,8 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                    encodings: dict | None = None, layout: str = "flat",
                    file_prefix: str = "part",
                    bloom_filters: dict | None = None,
-                   page_rows: int | None = None):
+                   page_rows: int | None = None,
+                   compat: str = "reference"):
     """Encode ``df`` into ``out_dir`` as parquet files + lineage manifests.
 
     Returns the manifest DataFrame (one row per written file).  Designed
@@ -210,6 +211,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     encodings_ = encodings
     bloom_ = bloom_filters
     page_rows_ = page_rows
+    compat_ = compat
     sort_cols_ = tuple(sort_cols)  # stamped as footer SortingColumn metadata
     row_group_rows_ = row_group_rows
     out_dir_ = out_dir
@@ -265,6 +267,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                                             encodings=encodings_,
                                             bloom_filters=bloom_,
                                             page_rows=page_rows_,
+                                            compat=compat_,
                                             sorting_columns=list(sort_cols_))
                 self.buf: list[pa.Table] = []
                 self.buf_rows = 0

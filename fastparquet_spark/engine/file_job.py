@@ -84,7 +84,8 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
                  rows_per_task: int = 2_000_000, resume: bool = True,
                  encodings: dict | None = None, preserve_layout: bool = False,
                  bloom_filters: dict | None = None,
-                 page_rows: int | None = None):
+                 page_rows: int | None = None,
+                 compat: str = "reference"):
     """Encode every parquet file under ``input_dir`` into ``out_dir``
     (our writer, auto-selected codecs), distributing (file, row-group)
     splits.  Returns the manifest DataFrame.
@@ -117,6 +118,7 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
     preserve_ = preserve_layout
     bloom_ = bloom_filters
     page_rows_ = page_rows
+    compat_ = compat
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -161,7 +163,8 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
                     res = write_file(sink, tbl, compression=compression_,
                                      encodings=encodings_,
                                      bloom_filters=bloom_,
-                                     page_rows=page_rows_)
+                                     page_rows=page_rows_,
+                                     compat=compat_)
                 kernel = time.perf_counter() - k0
                 fs.replace(tmp, opath)
                 cols = {c.name: c.encoding for c in res.columns}
