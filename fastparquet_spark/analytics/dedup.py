@@ -154,3 +154,39 @@ def dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 60, min_jaccard: float = 0
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
             .filter(F.col("jaccard") >= min_jaccard)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def dedup_clusters(spark, sf_dir, max_iters: int = 20):
+    """Duplicate CLUSTERING: connected components over the LSH candidate
+    pairs — the step after pair generation in a real dedup pipeline
+    (pairs -> clusters -> one canonical doc per cluster).  Distributed
+    min-label propagation: every doc in a pair starts labeled with its
+    own id; each round joins labels across edges and keeps the minimum;
+    the fixpoint is the component's minimum doc_id.  Rounds needed =
+    graph diameter (<= log N after path-doubling-ish collapses in
+    practice); convergence is detected with an AGGREGATE (sum of
+    labels, strictly decreasing), never by collecting rows, and each
+    round's lineage is cut with localCheckpoint so the plan stays flat
+    at any scale.  Singleton docs (no candidate pair) are excluded —
+    they are their own cluster by definition."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster", F.col("doc_id")))
+    prev_sum = None
+    for _ in range(max_iters):
+        via = (edges.join(labels,
+                          edges["dst"] == labels["doc_id"])
+               .select(F.col("src").alias("doc_id"), "cluster"))
+        labels = (labels.union(via).groupBy("doc_id")
+                  .agg(F.min("cluster").alias("cluster"))
+                  .localCheckpoint(eager=True))
+        cur = labels.agg(F.sum("cluster")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels

@@ -349,6 +349,31 @@ WHERE {cos} >= {threshold}
 """
 
 
+# duplicate clustering: connected components of the LSH pair graph.
+# The oracle computes the SAME components via a recursive transitive
+# closure (WITH RECURSIVE) over the identical capped-bucket pairs, so
+# Spark's iterative min-label propagation must reach the exact fixpoint.
+ORACLES["dedup_clusters"] = _MINHASH_CTE.replace(
+    "WITH ", "WITH RECURSIVE ", 1) + f""",
+bands AS (SELECT doc_id, CAST(floor(seed / {dedup.N_HASHES // dedup.BANDS}) AS INT) AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM mh GROUP BY doc_id, band),
+bkt AS (SELECT band, band_key,
+               list_sort(list(doc_id))[1:{dedup.MAX_BUCKET}] AS docs
+        FROM bands GROUP BY band, band_key HAVING count(*) > 1),
+bd AS (SELECT band, band_key, unnest(docs) AS doc_id FROM bkt),
+pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+       WHERE a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+reach AS (SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+FROM reach GROUP BY a
+"""
+
 ORACLES["text_langid"] = _langid_sql()
 ORACLES["sim_lsh_buckets"] = _lsh_buckets_sql()
 # gate threshold 0.45: the synthetic embeddings top out at cosine ~0.51,
@@ -663,6 +688,7 @@ QUERIES = {
     "dedup_minhash_signatures": dedup.dedup_minhash_signatures,
     "dedup_minhash_lsh_pairs": dedup.dedup_minhash_lsh_pairs,
     "dedup_simhash": dedup.dedup_simhash,
+    "dedup_clusters": dedup.dedup_clusters,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "text_langid": text.text_langid,
     "text_quality": text.text_quality,
