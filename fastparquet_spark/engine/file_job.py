@@ -184,7 +184,8 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
 def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
                       compression: str = "ZSTD", columns=None,
                       rows_per_task: int = 2_000_000, resume: bool = True,
-                      pretrain_rows: int = 2_000):
+                      pretrain_rows: int = 2_000,
+                      bloom_filters: dict | None = None):
     """FPSC-container twin of :func:`encode_files` — the container
     format's THROUGHPUT path.  Same split planning (footer-only, plan
     moves not data), same manifest/resume contract, but each worker
@@ -237,6 +238,7 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
     compression_ = compression
     columns_ = list(columns) if columns else None
     pretrained_ = pretrained
+    fbloom_ = bloom_filters
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -272,7 +274,8 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
                 with fs.open_write(tmp) as sink:
                     blocks = write_container(sink, tbl,
                                              compression=compression_,
-                                             fsst_cache=fsst_cache)
+                                             fsst_cache=fsst_cache,
+                                             bloom_filters=fbloom_)
                 kernel = time.perf_counter() - k0
                 fs.replace(tmp, opath)
                 row = {"partition": sid, "file": fname, "rows": tbl.num_rows,

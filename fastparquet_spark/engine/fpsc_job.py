@@ -31,7 +31,8 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
                         num_partitions: int | None = None,
                         salt_rows: int = 250_000, resume: bool = True,
                         rows_per_container: int = 1_000_000,
-                        pretrain_rows: int = 2_000):
+                        pretrain_rows: int = 2_000,
+                        bloom_filters: dict | None = None):
     """Encode ``df`` into FPSC containers + manifests.
 
     Containers are written per ~``rows_per_container`` buffered rows, so
@@ -87,6 +88,7 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
     resume_ = resume
     rows_per_ = rows_per_container
     pretrained_ = pretrained
+    bloom_ = bloom_filters
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -120,7 +122,8 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
             tmp = fpath + ".inprogress"
             with fs.open_write(tmp) as sink:
                 blocks = write_container(sink, tbl, compression=compression_,
-                                         fsst_cache=fsst_cache)
+                                         fsst_cache=fsst_cache,
+                                         bloom_filters=bloom_)
             kernel = time.perf_counter() - t0
             fs.replace(tmp, fpath)
             done_rows.append(

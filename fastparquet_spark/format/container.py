@@ -92,7 +92,8 @@ def _type_from_name(name: str) -> pa.DataType:
 
 def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                     min_fsst_gain: float = 0.98,
-                    fsst_cache: dict | None = None) -> list[ColumnBlock]:
+                    fsst_cache: dict | None = None,
+                    bloom_filters: dict | None = None) -> list[ColumnBlock]:
     """Write an Arrow table as an FPSC container; returns per-column lineage.
 
     ``fsst_cache`` ({column: FsstTable}) reuses symbol tables across
@@ -105,7 +106,14 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
     its total beats plain+codec by this factor.  It was 0.9 when
     encode ran at ~20 MB/s (the decode/encode tax needed a real ratio
     win to pay off); with the C greedy kernel at ~600 MB/s a 2%
-    size win is already worth taking."""
+    size win is already worth taking.
+
+    ``bloom_filters`` ({column: fpp or True}): append a split-block
+    bloom filter (codecs/bloom.py, the same parquet-spec structure)
+    per listed string/int column and record its span in the footer —
+    the container's point-lookup pruning path, consulted by the
+    FpscReader's file-level pushdown for ==/in predicates that min/max
+    stats cannot discriminate."""
     own = isinstance(sink, str)
     f = open(sink, "wb") if own else sink
     codec = comp.codec_id(compression)
@@ -114,6 +122,9 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
         pos = 4
         cols_meta = []
         blocks: list[ColumnBlock] = []
+        blooms = {k: (0.01 if v is True else float(v))
+                  for k, v in (bloom_filters or {}).items()}
+        bloom_inputs: dict[str, tuple] = {}  # name -> (values, ptype)
         for field in table.schema:
             arr = table.column(field.name).combine_chunks()
             # fail fast: anything the read path can't restore is rejected at
@@ -157,6 +168,8 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
             parts: list[bytes] = [validity_b]
             if ptype == Type.BYTE_ARRAY:
                 lengths, data = _binary_parts(arr_nn)
+                if field.name in blooms:
+                    bloom_inputs[field.name] = ((lengths, data), ptype)
                 raw_bytes = int(lengths.sum()) + 8 * len(lengths)
                 # candidates: plain+block codec vs FSST (optionally +block
                 # codec on the symbol stream) — pick the smallest, per the
@@ -193,6 +206,8 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 elif pa.types.is_date32(arr_nn.type):
                     arr_nn = arr_nn.cast(pa.int32())
                 vals = arr_nn.to_numpy(zero_copy_only=False)
+                if field.name in blooms and ptype in (Type.INT32, Type.INT64):
+                    bloom_inputs[field.name] = (vals, ptype)
                 if vals.dtype == np.uint32:
                     vals = vals.view(np.int32)  # bit-reinterpret, like parquet
                 elif vals.dtype == np.uint64:
@@ -222,6 +237,22 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                                       _arrow_type_name(field.type), n,
                                       null_count, raw_bytes, len(col_bytes)))
             pos += len(col_bytes)
+        if bloom_inputs:
+            from fastparquet_spark.codecs.bloom import (
+                SplitBlockBloom, hash_values,
+            )
+
+            by_name = {m["name"]: m for m in cols_meta}
+            for name, (values, bptype) in bloom_inputs.items():
+                h = hash_values(values, bptype)
+                bf = SplitBlockBloom(SplitBlockBloom.optimal_bytes(
+                    len(np.unique(h)), blooms[name]))
+                bf.insert(h)
+                raw = bf.tobytes()
+                f.write(raw)
+                by_name[name]["bloom_offset"] = pos
+                by_name[name]["bloom_bytes"] = len(raw)
+                pos += len(raw)
         footer = json.dumps({"columns": cols_meta, "nrows": table.num_rows}).encode()
         f.write(footer)
         f.write(len(footer).to_bytes(4, "little"))
@@ -480,3 +511,52 @@ def _assemble(validity: np.ndarray, vals, cm: dict) -> pa.Array:
         full[validity] = np.asarray(vals).astype(np_dt, copy=False)
     return pa.Array.from_buffers(at, n, [vbuf, pa.py_buffer(full.tobytes())],
                                  null_count=nc)
+
+
+def container_bloom_rules_out(path: str, meta: dict, clauses,
+                              fs=None) -> bool:
+    """True iff a container bloom filter PROVES some ==/in clause term
+    cannot match any row of ``path`` (definite negative only).  The
+    bloom span is fetched with one ranged read; columns without a bloom
+    or non-point operators never rule anything out."""
+    from fastparquet_spark.codecs.bloom import SplitBlockBloom, xxh64
+    from fastparquet_spark.io import get_fs
+
+    by_name = {cm["name"]: cm for cm in meta["columns"]}
+    wanted: dict[str, list] = {}
+    for col, op, val in clauses:
+        cm = by_name.get(col)
+        if cm is None or "bloom_offset" not in cm:
+            continue
+        if op in ("==", "="):
+            wanted.setdefault(col, []).append(val)
+        elif op == "in":
+            vs = wanted.setdefault(col, [])
+            vs.extend(val)
+    if not wanted:
+        return False
+    fs = get_fs(path, fs)
+    with fs.open_read(path) as f:
+        for col, vals in wanted.items():
+            cm = by_name[col]
+            f.seek(cm["bloom_offset"])
+            bf = SplitBlockBloom.frombytes(f.read(cm["bloom_bytes"]))
+            hashes = []
+            for v in vals:
+                if isinstance(v, str):
+                    b = v.encode("utf8")
+                elif isinstance(v, bytes):
+                    b = v
+                elif isinstance(v, int) and not isinstance(v, bool):
+                    width = 4 if cm["ptype"] == Type.INT32 else 8
+                    b = int(v).to_bytes(width, "little", signed=True)
+                else:
+                    hashes = None
+                    break
+                hashes.append(xxh64(b, 0))
+            if hashes is None:
+                continue
+            got = bf.might_contain(np.array(hashes, dtype=np.uint64))
+            if not got.any():
+                return True  # 'in' semantics: no sought value present
+    return False

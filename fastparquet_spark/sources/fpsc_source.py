@@ -74,11 +74,14 @@ class FpscDataSource(DataSource):
         return FpscReader(self.options["path"])
 
     def writer(self, schema: StructType, overwrite: bool):
+        bloom = self.options.get("bloom_columns")  # "col1,col2"
+        bloom_d = {c.strip(): 0.01 for c in bloom.split(",") if c.strip()} \
+            if bloom else None
         return FpscWriter(self.options["path"],
                           self.options.get("compression", "ZSTD"),
                           int(self.options.get("rows_per_container",
                                                1_000_000)),
-                          overwrite)
+                          overwrite, bloom_d)
 
 
 class FpscReader(DataSourceReader):
@@ -122,8 +125,18 @@ class FpscReader(DataSourceReader):
             cols = {cm["name"]: (cm.get("min"), cm.get("max"),
                                  cm.get("null_count"), cm.get("n"))
                     for cm in meta["columns"]}
-            if _chunk_may_match(cols, self._clauses):
-                kept.append(p)
+            if not _chunk_may_match(cols, self._clauses):
+                continue
+            # second tier: container bloom filters for ==/in point
+            # predicates stats can't discriminate (one small ranged
+            # read per surviving file)
+            from fastparquet_spark.format.container import (
+                container_bloom_rules_out,
+            )
+
+            if container_bloom_rules_out(p, meta, self._clauses):
+                continue
+            kept.append(p)
         return [InputPartition(p) for p in kept]
 
     def read(self, partition: InputPartition):
@@ -156,13 +169,14 @@ class FpscWriter(DataSourceArrowWriter):
     successive appends — from colliding."""
 
     def __init__(self, path: str, compression: str, rows_per_container: int,
-                 overwrite: bool):
+                 overwrite: bool, bloom_filters: dict | None = None):
         import uuid
 
         self.path = path
         self.compression = compression
         self.rows_per = rows_per_container
         self.overwrite = overwrite
+        self.bloom = bloom_filters
         self.job = uuid.uuid4().hex[:8]
 
     def _full(self, rel: str) -> str:
@@ -198,7 +212,8 @@ class FpscWriter(DataSourceArrowWriter):
                 with fs.open_write(self._full(staged_rel)) as sink:
                     write_container(sink, tbl.slice(start, self.rows_per),
                                     compression=self.compression,
-                                    fsst_cache=fsst_cache)
+                                    fsst_cache=fsst_cache,
+                                    bloom_filters=self.bloom)
                 done.append((staged_rel, final_rel))
             if end < n:
                 buf, buf_rows = tbl.slice(end).to_batches(), n - end

@@ -267,3 +267,55 @@ def test_fpsc_job_embeddings_table(spark):
             lambda x: F.format_number(x.cast("double"), 6))))).alias("h"))
     a, b = key(emb), key(back)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_container_bloom_write_probe_and_prune(tmp_path):
+    """Container bloom filters: data unaffected, footer records the
+    span, probe gives definite negatives for absent point values on
+    string and int columns — and the DataSource reader's file-level
+    pushdown uses them to prune whole containers where min/max stats
+    cannot discriminate."""
+    import numpy as np
+
+    from fastparquet_spark.format.container import (
+        container_bloom_rules_out, read_container, read_container_footer,
+    )
+    from fastparquet_spark.sources.fpsc_source import FpscReader
+
+    rng = np.random.default_rng(5)
+    files = []
+    all_commits = []
+    for fi in range(3):
+        commits = [f"{h:040x}" for h in rng.integers(0, 1 << 62, 2000)]
+        all_commits.append(commits)
+        t = pa.table({"commit": pa.array(commits),
+                      "v": pa.array(range(fi * 2000, fi * 2000 + 2000))})
+        p = str(tmp_path / f"part-{fi}.fpsc")
+        write_container(p, t, bloom_filters={"commit": 0.01, "v": True})
+        files.append(p)
+    # data unaffected by the appended bloom sections
+    assert read_container(files[0]).column("commit").to_pylist() == \
+        all_commits[0]
+    meta = read_container_footer(files[0])
+    cm = {m["name"]: m for m in meta["columns"]}
+    assert cm["commit"]["bloom_bytes"] > 0 and cm["v"]["bloom_bytes"] > 0
+    present = all_commits[0][777]
+    absent = all_commits[0][0][:-4] + "beef"
+    assert not container_bloom_rules_out(files[0], meta,
+                                         [("commit", "==", present)])
+    assert container_bloom_rules_out(files[0], meta,
+                                     [("commit", "==", absent)])
+    # DataSource pruning: a commit present in file 1 only keeps file 1;
+    # min/max stats alone cannot do this (random hashes span the range)
+    r = FpscReader(str(tmp_path))
+    r._clauses = [("commit", "==", all_commits[1][5])]
+    kept = [p.value for p in r.partitions()]
+    assert kept == [files[1]]
+    r2 = FpscReader(str(tmp_path))
+    r2._clauses = [("commit", "==", absent)]
+    assert r2.partitions() == []
+    # int bloom through 'in'
+    r3 = FpscReader(str(tmp_path))
+    r3._clauses = [("v", "in", [4100, 10**9])]
+    kept3 = [p.value for p in r3.partitions()]
+    assert kept3 == [files[2]]
