@@ -600,13 +600,18 @@ def _page_keep_mask(fmd: dict, idx, ri: int, clause):
     return grid, keep_mask
 
 
-def read_pages(path: str, filters, columns=None, fs=None):
+def read_pages(path: str, filters, columns=None, fs=None,
+               exact: bool = False):
     """PAGE-SKIPPING read: decode only the pages a ColumnIndex cannot
     rule out for an AND-clause — the reader-side completion of
     :func:`filter_pages` (which is metadata-only).  Returns a pyarrow
     Table of the SURVIVING PAGES' rows (a page-granular superset of the
     exact matches — the same contract as row-group pruning: pruning is
-    IO savings, exactness is the caller's residual filter).
+    IO savings, exactness is the caller's residual filter).  With
+    ``exact=True`` the residual predicate is applied in Arrow compute
+    before returning — the reference's ``to_pandas(filters=...,
+    row_filter=True)`` contract (fastparquet/api.py:276-331) on the
+    page-pruned superset.
 
     Bytes moved = footer + index spans + dictionary pages + kept pages
     ONLY (one ranged read per span through the fs seam) — proven by
@@ -635,6 +640,11 @@ def read_pages(path: str, filters, columns=None, fs=None):
         names_all = [e["name"] for e in fmd["schema"][1:]
                      if e.get("num_children") is None]
         want = list(columns) if columns is not None else names_all
+        project = list(want)
+        if exact:  # predicate columns must be decoded to filter rows
+            for col, _op, _v in clause:
+                if col in names_all and col not in want:
+                    want.append(col)
         pieces = []
         for ri, rg in enumerate(fmd["row_groups"]):
             grid, mask = _page_keep_mask(fmd, idx, ri, clause)
@@ -700,11 +710,52 @@ def read_pages(path: str, filters, columns=None, fs=None):
             from fastparquet_spark.format.reader import _arrow_type
 
             return pa.Table.from_arrays(
-                [pa.array([], type=_arrow_type(elems[n])) for n in want],
-                names=want)
-        return pa.concat_tables(pieces)
+                [pa.array([], type=_arrow_type(elems[n])) for n in project],
+                names=project)
+        out = pa.concat_tables(pieces)
+        if exact:
+            out = _apply_row_filter(out, clause).select(project)
+        return out
     finally:
         src.close()
+
+
+def _apply_row_filter(table, clause):
+    """AND-clause as an Arrow compute mask (the residual row predicate
+    behind read_pages(exact=True))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, val in clause:
+        if col not in table.column_names:
+            continue
+        c = table.column(col)
+        if op in ("==", "="):
+            m = pc.equal(c, val)
+        elif op == "!=":
+            m = pc.not_equal(c, val)
+        elif op == "<":
+            m = pc.less(c, val)
+        elif op == "<=":
+            m = pc.less_equal(c, val)
+        elif op == ">":
+            m = pc.greater(c, val)
+        elif op == ">=":
+            m = pc.greater_equal(c, val)
+        elif op == "in":
+            m = pc.is_in(c, value_set=pa.array(list(val)))
+        elif op == "not in":
+            m = pc.invert(pc.is_in(c, value_set=pa.array(list(val))))
+        elif op == "is_null":
+            m = pc.is_null(c)
+        elif op == "is_not_null":
+            m = pc.is_valid(c)
+        else:
+            continue
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return table.filter(mask) if mask is not None else table
 
 
 def read_bloom_filter(path: str, offset: int, length: int | None = None,

@@ -177,3 +177,36 @@ def test_read_pages_decodes_only_surviving_pages(tmp_path):
     write_file(p2, t, compression="ZSTD", row_group_rows=50_000)
     all_rows = read_pages(p2, [("k", "==", 12_345)])
     assert all_rows.num_rows == n
+
+
+def test_read_pages_exact_row_filter(tmp_path):
+    """read_pages(exact=True): page skipping + Arrow-compute residual =
+    exactly the matching rows, with projection independent of the
+    predicate columns."""
+    from fastparquet_spark.format.dataset import read_pages
+
+    n = 60_000
+    t = pa.table({"k": pa.array(range(n)),
+                  "s": pa.array([f"v{i}" for i in range(n)]),
+                  "m": pa.array([i if i % 3 else None for i in range(n)],
+                                pa.int64())})
+    path = str(tmp_path / "ex.parquet")
+    write_file(path, t, compression="ZSTD", row_group_rows=30_000,
+               page_rows=5_000)
+    got = read_pages(path, [("k", ">=", 41_000), ("k", "<", 41_100)],
+                     exact=True)
+    assert got.column("k").to_pylist() == list(range(41_000, 41_100))
+    # projection excludes the predicate column
+    got2 = read_pages(path, [("k", "==", 123)], columns=["s"], exact=True)
+    assert got2.column_names == ["s"]
+    assert got2.column("s").to_pylist() == ["v123"]
+    # null-aware ops
+    got3 = read_pages(path, [("k", "<", 9), ("m", "is_null", None)],
+                      exact=True)
+    assert got3.column("k").to_pylist() == [0, 3, 6]
+    got4 = read_pages(path, [("s", "in", ["v7", "v50001", "nope"])],
+                      exact=True)
+    assert sorted(got4.column("k").to_pylist()) == [7, 50_001]
+    # empty exact result keeps the projected schema
+    e = read_pages(path, [("k", "==", 10 ** 9)], columns=["s"], exact=True)
+    assert e.num_rows == 0 and e.column_names == ["s"]
