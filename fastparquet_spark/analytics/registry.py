@@ -329,7 +329,7 @@ WITH p AS (SELECT least(16, greatest(4,
                   CAST(ceil(log2(count(*) / {similarity.LSH_TARGET_BUCKET}.0))
                        AS INT))) AS n_bits
            FROM embeddings),
-p2 AS (SELECT n_bits, CAST(64 / n_bits AS INT) AS dims_per FROM p),
+p2 AS (SELECT n_bits, CAST(64 // n_bits AS INT) AS dims_per FROM p),
 eb AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
 ej AS (SELECT eb.vec_id, eb.ed, p2.dims_per,
               unnest(generate_series(0, p2.n_bits - 1)) AS j
