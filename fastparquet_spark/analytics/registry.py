@@ -666,6 +666,43 @@ FROM documents WHERE doc_id IN (7, 123, 404)
 """
 
 
+def engine_page_read(spark, sf_dir):
+    """PAGE-SKIPPING read end-to-end through the driver gate: encode
+    documents SORTED by doc_id with 100-row pages + PageIndex, then
+    read a narrow doc_id range back via read_pages(exact=True) — only
+    the covering pages are decoded (the ColumnIndex path is proven
+    byte-level in tests; here the VALUES are gated).  The oracle
+    recomputes the rows from the raw table, so the per-page stats, the
+    OffsetIndex spans and the residual Arrow filter must all be exactly
+    right."""
+    from fastparquet_spark.engine import encode_dataset
+    from fastparquet_spark.format.dataset import read_pages
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_pr_")
+    encode_dataset(spark, docs, out, compression="ZSTD",
+                   partition_cols=(), num_partitions=2,
+                   sort_within=("doc_id",), resume=False,
+                   page_rows=100).collect()
+    import glob as _glob
+
+    import pyarrow as pa_c
+
+    pieces = [read_pages(p, [("doc_id", ">=", 150), ("doc_id", "<", 260)],
+                         columns=["doc_id", "lang", "n_chars"], exact=True)
+              for p in sorted(_glob.glob(f"{out}/part-*.parquet"))]
+    tbl = pa_c.concat_tables([p for p in pieces if p.num_rows],
+                             promote_options="default") \
+        if any(p.num_rows for p in pieces) else pieces[0]
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+ORACLES["engine_page_read"] = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id >= 150 AND doc_id < 260
+"""
+
+
 # ------------------------------------------------------------------ registry -
 QUERIES = {
     "q1_pricing_summary": relational.q1_pricing_summary,
@@ -754,6 +791,7 @@ WHERE round(list_dot_product(a.e, b.e)
 
 QUERIES["engine_dataset_stats"] = engine_dataset_stats
 QUERIES["engine_bloom_prune"] = engine_bloom_prune
+QUERIES["engine_page_read"] = engine_page_read
 QUERIES["engine_decimal38_roundtrip"] = engine_decimal38_roundtrip
 QUERIES["engine_embeddings_roundtrip"] = engine_embeddings_roundtrip
 QUERIES["engine_snapshot_travel"] = engine_snapshot_travel

@@ -105,3 +105,25 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert got[1] == (3, 13.5)
     assert got[2] == (2, 5.5)
     assert got[3] == (1, 7.0)
+
+
+def test_encode_stream_fpsc_epochs(spark, tmp_path):
+    """The streaming sink's container mode: each micro-batch becomes an
+    FPSC epoch directory, read back value-equal through read_fpsc."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine.fpsc_job import read_fpsc
+    from fastparquet_spark.streaming.jobs import encode_stream
+
+    src_dir = str(tmp_path / "src")
+    df0 = (spark.range(1500)
+           .withColumn("lang", (F.col("id") % 2).cast("string"))
+           .withColumn("content", F.concat(F.lit("d"), F.col("id"))))
+    df0.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(df0.schema).parquet(src_dir)
+    q = encode_stream(spark, stream, str(tmp_path / "out"),
+                      str(tmp_path / "ckpt"), fmt="fpsc", num_partitions=2)
+    q.awaitTermination(120)
+    back = read_fpsc(spark, str(tmp_path / "out"))
+    assert back.count() == 1500
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(1500))
