@@ -47,7 +47,8 @@ SRC_DIR = f"/tmp/fps_bench_src_{BENCH_ROWS}"
 BENCH_QUERIES = [
     "q1_pricing_summary", "q3_shipping_topk", "q_window_rank",
     "q_filter_project", "q_rollup_pricing", "dedup_exact",
-    "dedup_minhash_lsh_pairs", "dedup_simhash", "text_quality",
+    "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_clusters",
+    "text_quality",
     "text_fingerprint", "sim_cosine_topk", "sim_lsh_buckets",
     "sim_neardup_lsh", "mm_binary_meta",
 ]
