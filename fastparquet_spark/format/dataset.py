@@ -586,6 +586,13 @@ def _page_keep_mask(fmd: dict, idx, ri: int, clause):
             if ci["null_pages"][pi]:
                 mask.append(op == "is_null")
                 continue
+            if not ci["min_values"][pi] or not ci["max_values"][pi]:
+                # a foreign writer may emit b"" bounds for a non-null
+                # page (spec-invalid but seen in the wild); treat as
+                # no-stats and keep the page rather than decode-crash or
+                # silently prune a "" lower bound (ADVICE r4)
+                mask.append(True)
+                continue
             lo = _decode_stat(ci["min_values"][pi], elem["type"],
                               elem.get("converted_type"))
             hi = _decode_stat(ci["max_values"][pi], elem["type"],
@@ -758,24 +765,38 @@ def _apply_row_filter(table, clause):
     return table.filter(mask) if mask is not None else table
 
 
+def _parse_bloom_blob(blob: bytes, path: str, offset: int, fs):
+    """BloomFilterHeader + bitset from a fetched blob; re-reads the tail
+    when the speculative fetch (length absent from the footer — it is
+    optional in the spec; older parquet-mr omits it) undershot numBytes.
+    Truncating instead would reshape-crash or, worse, build a
+    wrong-sized filter whose fastrange block mapping returns FALSE
+    NEGATIVES, i.e. incorrect pruning (ADVICE r4)."""
+    from fastparquet_spark.codecs.bloom import SplitBlockBloom
+    from fastparquet_spark.format import thrift
+    from fastparquet_spark.format.metadata import SPECS
+
+    header, pos = thrift.read_struct("BloomFilterHeader", blob, 0, SPECS)
+    nb = header["numBytes"]
+    if "UNCOMPRESSED" not in (header.get("compression") or {"UNCOMPRESSED": {}}):
+        raise NotImplementedError("compressed bloom filters")
+    if pos + nb > len(blob):
+        with fs.open_read(path) as f:
+            f.seek(offset + len(blob))
+            blob = blob + f.read(pos + nb - len(blob))
+    return SplitBlockBloom.frombytes(blob[pos:pos + nb])
+
+
 def read_bloom_filter(path: str, offset: int, length: int | None = None,
                       fs=None):
     """Load a split-block bloom filter at ``offset`` in ``path`` —
     header is thrift-compact BloomFilterHeader, body the raw bitset.
     Reads parquet-java-written filters as well as our own."""
-    from fastparquet_spark.codecs.bloom import SplitBlockBloom
-    from fastparquet_spark.format import thrift
-    from fastparquet_spark.format.metadata import SPECS
-
     fs = get_fs(path, fs)
     with fs.open_read(path) as f:
         f.seek(offset)
         blob = f.read(length if length else (1 << 20))
-    header, pos = thrift.read_struct("BloomFilterHeader", blob, 0, SPECS)
-    nb = header["numBytes"]
-    if "UNCOMPRESSED" not in (header.get("compression") or {"UNCOMPRESSED": {}}):
-        raise NotImplementedError("compressed bloom filters")
-    return SplitBlockBloom.frombytes(blob[pos:pos + nb])
+    return _parse_bloom_blob(blob, path, offset, fs)
 
 
 def _bloom_value_bytes(value, elem: dict) -> bytes | None:
@@ -789,22 +810,29 @@ def _bloom_value_bytes(value, elem: dict) -> bytes | None:
         return None
     if isinstance(value, int):
         width = 4 if elem["type"] == Type.INT32 else 8
-        return int(value).to_bytes(width, "little", signed=True)
+        # UINT columns hash the unsigned byte layout (same bits the
+        # writer hashed); a probe value outside the signed range must
+        # not crash the scan planner — fall back to "can't rule out"
+        unsigned = elem.get("converted_type") in (ConvertedType.UINT_8,
+                                                  ConvertedType.UINT_16,
+                                                  ConvertedType.UINT_32,
+                                                  ConvertedType.UINT_64)
+        try:
+            return int(value).to_bytes(width, "little", signed=not unsigned)
+        except OverflowError:
+            return None
     if isinstance(value, float):
         fmt = "<f" if elem["type"] == Type.FLOAT else "<d"
         return struct.pack(fmt, value)
     return None
 
 
-def _bloom_rules_out(path: str, rg: dict, elems: dict, clause,
-                     fs=None) -> bool:
-    """True iff a bloom filter PROVES some ==/in term of the AND-clause
-    cannot match this row group (definite negative; bloom positives
-    prove nothing)."""
-    from fastparquet_spark.codecs.bloom import xxh64
-
+def _bloom_terms(rg: dict, elems: dict, clause):
+    """The (column-chunk meta, encoded probe values) pairs of the
+    AND-clause terms a bloom filter on this row group can answer."""
     by_name = {".".join(cc["meta_data"]["path_in_schema"]): cc["meta_data"]
                for cc in rg["columns"]}
+    out = []
     for col, op, val in clause:
         cmd = by_name.get(col)
         if cmd is None or "bloom_filter_offset" not in cmd:
@@ -821,14 +849,57 @@ def _bloom_rules_out(path: str, rg: dict, elems: dict, clause,
         encoded = [_bloom_value_bytes(v, elem) for v in vals]
         if any(e is None for e in encoded):
             continue
-        import numpy as np
+        out.append((cmd, encoded))
+    return out
 
-        bf = read_bloom_filter(path, cmd["bloom_filter_offset"],
-                               cmd.get("bloom_filter_length"), fs=fs)
+
+def _bloom_rules_out(path: str, rg: dict, elems: dict, clause,
+                     fs=None, cache: dict | None = None) -> bool:
+    """True iff a bloom filter PROVES some ==/in term of the AND-clause
+    cannot match this row group (definite negative; bloom positives
+    prove nothing).  ``cache`` maps (path, offset) -> SplitBlockBloom
+    prefetched concurrently by :func:`_prefetch_blooms`."""
+    import numpy as np
+
+    from fastparquet_spark.codecs.bloom import xxh64
+
+    for cmd, encoded in _bloom_terms(rg, elems, clause):
+        key = (path, cmd["bloom_filter_offset"])
+        bf = (cache or {}).get(key)
+        if bf is None:
+            bf = read_bloom_filter(path, cmd["bloom_filter_offset"],
+                                   cmd.get("bloom_filter_length"), fs=fs)
+            if cache is not None:
+                cache[key] = bf
         hashes = np.array([xxh64(e, 0) for e in encoded], dtype=np.uint64)
         if not bf.might_contain(hashes).any():
             return True  # no sought value can be present
     return False
+
+
+def _prefetch_blooms(spans: dict, fs, max_workers: int = 16) -> dict:
+    """Concurrent ranged fetch of bloom spans — ``spans`` maps
+    (path, offset) -> length-or-None; returns (path, offset) ->
+    SplitBlockBloom.  The driver-serial probe loop was r4's named
+    scale-killer: at 100k files one sequential small read per chunk
+    burns minutes of driver wall before the scan starts — the same
+    failure mode :func:`io.fetch_footers` fixed for footers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch(item):
+        (path, offset), length = item
+        f = get_fs(path, fs)
+        with f.open_read(path) as fh:
+            fh.seek(offset)
+            blob = fh.read(length if length else (1 << 20))
+        return (path, offset), _parse_bloom_blob(blob, path, offset, f)
+
+    if not spans:
+        return {}
+    if len(spans) == 1:
+        return dict([fetch(next(iter(spans.items())))])
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(spans))) as ex:
+        return dict(ex.map(fetch, spans.items()))
 
 
 def filter_row_groups(out_dir: str, filters, fs=None, metas=None,
@@ -854,20 +925,35 @@ def filter_row_groups(out_dir: str, filters, fs=None, metas=None,
     # glob inputs record basenames, so the bloom's file path can't be
     # reconstructed — stats-only pruning there
     use_bloom = use_bloom and not any(c in out_dir for c in "*?[")
-    keep = []
+    # pass 1: min/max/null stats (metadata already in hand)
+    survivors = []
     for f, ri, cols, _n in _iter_chunks(metas):
         clauses = [c for c in filters if _chunk_may_match(cols, c)]
-        if not clauses:
-            continue
-        if use_bloom:
-            m = by_file[f]
-            elems = {e["name"]: e for e in m["fmd"]["schema"][1:]
-                     if e.get("num_children") is None}
-            rg = m["fmd"]["row_groups"][ri]
-            clauses = [c for c in clauses
-                       if not _bloom_rules_out(f"{root}/{f}", rg, elems, c,
-                                               fs=fs)]
         if clauses:
+            survivors.append((f, ri, clauses))
+    if not use_bloom:
+        return [(f, ri) for f, ri, _c in survivors]
+    # pass 2: bloom membership for ==/in terms — ALL needed spans are
+    # known from the footers, so fetch them concurrently up front
+    # instead of one serial ranged read per chunk (r4 What's-wrong #2)
+    spans: dict = {}
+    ctx = []
+    for f, ri, clauses in survivors:
+        m = by_file[f]
+        elems = {e["name"]: e for e in m["fmd"]["schema"][1:]
+                 if e.get("num_children") is None}
+        rg = m["fmd"]["row_groups"][ri]
+        path = f"{root}/{f}"
+        for c in clauses:
+            for cmd, _enc in _bloom_terms(rg, elems, c):
+                spans.setdefault((path, cmd["bloom_filter_offset"]),
+                                 cmd.get("bloom_filter_length"))
+        ctx.append((path, rg, elems))
+    cache = _prefetch_blooms(spans, fs)
+    keep = []
+    for (f, ri, clauses), (path, rg, elems) in zip(survivors, ctx):
+        if any(not _bloom_rules_out(path, rg, elems, c, fs=fs, cache=cache)
+               for c in clauses):
             keep.append((f, ri))
     return keep
 

@@ -816,6 +816,7 @@ class ParquetWriter:
             pos += len(ph) + len(comp_dict)
 
         locs, null_pages, mins, maxs, null_counts = [], [], [], [], []
+        index_ok = True
         data_off = None
         uncomp_total = written - (0 if dict_page_bytes is None
                                   else len(comp_dict)) + \
@@ -832,6 +833,11 @@ class ParquetWriter:
                 nn = pn - nulls
                 data = dict_data_page(codes[nn_seen:nn_seen + nn], n_dict)
                 nn_seen += nn
+                if self.want_stats and nn:
+                    # stats need physical values even when the page body is
+                    # dictionary indices (ADVICE r4: pvals=None crashed
+                    # _make_stats for numeric columns)
+                    pvals = _extract(parr, ptype)
             else:
                 pvals = _extract(parr, ptype)
                 data, _, _ = _encode_values(pvals, ptype, encoding)
@@ -860,6 +866,12 @@ class ParquetWriter:
             null_pages.append(all_null)
             lob = (pst or {}).get("min_value")
             hib = (pst or {}).get("max_value")
+            if not all_null and (lob is None or hib is None):
+                # a non-null page without valid bounds (NaN page, all-0xFF
+                # truncated max, unsupported stat shape) cannot appear in a
+                # ColumnIndex as b"" — parquet-mr omits the whole index for
+                # the chunk in that case, and so do we (ADVICE r4)
+                index_ok = False
             mins.append(b"" if all_null or lob is None else lob)
             maxs.append(b"" if all_null or hib is None else hib)
             null_counts.append(nulls)
@@ -882,11 +894,12 @@ class ParquetWriter:
             cmd["dictionary_page_offset"] = dict_off
         if st:
             cmd["statistics"] = st
-        idx = {"offset_index": {"page_locations": locs},
-               "column_index": {"null_pages": null_pages,
-                                "min_values": mins, "max_values": maxs,
-                                "boundary_order": 0,
-                                "null_counts": null_counts}}
+        idx = {"offset_index": {"page_locations": locs}}
+        if index_ok:
+            idx["column_index"] = {"null_pages": null_pages,
+                                   "min_values": mins, "max_values": maxs,
+                                   "boundary_order": 0,
+                                   "null_counts": null_counts}
         colres = ColumnResult(
             name=name, encoding=_ENC_NAMES[encoding], num_values=n,
             null_count=total_nulls, uncompressed_size=uncomp_total,
@@ -926,6 +939,8 @@ class ParquetWriter:
         # chunk's ColumnChunk entry pointing at its spans (parquet-java's
         # own layout order)
         for entry, idx in self._page_index:
+            if "column_index" not in idx:
+                continue  # chunk had a non-null page without valid bounds
             blob = thrift.write_struct("ColumnIndex", idx["column_index"],
                                        SPECS)
             entry["column_index_offset"] = self.pos
@@ -1244,6 +1259,7 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
             lob, hib = _stat_bytes(lo, ptype), _stat_bytes(hi, ptype)
             if lob is not None and hib is not None:
                 st.update(min=lob, max=hib, min_value=lob, max_value=hib)
-    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+    except (pa.ArrowNotImplementedError, TypeError, ValueError,
+            AttributeError):
         pass
     return st
