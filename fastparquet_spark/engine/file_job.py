@@ -79,6 +79,53 @@ def plan_splits(input_dir: str, rows_per_task: int = 2_000_000,
     return splits
 
 
+def _stage_name(opath: str, attempt) -> str:
+    """Attempt-suffixed, DOT-HIDDEN stage path for ``opath`` — the
+    encode_dataset task-commit protocol (encode_job.py): a failed or
+    speculative attempt never publishes under a final name, twin
+    attempts cannot collide on the stage file, and directory-listing
+    readers (Spark/Hive skip '.'/'_' basenames) never see in-flight
+    data.  r4's ``opath + '.inprogress'`` violated all three."""
+    d, b = opath.rsplit("/", 1)
+    return f"{d}/.{b}.stage-{attempt}"
+
+
+def _sweep_stale_stages(fs, opath: str, keep: str) -> None:
+    """Remove dead attempts' stage files for this output (same-name
+    twins from failed/zombie attempts), sparing our own ``keep``."""
+    d, b = opath.rsplit("/", 1)
+    prefix = f".{b}.stage-"
+    try:
+        entries = fs.listdir(d)
+    except OSError:
+        return
+    for p in entries:
+        if p != keep and p.rsplit("/", 1)[1].startswith(prefix):
+            try:
+                fs.remove(p)
+            except OSError:
+                pass
+
+
+def _publish(fs, body_writer, opath: str, attempt) -> None:
+    """Stage -> write -> sweep stale twins -> atomic rename.  On any
+    failure the stage file is removed; nothing committed-looking is
+    ever left behind."""
+    tmp = _stage_name(opath, attempt)
+    try:
+        with fs.open_write(tmp) as sink:
+            body_writer(sink)
+        _sweep_stale_stages(fs, opath, keep=tmp)
+        fs.replace(tmp, opath)
+    except BaseException:
+        try:
+            if fs.exists(tmp):
+                fs.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
 def encode_files(spark, input_dir: str, out_dir: str, *,
                  compression: str = "ZSTD", columns=None,
                  rows_per_task: int = 2_000_000, resume: bool = True,
@@ -123,11 +170,13 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
         import pyarrow.parquet as pq
+        from pyspark import TaskContext
 
         from fastparquet_spark.format.writer import write_file
         from fastparquet_spark.io import get_fs
 
         fs = get_fs(out_dir_)
+        attempt = TaskContext.get().taskAttemptId()
 
         # one Arrow thread per worker: N workers x default pool (ncpus)
         # oversubscribes the box N-fold and collapses kernel throughput
@@ -158,24 +207,26 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
                 tbl = pq.ParquetFile(fpath).read_row_groups(
                     json.loads(rgs_json), columns=columns_, use_threads=False)
                 k0 = time.perf_counter()
-                tmp = opath + ".inprogress"
-                with fs.open_write(tmp) as sink:
-                    res = write_file(sink, tbl, compression=compression_,
-                                     encodings=encodings_,
-                                     bloom_filters=bloom_,
-                                     page_rows=page_rows_,
-                                     compat=compat_)
+                res_box = []
+                _publish(fs, lambda sink: res_box.append(
+                    write_file(sink, tbl, compression=compression_,
+                               encodings=encodings_,
+                               bloom_filters=bloom_,
+                               page_rows=page_rows_,
+                               compat=compat_)), opath, attempt)
+                res = res_box[0]
                 kernel = time.perf_counter() - k0
-                fs.replace(tmp, opath)
                 cols = {c.name: c.encoding for c in res.columns}
                 row = {"partition": sid, "file": fname, "rows": tbl.num_rows,
                        "input_bytes": tbl.nbytes, "output_bytes": res.file_bytes,
                        "encode_secs": time.perf_counter() - t0,
                        "kernel_secs": kernel, "skipped": False,
                        "columns": json.dumps(cols)}
-                with fs.open_write(mpath + ".tmp") as fh:
+                # manifest written AFTER the data file: existence == commit;
+                # its temp is attempt-suffixed for the same twin-safety
+                with fs.open_write(f"{mpath}.tmp-{attempt}") as fh:
                     fh.write(json.dumps(row).encode())
-                fs.replace(mpath + ".tmp", mpath)
+                fs.replace(f"{mpath}.tmp-{attempt}", mpath)
                 yield _arrow_manifest_batch(row)
 
     return sdf.mapInArrow(run, _manifest_struct())
@@ -243,11 +294,13 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
         import pyarrow.parquet as pq
+        from pyspark import TaskContext
 
         from fastparquet_spark.format.container import write_container
         from fastparquet_spark.io import get_fs
 
         fs = get_fs(out_dir_)
+        attempt = TaskContext.get().taskAttemptId()
         pa_w.set_cpu_count(1)
         pa_w.set_io_thread_count(2)
         fsst_cache: dict = dict(pretrained_)
@@ -270,14 +323,14 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
                 tbl = pq.ParquetFile(fpath).read_row_groups(
                     json.loads(rgs_json), columns=columns_, use_threads=False)
                 k0 = time.perf_counter()
-                tmp = opath + ".inprogress"
-                with fs.open_write(tmp) as sink:
-                    blocks = write_container(sink, tbl,
-                                             compression=compression_,
-                                             fsst_cache=fsst_cache,
-                                             bloom_filters=fbloom_)
+                blocks_box = []
+                _publish(fs, lambda sink: blocks_box.append(
+                    write_container(sink, tbl,
+                                    compression=compression_,
+                                    fsst_cache=fsst_cache,
+                                    bloom_filters=fbloom_)), opath, attempt)
+                blocks = blocks_box[0]
                 kernel = time.perf_counter() - k0
-                fs.replace(tmp, opath)
                 row = {"partition": sid, "file": fname, "rows": tbl.num_rows,
                        "input_bytes": tbl.nbytes,
                        "output_bytes": fs.size(opath),
@@ -285,9 +338,9 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
                        "kernel_secs": kernel, "skipped": False,
                        "columns": json.dumps({c.name: c.codec
                                               for c in blocks})}
-                with fs.open_write(mpath + ".tmp") as fh:
+                with fs.open_write(f"{mpath}.tmp-{attempt}") as fh:
                     fh.write(json.dumps(row).encode())
-                fs.replace(mpath + ".tmp", mpath)
+                fs.replace(f"{mpath}.tmp-{attempt}", mpath)
                 yield _arrow_manifest_batch(row)
 
     return sdf.mapInArrow(run, _manifest_struct())
