@@ -703,6 +703,38 @@ FROM documents WHERE doc_id >= 150 AND doc_id < 260
 """
 
 
+def engine_paged_scan(spark, sf_dir):
+    """DISTRIBUTED page/bloom-pruned scan (engine.paged_read): encode
+    documents sorted by doc_id into a multi-file dataset with 100-row
+    pages, PageIndex and a doc_id bloom, then read a narrow range back
+    through the three-tier stack — driver-side stats+bloom row-group
+    pruning (concurrent metadata fetches), executor-side ColumnIndex
+    page skipping (ranged reads of surviving spans only), executor-side
+    residual Arrow filter.  Unlike engine_page_read (driver-loop
+    consumer of read_pages), the scan itself fans out to executors —
+    the shape that holds at 100k files.  The oracle recomputes the rows
+    from the raw table."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import encode_dataset, paged_read
+
+    docs = relational.load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="fps_ps_")
+    encode_dataset(spark, docs, out, compression="ZSTD",
+                   partition_cols=(), num_partitions=4,
+                   sort_within=("doc_id",), resume=False,
+                   page_rows=100, bloom_filters={"doc_id": 0.01}).collect()
+    df = paged_read(spark, out, [("doc_id", ">=", 300), ("doc_id", "<", 420)],
+                    columns=["doc_id", "lang", "n_chars"])
+    return df.withColumn("n_chars", F.col("n_chars").cast("bigint"))
+
+
+ORACLES["engine_paged_scan"] = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id >= 300 AND doc_id < 420
+"""
+
+
 # ------------------------------------------------------------------ registry -
 QUERIES = {
     "q1_pricing_summary": relational.q1_pricing_summary,
@@ -792,6 +824,7 @@ WHERE round(list_dot_product(a.e, b.e)
 QUERIES["engine_dataset_stats"] = engine_dataset_stats
 QUERIES["engine_bloom_prune"] = engine_bloom_prune
 QUERIES["engine_page_read"] = engine_page_read
+QUERIES["engine_paged_scan"] = engine_paged_scan
 QUERIES["engine_decimal38_roundtrip"] = engine_decimal38_roundtrip
 QUERIES["engine_embeddings_roundtrip"] = engine_embeddings_roundtrip
 QUERIES["engine_snapshot_travel"] = engine_snapshot_travel

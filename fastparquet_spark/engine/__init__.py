@@ -13,6 +13,7 @@ from fastparquet_spark.engine.encode_job import (
     verify_roundtrip,
 )
 from fastparquet_spark.engine.file_job import encode_files, plan_splits
+from fastparquet_spark.engine.scan_job import paged_read
 
 __all__ = ["synthetic_source_table", "encode_dataset", "append_dataset",
-           "verify_roundtrip", "encode_files", "plan_splits"]
+           "verify_roundtrip", "encode_files", "plan_splits", "paged_read"]

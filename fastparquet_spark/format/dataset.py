@@ -608,7 +608,7 @@ def _page_keep_mask(fmd: dict, idx, ri: int, clause):
 
 
 def read_pages(path: str, filters, columns=None, fs=None,
-               exact: bool = False):
+               exact: bool = False, row_groups=None):
     """PAGE-SKIPPING read: decode only the pages a ColumnIndex cannot
     rule out for an AND-clause — the reader-side completion of
     :func:`filter_pages` (which is metadata-only).  Returns a pyarrow
@@ -624,7 +624,12 @@ def read_pages(path: str, filters, columns=None, fs=None,
     ONLY (one ranged read per span through the fs seam) — proven by
     byte counts in tests.  Flat columns only (our paged writer is
     flat-only); unindexed or grid-unaligned row groups fall back to
-    decoding all their pages."""
+    decoding all their pages.
+
+    ``row_groups``: optional subset of row-group indices to scan —
+    the contract that lets a DRIVER-side planner (stats + bloom
+    pruning, :func:`filter_row_groups`) hand each executor only its
+    surviving groups (engine.paged_read)."""
     import numpy as np
     import pyarrow as pa
 
@@ -654,6 +659,8 @@ def read_pages(path: str, filters, columns=None, fs=None,
                     want.append(col)
         pieces = []
         for ri, rg in enumerate(fmd["row_groups"]):
+            if row_groups is not None and ri not in row_groups:
+                continue
             grid, mask = _page_keep_mask(fmd, idx, ri, clause)
             by_path = {".".join(cc["meta_data"]["path_in_schema"]):
                        (cc["meta_data"], cii)

@@ -210,3 +210,69 @@ def test_read_pages_exact_row_filter(tmp_path):
     # empty exact result keeps the projected schema
     e = read_pages(path, [("k", "==", 10 ** 9)], columns=["s"], exact=True)
     assert e.num_rows == 0 and e.column_names == ["s"]
+
+
+def test_read_pages_row_groups_subset_moves_fewer_bytes(tmp_path):
+    """paged_read's executor contract: read_pages(row_groups={ri})
+    decodes ONLY the listed groups — a driver-side planner that prunes
+    row groups by stats/bloom translates directly into bytes not read."""
+    from fastparquet_spark.format.dataset import read_pages
+    from fastparquet_spark.io import CountingFS, get_fs
+
+    t = _table(40_000)
+    path = str(tmp_path / "subset.parquet")
+    write_file(path, t, compression="ZSTD", row_group_rows=10_000,
+               page_rows=2_000)
+    clause = [("k", ">=", 0)]  # keeps every page: isolates rg subsetting
+    # project the incompressible float column so data bytes dominate
+    # the shared footer+index overhead
+    fs_all = CountingFS(get_fs(path))
+    full = read_pages(path, clause, columns=["k", "f"], fs=fs_all,
+                      exact=True)
+    assert full.num_rows == 40_000
+    fs_one = CountingFS(get_fs(path))
+    one = read_pages(path, clause, columns=["k", "f"], fs=fs_one,
+                     exact=True, row_groups={2})
+    assert one.num_rows == 10_000
+    assert sorted(one.column("k").to_pylist()) == list(range(20_000, 30_000))
+    # metadata overhead is shared; data bytes scale with groups kept
+    assert fs_one.bytes_read < fs_all.bytes_read * 0.55, \
+        (fs_one.bytes_read, fs_all.bytes_read)
+
+
+def test_paged_read_distributed_matches_direct(spark, tmp_path):
+    """Distributed paged_read == single-process read_pages union, and
+    the empty-survivor case returns a typed empty DataFrame."""
+    import numpy as np
+
+    from fastparquet_spark.engine import paged_read
+    from fastparquet_spark.format.dataset import read_pages
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    for i in range(4):
+        n = 5_000
+        t = pa.table({
+            "k": pa.array(range(i * n, (i + 1) * n)),
+            "f": pa.array(np.arange(n, dtype=np.float64) + i),
+            "s": pa.array([f"s{j%97}" for j in range(n)]),
+        })
+        write_file(str(d / f"part-{i:02d}.parquet"), t, compression="ZSTD",
+                   row_group_rows=2_500, page_rows=500,
+                   bloom_filters={"s": 0.01})
+    clause = [("k", ">=", 7_400), ("k", "<", 12_600)]
+    df = paged_read(spark, str(d), clause, columns=["k", "s"])
+    got = sorted(r["k"] for r in df.collect())
+    assert got == list(range(7_400, 12_600))
+    # only files 1 and 2 contain the range: the plan excludes the rest
+    import glob
+
+    direct = []
+    for p in sorted(glob.glob(f"{d}/part-*.parquet")):
+        direct += read_pages(p, clause, columns=["k", "s"],
+                             exact=True).column("k").to_pylist()
+    assert sorted(direct) == got
+    # bloom term that nothing matches -> zero units, typed empty result
+    empty = paged_read(spark, str(d), [("s", "==", "nope-xyz")])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "f", "s"]
