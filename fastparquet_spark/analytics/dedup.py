@@ -137,10 +137,13 @@ def dedup_simhash(spark, sf_dir):
     return per_doc.select("doc_id", total.cast("int").alias("simhash"))
 
 
-def dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 60, min_jaccard: float = 0.05):
+def dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 200, min_jaccard: float = 0.01):
     """Exact n-gram Jaccard for a bounded candidate set: self-join on
     shared shingles (at scale this runs AFTER LSH bucketing, never on the
-    full corpus; max_doc bounds it here)."""
+    full corpus; max_doc bounds it here).  Thresholds are deliberately
+    low so the gate exercises the SCORING math on hundreds of pairs at
+    every test scale — r4's 0.05/60 produced ZERO rows at sf0.01,
+    a vacuous match."""
     sh = _shingles_df(spark, sf_dir, max_doc=max_doc)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -156,24 +159,28 @@ def dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 60, min_jaccard: float = 0
             .select("doc_a", "doc_b", "jaccard"))
 
 
-def dedup_clusters(spark, sf_dir, max_iters: int = 20):
-    """Duplicate CLUSTERING: connected components over the LSH candidate
-    pairs — the step after pair generation in a real dedup pipeline
-    (pairs -> clusters -> one canonical doc per cluster).  Distributed
-    min-label propagation: every doc in a pair starts labeled with its
-    own id; each round joins labels across edges and keeps the minimum;
-    the fixpoint is the component's minimum doc_id.  Rounds needed =
-    graph diameter (<= log N after path-doubling-ish collapses in
-    practice); convergence is detected with an AGGREGATE (sum of
-    labels, strictly decreasing), never by collecting rows, and each
-    round's lineage is cut with localCheckpoint so the plan stays flat
-    at any scale.  Singleton docs (no candidate pair) are excluded —
-    they are their own cluster by definition."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
-    edges = (pairs.select(F.col("doc_a").alias("src"),
-                          F.col("doc_b").alias("dst"))
-             .union(pairs.select(F.col("doc_b").alias("src"),
-                                 F.col("doc_a").alias("dst")))
+def connected_components(edges, max_iters: int = 20):
+    """Distributed connected components by min-label propagation WITH
+    pointer doubling: every node starts labeled with its own id; each
+    round (a) relaxes labels across edges (min over neighbors) and
+    (b) jumps one hop through the label table itself
+    (labels[labels[v]]), which halves the remaining distance to the
+    component minimum — so rounds scale with log(diameter), not
+    diameter (a crawl-mirror chain A->B->C->... converges in ~log2
+    rounds instead of its length).  Convergence is detected with an
+    AGGREGATE (sum of labels, strictly decreasing to a fixpoint),
+    never by collecting rows; each round's lineage is cut with
+    localCheckpoint so the plan stays flat at any scale.
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iters`` — silently returning partial clusters would merge or
+    split duplicate groups downstream (ADVICE r4 #5).
+
+    ``edges``: DataFrame with columns (src, dst), treated undirected.
+    Returns (doc_id, cluster) where cluster is the component minimum."""
+    edges = (edges.select("src", "dst")
+             .union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
              .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("cluster", F.col("doc_id")))
@@ -182,11 +189,37 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
         via = (edges.join(labels,
                           edges["dst"] == labels["doc_id"])
                .select(F.col("src").alias("doc_id"), "cluster"))
-        labels = (labels.union(via).groupBy("doc_id")
-                  .agg(F.min("cluster").alias("cluster"))
+        relaxed = (labels.union(via).groupBy("doc_id")
+                   .agg(F.min("cluster").alias("cluster")))
+        # pointer doubling: follow the current label one hop; the
+        # label's own label is never larger, so least() only improves
+        hop = relaxed.select(F.col("doc_id").alias("mid"),
+                             F.col("cluster").alias("c2"))
+        labels = (relaxed.join(hop, relaxed["cluster"] == hop["mid"],
+                               "left")
+                  .select("doc_id",
+                          F.least("cluster", "c2").alias("cluster"))
                   .localCheckpoint(eager=True))
         cur = labels.agg(F.sum("cluster")).collect()[0][0]
         if cur == prev_sum:
-            break
+            return labels
         prev_sum = cur
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iters} "
+        f"rounds — raise max_iters (rounds needed ~ log2 of the largest "
+        f"component's diameter)")
+
+
+def dedup_clusters(spark, sf_dir, max_iters: int = 20):
+    """Duplicate CLUSTERING: connected components over the LSH candidate
+    pairs — the step after pair generation in a real dedup pipeline
+    (pairs -> clusters -> one canonical doc per cluster).  The fixpoint
+    label is the component's minimum doc_id.  Singleton docs (no
+    candidate pair) are excluded — they are their own cluster by
+    definition.  See :func:`connected_components` for the round-bounded
+    (log-diameter) propagation scheme and the loud non-convergence
+    contract."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")), max_iters)

@@ -183,7 +183,7 @@ WHERE a.doc_id < b.doc_id
 """,
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": f"""
-WITH {_shingles_cte(' WHERE doc_id < 60')},
+WITH {_shingles_cte(' WHERE doc_id < 200')},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -193,7 +193,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.01
 """,
     "text_langid": None,  # filled below (generated)
     "text_quality": f"""

@@ -101,6 +101,28 @@ MAX_LSH_BUCKET = 1024  # vectors considered per sign bucket (smallest vec_ids)
 LSH_TARGET_BUCKET = 64  # aimed-for mean bucket membership
 
 
+def footer_row_count(path_or_dir: str) -> int:
+    """Exact dataset row count from parquet FOOTERS only (concurrent
+    tail reads, no data pages, no Spark job) — the metadata answer to
+    ``df.count()`` for raw parquet inputs.  Accepts a single file, a
+    directory, or a glob."""
+    from fastparquet_spark.io import fetch_footers, get_fs
+
+    fs = get_fs(path_or_dir)
+    if any(c in path_or_dir for c in "*?["):
+        files = [p for p in fs.glob(path_or_dir) if p.endswith(".parquet")]
+    elif path_or_dir.endswith(".parquet"):
+        files = [path_or_dir]
+    else:
+        files = [p for p in fs.walk_files(path_or_dir)
+                 if p.endswith(".parquet")
+                 and not p.rsplit("/", 1)[1].startswith((".", "_"))]
+    from fastparquet_spark.format.reader import read_footer_tail
+
+    return sum(read_footer_tail(t)["num_rows"]
+               for t in fetch_footers(files, fs))
+
+
 def derive_n_bits(n_rows: int, target_bucket: int = LSH_TARGET_BUCKET,
                   lo: int = 4, hi: int = 16) -> int:
     """Bucket-bit count that keeps MEAN bucket size near ``target_bucket``
@@ -127,17 +149,19 @@ def sim_neardup_lsh(spark, sf_dir, n_bits: int | None = None,
     even when the corpus grows 1000x past the fixed bucket count
     (without the cap, 256 buckets make the join N^2/256 — still
     quadratic).  ``n_bits`` defaults to :func:`derive_n_bits` of the
-    corpus size (one cheap metadata-backed count), so the bucket space
-    GROWS with the corpus and recall doesn't silently collapse at 1000x
-    — the cap stays as the hard safety net.  The oracle derives n_bits
-    with the identical formula in SQL and applies identical bucketing
-    AND the identical cap, so the CORRECTNESS gate checks the bucketed
-    semantics exactly.  Recall tradeoff vs the exact all-pairs baseline
-    (sim_neardup_pairs) is inherent to LSH."""
+    corpus size summed from PARQUET FOOTERS (a metadata read; r4's
+    ``df.count()`` scheduled a full Spark job before every run — at
+    100 TB that is a scan stage a footer sum replaces for free), so the
+    bucket space GROWS with the corpus and recall doesn't silently
+    collapse at 1000x — the cap stays as the hard safety net.  The
+    oracle derives n_bits with the identical formula in SQL and applies
+    identical bucketing AND the identical cap, so the CORRECTNESS gate
+    checks the bucketed semantics exactly.  Recall tradeoff vs the
+    exact all-pairs baseline (sim_neardup_pairs) is inherent to LSH."""
     from pyspark.sql.window import Window
 
     if n_bits is None:
-        n_bits = derive_n_bits(load(spark, sf_dir, "embeddings").count())
+        n_bits = derive_n_bits(footer_row_count(f"{sf_dir}/embeddings.parquet"))
     emb = (load(spark, sf_dir, "embeddings")
            .select("vec_id",
                    F.transform("embedding", lambda x: x.cast("double")).alias("e"),

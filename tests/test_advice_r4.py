@@ -197,3 +197,32 @@ def test_bloom_probes_prefetched_concurrently(tmp_path):
     keep_nostats = filter_row_groups(str(d), [("w", "==", "w5-7")],
                                      use_bloom=False)
     assert ("part-005.parquet", 0) in keep_nostats
+
+
+def test_connected_components_chain_converges_log_rounds(spark):
+    """ADVICE r4 #5 / verdict #4: a chain graph (crawl mirrors
+    A->B->C->...) has diameter ~N; plain min-label propagation needs N
+    rounds and used to silently return WRONG clusters at max_iters.
+    With pointer doubling the rounds scale with log2(diameter), and
+    non-convergence raises instead of returning garbage."""
+    import pytest as _pt
+
+    from fastparquet_spark.analytics.dedup import connected_components
+
+    n = 200  # diameter 199 >> default 20 iters
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    labels = connected_components(edges, max_iters=12)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["cluster"] == 0 for r in rows)  # one component, min id 0
+    # two components + loud failure when rounds are insufficient
+    edges2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)] +
+        [(1000 + i, 1001 + i) for i in range(99)], "src long, dst long")
+    labels2 = {r["doc_id"]: r["cluster"]
+               for r in connected_components(edges2, max_iters=10).collect()}
+    assert all(labels2[i] == 0 for i in range(100))
+    assert all(labels2[1000 + i] == 1000 for i in range(100))
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
