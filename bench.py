@@ -105,9 +105,18 @@ def encode_subprocess(cpus: int, mode: str = "parquet") -> dict:
 import sys, time, json, tempfile, shutil
 sys.path.insert(0, {REPO!r})
 from bench import make_spark
-from fastparquet_spark.engine import encode_files
+from fastparquet_spark.engine import encode_files, plan_splits
 from fastparquet_spark.engine.file_job import encode_files_fpsc
 spark = make_spark({cpus})
+# stage breakdown (r4 verdict #8): attribute wall drift to the box vs
+# the code.  plan_secs = the driver's footer-only planning (timed as a
+# standalone identical call); task_secs = sum of in-task wall;
+# kernel_secs = encode kernels inside that; io_secs = task - kernel
+# (input read + output write); overhead_secs = wall - plan -
+# task_secs/cpus (scheduling, Arrow channel, Python worker launch).
+tp = time.perf_counter()
+plan_splits({SRC_DIR!r}, rows_per_task=20000)
+plan_secs = time.perf_counter() - tp
 best = None
 # pass 0 is warm-up; min over 3 timed passes (this host's spare capacity
 # fluctuates heavily run to run — see BENCH.md "hardware reality")
@@ -120,9 +129,16 @@ for i in range(4):
     if i and (best is None or el < best["secs"]):
         ib = sum(r["input_bytes"] for r in m)
         ob = sum(r["output_bytes"] for r in m)
+        task = sum(r["encode_secs"] for r in m)
+        kern = sum(r["kernel_secs"] for r in m)
         best = {{"secs": round(el, 2), "cpus": {cpus},
                  "gbps": round(ib / 1e9 / el, 4),
-                 "kernel_secs": round(sum(r["kernel_secs"] for r in m), 2),
+                 "kernel_secs": round(kern, 2),
+                 "plan_secs": round(plan_secs, 3),
+                 "task_secs": round(task, 2),
+                 "io_secs": round(task - kern, 2),
+                 "overhead_secs": round(max(0.0, el - plan_secs
+                                            - task / {cpus}), 2),
                  "input_mb": round(ib / 1e6, 1),
                  "compression_ratio": round(ob / ib, 4),
                  "rows": sum(r["rows"] for r in m)}}

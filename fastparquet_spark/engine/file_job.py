@@ -259,36 +259,26 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
     sdf = spark.createDataFrame(rdd, "split int, file string, rgs string")
 
     pretrained: dict = {}
+    decisions: dict = {}
     if pretrain_rows:
-        import numpy as np
         import pyarrow.parquet as pq_d
 
-        from fastparquet_spark.codecs.fsst import fsst_train
+        from fastparquet_spark.format.container import decide_string_codecs
 
         head = pq_d.ParquetFile(splits[0]["file"]).read_row_group(
             splits[0]["row_groups"][0], columns=columns,
             use_threads=False).slice(0, pretrain_rows)
-        for field in head.schema:
-            if not (pa.types.is_string(field.type)
-                    or pa.types.is_large_string(field.type)
-                    or pa.types.is_binary(field.type)
-                    or pa.types.is_large_binary(field.type)):
-                continue
-            col = head.column(field.name).combine_chunks()
-            if col.null_count:
-                col = col.drop_null()
-            if len(col) == 0:
-                continue
-            buf = col.cast(pa.large_binary()).buffers()[2]
-            if buf is None or buf.size == 0:
-                continue
-            pretrained[field.name] = fsst_train(
-                np.frombuffer(buf, np.uint8, count=buf.size))
+        # one driver pass trains the FSST tables AND fixes the
+        # fsst-vs-plain choice per string column from the same sample,
+        # so tasks run only the winning codec (no per-task dual trial)
+        decisions = decide_string_codecs(head, pretrained,
+                                         compression=compression)
 
     out_dir_ = out_dir
     compression_ = compression
     columns_ = list(columns) if columns else None
     pretrained_ = pretrained
+    decisions_ = decisions
     fbloom_ = bloom_filters
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -328,7 +318,9 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
                     write_container(sink, tbl,
                                     compression=compression_,
                                     fsst_cache=fsst_cache,
-                                    bloom_filters=fbloom_)), opath, attempt)
+                                    bloom_filters=fbloom_,
+                                    codec_decisions=decisions_)),
+                         opath, attempt)
                 blocks = blocks_box[0]
                 kernel = time.perf_counter() - k0
                 row = {"partition": sid, "file": fname, "rows": tbl.num_rows,

@@ -90,10 +90,51 @@ def _type_from_name(name: str) -> pa.DataType:
     raise ValueError(f"unsupported container type {name}")
 
 
+def decide_string_codecs(table: pa.Table, fsst_cache: dict,
+                         compression: str = "ZSTD",
+                         min_fsst_gain: float = 0.98) -> dict:
+    """Sampled fsst-vs-plain decision per string/binary column — run
+    ONCE on the driver over a small head sample (the same sample that
+    pretrains the FSST tables), shipped to every encode task so workers
+    never pay the losing codec's full-column trial.  Mirrors
+    write_container's selection rule exactly (same hysteresis, same
+    size accounting) on the sample; the escape byte makes a 'fsst'
+    decision safe for unseen data, and a sample-vs-full flip costs only
+    ratio, never correctness."""
+    codec = comp.codec_id(compression)
+    out: dict[str, str] = {}
+    for field in table.schema:
+        if not (pa.types.is_string(field.type)
+                or pa.types.is_large_string(field.type)
+                or pa.types.is_binary(field.type)
+                or pa.types.is_large_binary(field.type)):
+            continue
+        arr = table.column(field.name).combine_chunks()
+        if arr.null_count:
+            arr = arr.drop_null()
+        if len(arr) == 0:
+            continue
+        lengths, data = _binary_parts(arr)
+        body_plain = comp.compress(encode_plain((lengths, data),
+                                                Type.BYTE_ARRAY), codec)
+        ftab = fsst_cache.get(field.name)
+        if ftab is None:
+            ftab = fsst_cache[field.name] = fsst_train(data)
+        blob = fsst_encode(data, ftab)
+        blob_z = comp.compress(blob, codec)
+        stored = min(len(blob_z), len(blob))
+        fsst_total = len(ftab.serialize()) + len(delta_encode(lengths)) \
+            + stored + 28
+        out[field.name] = "fsst" \
+            if fsst_total < len(body_plain) * min_fsst_gain else "plain"
+    return out
+
+
 def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                     min_fsst_gain: float = 0.98,
                     fsst_cache: dict | None = None,
-                    bloom_filters: dict | None = None) -> list[ColumnBlock]:
+                    bloom_filters: dict | None = None,
+                    codec_decisions: dict | None = None) -> list[ColumnBlock]:
     """Write an Arrow table as an FPSC container; returns per-column lineage.
 
     ``fsst_cache`` ({column: FsstTable}) reuses symbol tables across
@@ -113,7 +154,16 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
     per listed string/int column and record its span in the footer —
     the container's point-lookup pruning path, consulted by the
     FpscReader's file-level pushdown for ==/in predicates that min/max
-    stats cannot discriminate."""
+    stats cannot discriminate.
+
+    ``codec_decisions`` ({column: 'fsst' | 'plain'}): pre-made string
+    codec choices (from :func:`decide_string_codecs` on a driver-side
+    sample) — the named column runs ONLY the winning path instead of
+    the full dual trial (plain+compress AND fsst-encode+compress of the
+    whole column), which was the dominant kernel cost of the container
+    throughput path (r4 verdict #9: container kernel_secs 9.72 vs
+    parquet 2.59 on identical input).  Undecided columns keep the
+    measured dual trial."""
     own = isinstance(sink, str)
     f = open(sink, "wb") if own else sink
     codec = comp.codec_id(compression)
@@ -173,23 +223,30 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 raw_bytes = int(lengths.sum()) + 8 * len(lengths)
                 # candidates: plain+block codec vs FSST (optionally +block
                 # codec on the symbol stream) — pick the smallest, per the
-                # auto-selection mandate
-                raw_plain = encode_plain((lengths, data), ptype)
-                body_plain = comp.compress(raw_plain, codec)
-                if fsst_cache is not None and field.name in fsst_cache:
-                    ftab = fsst_cache[field.name]
-                else:
-                    ftab = fsst_train(data)
-                    if fsst_cache is not None:
-                        fsst_cache[field.name] = ftab
-                blob = fsst_encode(data, ftab)
-                blob_z = comp.compress(blob, codec)
-                blob_codec, blob_stored = (codec, blob_z) if len(blob_z) < len(blob) \
-                    else (0, blob)
-                tab_b = ftab.serialize()
-                lens_b = delta_encode(lengths)
-                fsst_total = len(tab_b) + len(lens_b) + len(blob_stored) + 28
-                if fsst_total < len(body_plain) * min_fsst_gain:
+                # auto-selection mandate; a pre-made decision skips the
+                # losing path's full-column encode+compress entirely
+                decision = (codec_decisions or {}).get(field.name)
+                if decision != "fsst":
+                    raw_plain = encode_plain((lengths, data), ptype)
+                    body_plain = comp.compress(raw_plain, codec)
+                if decision != "plain":
+                    if fsst_cache is not None and field.name in fsst_cache:
+                        ftab = fsst_cache[field.name]
+                    else:
+                        ftab = fsst_train(data)
+                        if fsst_cache is not None:
+                            fsst_cache[field.name] = ftab
+                    blob = fsst_encode(data, ftab)
+                    blob_z = comp.compress(blob, codec)
+                    blob_codec, blob_stored = (codec, blob_z) \
+                        if len(blob_z) < len(blob) else (0, blob)
+                    tab_b = ftab.serialize()
+                    lens_b = delta_encode(lengths)
+                    fsst_total = len(tab_b) + len(lens_b) \
+                        + len(blob_stored) + 28
+                if decision == "fsst" or (
+                        decision is None
+                        and fsst_total < len(body_plain) * min_fsst_gain):
                     codec_name = "fsst"
                     parts += [len(tab_b).to_bytes(4, "little"), tab_b,
                               len(lens_b).to_bytes(4, "little"), lens_b,

@@ -268,14 +268,26 @@ def write_metadata_sidecar(out_dir: str, fs=None, base: dict | None = None,
                 num_rows += rg["num_rows"]
     fmd = {"version": 1, "schema": schema, "num_rows": num_rows,
            "row_groups": rgs, "created_by": CREATED_BY}
-    body = thrift.write_struct("FileMetaData", fmd, SPECS)
-    tmp = _join(out_dir, "_metadata.inprogress")
-    with fs.open_write(tmp) as f:
-        f.write(MAGIC)
-        f.write(body)
-        f.write(len(body).to_bytes(4, "little"))
-        f.write(MAGIC)
-    fs.replace(tmp, _join(out_dir, "_metadata"))
+
+    def _emit(payload: dict, name: str):
+        body = thrift.write_struct("FileMetaData", payload, SPECS)
+        tmp = _join(out_dir, f"{name}.inprogress")
+        with fs.open_write(tmp) as f:
+            f.write(MAGIC)
+            f.write(body)
+            f.write(len(body).to_bytes(4, "little"))
+            f.write(MAGIC)
+        fs.replace(tmp, _join(out_dir, name))
+
+    _emit(fmd, "_metadata")
+    # _common_metadata: schema-only twin (no row groups) — the cheap
+    # open ecosystem tools (dask/pyarrow discovery) look for; the
+    # reference writes both (fastparquet/writer.py:1045-1046,1108).
+    # Appends keep it in sync for free: the schema cannot drift
+    # (signature-checked above) and the file carries no row groups.
+    _emit({"version": 1, "schema": schema, "num_rows": 0,
+           "row_groups": [], "created_by": CREATED_BY},
+          "_common_metadata")
     return len(rgs)
 
 

@@ -226,3 +226,42 @@ def test_snapshots_and_time_travel(spark, tmp_path):
 
     with _pt.raises(ValueError, match="unknown generation"):
         read_snapshot(spark, out, 7)
+
+
+def test_common_metadata_sidecar_written_and_opens(spark, tmp_path):
+    """r4 missing #2: the reference writes both _metadata and
+    _common_metadata (schema-only, cheap open — fastparquet/writer.py:
+    1045-1046,1108); ecosystem discovery (dask/pyarrow) looks for it.
+    Appends must keep it in sync."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.engine import append_dataset, encode_dataset, synthetic_source_table
+    from fastparquet_spark.format.dataset import (
+        dataset_metadata, write_metadata_sidecar,
+    )
+
+    out = str(tmp_path / "cm")
+    df = synthetic_source_table(spark, 600, partitions=2)
+    encode_dataset(spark, df, out, compression="SNAPPY",
+                   partition_cols=(), num_partitions=2,
+                   resume=False).collect()
+    write_metadata_sidecar(out)
+    assert os.path.exists(os.path.join(out, "_metadata"))
+    assert os.path.exists(os.path.join(out, "_common_metadata"))
+    # pyarrow opens it and sees the schema, zero row groups
+    cm = pq.ParquetFile(os.path.join(out, "_common_metadata"))
+    full = pq.ParquetFile(os.path.join(out, "_metadata"))
+    assert cm.schema_arrow.names == full.schema_arrow.names
+    assert cm.metadata.num_row_groups == 0
+    # our own dataset_metadata path still works
+    assert sum(rg["num_rows"] for m in dataset_metadata(out)
+               for rg in m["fmd"]["row_groups"]) == 600
+    # append refreshes both sidecars (same mtime generation)
+    append_dataset(spark, synthetic_source_table(spark, 100, partitions=1),
+                   out, partition_cols=(), num_partitions=1, resume=False)
+    cm2 = pq.ParquetFile(os.path.join(out, "_common_metadata"))
+    assert cm2.metadata.num_row_groups == 0
+    assert sum(rg["num_rows"] for m in dataset_metadata(out)
+               for rg in m["fmd"]["row_groups"]) == 700

@@ -319,3 +319,48 @@ def test_container_bloom_write_probe_and_prune(tmp_path):
     r3._clauses = [("v", "in", [4100, 10**9])]
     kept3 = [p.value for p in r3.partitions()]
     assert kept3 == [files[2]]
+
+
+def test_codec_decisions_skip_dual_trial_and_stay_readable():
+    """r4 verdict #9: driver-side sampled decisions pin the string codec
+    so tasks run only the winning path; a pinned container must decode
+    identically and record the pinned codec."""
+    import io as _io
+
+    from fastparquet_spark.format.container import (
+        decide_string_codecs, read_container, write_container,
+    )
+
+    n = 5_000
+    t = pa.table({
+        "content": pa.array(["def fn_%d():\n    return %d\n" % (i, i * 3)
+                             for i in range(n)]),
+        "rand": pa.array([hashlib_md5_hex(i) for i in range(n)]),
+        "k": pa.array(range(n)),
+    })
+    cache: dict = {}
+    dec = decide_string_codecs(t.slice(0, 500), cache)
+    assert set(dec) == {"content", "rand"}
+    assert all(v in ("fsst", "plain") for v in dec.values())
+    # pin BOTH codecs explicitly so both skip paths are exercised
+    dec = {"content": "fsst", "rand": "plain"}
+    buf = _io.BytesIO()
+    blocks = write_container(buf, t, fsst_cache=cache, codec_decisions=dec)
+    by = {b.name: b.codec for b in blocks}
+    assert by["content"] == "fsst" and by["rand"] == "plain"
+    buf.seek(0)
+    import tempfile as _tf
+
+    with _tf.NamedTemporaryFile(suffix=".fpsc", delete=False) as fh:
+        fh.write(buf.getvalue())
+        path = fh.name
+    back = read_container(path)
+    assert back.column("content").to_pylist() == \
+        t.column("content").to_pylist()
+    assert back.column("rand").to_pylist() == t.column("rand").to_pylist()
+
+
+def hashlib_md5_hex(i: int) -> str:
+    import hashlib
+
+    return hashlib.md5(str(i).encode()).hexdigest()
