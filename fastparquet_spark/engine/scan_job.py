@@ -27,9 +27,10 @@ import pyarrow as pa
 
 def paged_read(spark, in_dir: str, filters, columns=None,
                exact: bool = True, fs=None):
-    """Spark DataFrame of the rows surviving ``filters`` (a single
-    AND-clause ``[(col, op, val), ...]``) under ``in_dir``, read through
-    the three-tier pruning stack:
+    """Spark DataFrame of the rows surviving ``filters`` (a DNF filter:
+    a flat AND-list ``[(col, op, val), ...]`` or OR-of-ANDs
+    ``[[...], [...]]`` — the reference's filter contract) under
+    ``in_dir``, read through the three-tier pruning stack:
 
     1. driver: row-group stats + bloom pruning (``filter_row_groups``,
        concurrent footer/bloom fetches) -> surviving (file, row-group)
@@ -54,16 +55,13 @@ def paged_read(spark, in_dir: str, filters, columns=None,
 
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
-    if len(filters) != 1:
-        raise ValueError("paged_read takes a single AND-clause")
-    clause = filters[0]
 
     fs = get_fs(in_dir, fs)
     metas = dataset_metadata(in_dir, fs=fs)
     if not metas:
         raise ValueError(f"no parquet files under {in_dir}")
     # driver-side tier: stats + concurrent bloom pruning
-    survivors = filter_row_groups(in_dir, [clause], fs=fs, metas=metas)
+    survivors = filter_row_groups(in_dir, filters, fs=fs, metas=metas)
     by_file: dict[str, list[int]] = {}
     for f, ri in survivors:
         by_file.setdefault(f, []).append(ri)
@@ -92,7 +90,7 @@ def paged_read(spark, in_dir: str, filters, columns=None,
         rdd, StructType([StructField("path", StringType()),
                          StructField("rgs", StringType())]))
 
-    clause_ = list(clause)
+    clauses_ = [list(c) for c in filters]
     project_ = list(project)
     exact_ = exact
 
@@ -106,7 +104,7 @@ def paged_read(spark, in_dir: str, filters, columns=None,
             for path, rgs in zip(b.column("path").to_pylist(),
                                  b.column("rgs").to_pylist()):
                 ris = {int(x) for x in rgs.split(",")} if rgs else None
-                tbl = read_pages(path, [clause_], columns=project_,
+                tbl = read_pages(path, clauses_, columns=project_,
                                  exact=exact_, row_groups=ris)
                 yield from tbl.cast(arrow_schema_).to_batches()
 

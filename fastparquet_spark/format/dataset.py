@@ -542,14 +542,13 @@ def read_page_index(path: str, fs=None) -> list[list[dict | None]]:
 def filter_pages(path: str, filters, fs=None) -> list[tuple[int, int, int]]:
     """PAGE-level pruning from the ColumnIndex (the tier below
     filter_row_groups): returns surviving ``(row_group, first_row,
-    n_rows)`` row ranges for an AND-list of predicates.  Metadata-only —
-    footer + index spans, no data pages touched.  Chunks without an
+    n_rows)`` row ranges for a DNF filter — a flat AND-list
+    ``[(col,op,val),...]`` or OR-of-ANDs ``[[...],[...]]`` (the
+    reference's filter contract, fastparquet/api.py:948).  Metadata-only
+    — footer + index spans, no data pages touched.  Chunks without an
     index keep all their pages (conservative)."""
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
-    if len(filters) != 1:
-        raise ValueError("filter_pages takes a single AND-clause")
-    clause = filters[0]
     fs = get_fs(path, fs)
     from fastparquet_spark.io import fetch_footers
 
@@ -557,7 +556,7 @@ def filter_pages(path: str, filters, fs=None) -> list[tuple[int, int, int]]:
     idx = read_page_index(path, fs=fs)
     out = []
     for ri, rg in enumerate(fmd["row_groups"]):
-        grid, keep_mask = _page_keep_mask(fmd, idx, ri, clause)
+        grid, keep_mask = _page_keep_mask_dnf(fmd, idx, ri, filters)
         if keep_mask is None:
             out.append((ri, 0, rg["num_rows"]))
             continue
@@ -566,6 +565,24 @@ def filter_pages(path: str, filters, fs=None) -> list[tuple[int, int, int]]:
             if keep:
                 out.append((ri, firsts[pi], firsts[pi + 1] - firsts[pi]))
     return out
+
+
+def _page_keep_mask_dnf(fmd: dict, idx, ri: int, clauses):
+    """OR of per-clause page keep masks (DNF: a page survives if ANY
+    AND-clause might match it); (None, None) — keep everything — when
+    any clause is unprunable or the clauses' page grids disagree."""
+    grid, combined = None, None
+    for clause in clauses:
+        g, m = _page_keep_mask(fmd, idx, ri, clause)
+        if m is None:
+            return None, None
+        if grid is None:
+            grid = g
+        elif g != grid:
+            return None, None
+        combined = m if combined is None else \
+            [a or b for a, b in zip(combined, m)]
+    return grid, combined
 
 
 def _page_keep_mask(fmd: dict, idx, ri: int, clause):
@@ -622,7 +639,8 @@ def _page_keep_mask(fmd: dict, idx, ri: int, clause):
 def read_pages(path: str, filters, columns=None, fs=None,
                exact: bool = False, row_groups=None):
     """PAGE-SKIPPING read: decode only the pages a ColumnIndex cannot
-    rule out for an AND-clause — the reader-side completion of
+    rule out for a DNF filter (AND-list or OR-of-ANDs, the reference's
+    filter contract) — the reader-side completion of
     :func:`filter_pages` (which is metadata-only).  Returns a pyarrow
     Table of the SURVIVING PAGES' rows (a page-granular superset of the
     exact matches — the same contract as row-group pruning: pruning is
@@ -651,9 +669,7 @@ def read_pages(path: str, filters, columns=None, fs=None,
 
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
-    if len(filters) != 1:
-        raise ValueError("read_pages takes a single AND-clause")
-    clause = filters[0]
+    clauses = filters
     fs = get_fs(path, fs)
     idx = read_page_index(path, fs=fs)
     src = _ByteSource(path, fs=fs)
@@ -666,14 +682,15 @@ def read_pages(path: str, filters, columns=None, fs=None,
         want = list(columns) if columns is not None else names_all
         project = list(want)
         if exact:  # predicate columns must be decoded to filter rows
-            for col, _op, _v in clause:
-                if col in names_all and col not in want:
-                    want.append(col)
+            for cl in clauses:
+                for col, _op, _v in cl:
+                    if col in names_all and col not in want:
+                        want.append(col)
         pieces = []
         for ri, rg in enumerate(fmd["row_groups"]):
             if row_groups is not None and ri not in row_groups:
                 continue
-            grid, mask = _page_keep_mask(fmd, idx, ri, clause)
+            grid, mask = _page_keep_mask_dnf(fmd, idx, ri, clauses)
             by_path = {".".join(cc["meta_data"]["path_in_schema"]):
                        (cc["meta_data"], cii)
                        for cii, cc in enumerate(rg["columns"])}
@@ -740,10 +757,29 @@ def read_pages(path: str, filters, columns=None, fs=None,
                 names=project)
         out = pa.concat_tables(pieces)
         if exact:
-            out = _apply_row_filter(out, clause).select(project)
+            out = _apply_row_filter_dnf(out, clauses).select(project)
         return out
     finally:
         src.close()
+
+
+def _apply_row_filter_dnf(table, clauses):
+    """DNF residual: OR of the per-clause AND masks."""
+    import pyarrow as pa
+
+    if len(clauses) == 1:
+        return _apply_row_filter(table, clauses[0])
+    import numpy as np
+
+    keep = None
+    for clause in clauses:
+        m = np.zeros(table.num_rows, dtype=bool)
+        idx = _apply_row_filter(
+            table.append_column("__row__", pa.array(range(table.num_rows))),
+            clause).column("__row__").to_numpy(zero_copy_only=False)
+        m[idx] = True
+        keep = m if keep is None else (keep | m)
+    return table.filter(pa.array(keep))
 
 
 def _apply_row_filter(table, clause):

@@ -276,3 +276,37 @@ def test_paged_read_distributed_matches_direct(spark, tmp_path):
     empty = paged_read(spark, str(d), [("s", "==", "nope-xyz")])
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["k", "f", "s"]
+
+
+def test_dnf_filters_through_pages_and_paged_read(spark, tmp_path):
+    """DNF (OR-of-ANDs — the reference's filter contract,
+    fastparquet/api.py:948) through the whole pruning stack: page masks
+    OR per clause, residual filter ORs the clause masks, paged_read
+    returns the exact union."""
+    import numpy as np
+
+    from fastparquet_spark.engine import paged_read
+    from fastparquet_spark.format.dataset import filter_pages, read_pages
+
+    d = tmp_path / "dnf"
+    d.mkdir()
+    for i in range(3):
+        n = 6_000
+        t = pa.table({
+            "k": pa.array(range(i * n, (i + 1) * n)),
+            "f": pa.array(np.arange(n, dtype=np.float64)),
+        })
+        write_file(str(d / f"part-{i}.parquet"), t, compression="ZSTD",
+                   row_group_rows=3_000, page_rows=1_000)
+    dnf = [[("k", "<", 500)], [("k", ">=", 17_200)]]
+    # single-file page pruning keeps both ends, drops the middle
+    keep = filter_pages(str(d / "part-0.parquet"), [[("k", "<", 500)],
+                                                    [("k", ">=", 5_500)]])
+    assert sum(nr for _ri, _fr, nr in keep) == 2_000  # 2 of 6 pages
+    tbl = read_pages(str(d / "part-0.parquet"),
+                     [[("k", "<", 500)], [("k", ">=", 5_500)]], exact=True)
+    assert sorted(tbl.column("k").to_pylist()) == \
+        list(range(500)) + list(range(5_500, 6_000))
+    # distributed: only files 0 and 2 survive row-group pruning
+    got = sorted(r["k"] for r in paged_read(spark, str(d), dnf).collect())
+    assert got == list(range(500)) + list(range(17_200, 18_000))
