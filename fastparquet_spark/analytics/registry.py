@@ -375,6 +375,56 @@ FROM reach GROUP BY a
 """
 
 ORACLES["text_langid"] = _langid_sql()
+
+ORACLES["text_sample_stratified"] = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967295.0 AS frac
+  FROM documents)
+SELECT doc_id, lang, round(frac, 6) AS u
+FROM h
+WHERE frac < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                       WHEN 'fr' THEN 0.25 WHEN 'es' THEN 1.0
+                       WHEN 'zh' THEN 0.1 ELSE 0.0 END
+"""
+
+ORACLES["text_chunk_tokens"] = f"""
+WITH dw AS (SELECT doc_id, {_WORDS_SQL.format(col='text')} AS w
+            FROM documents),
+ch AS (SELECT doc_id,
+              unnest(list_transform(
+                  generate_series(0, CAST(ceil(len(w)/40.0) AS INT) - 1),
+                  i -> struct_pack(chunk_id := i,
+                                   chunk_text := array_to_string(
+                                       w[i*40+1:i*40+40], ' ')))) AS c
+       FROM dw)
+SELECT doc_id, CAST(c.chunk_id AS INT) AS chunk_id, c.chunk_text,
+       CAST(len(string_split(c.chunk_text, ' ')) AS INT) AS n_words
+FROM ch
+"""
+
+ORACLES["text_redact_pii"] = r"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org ref '
+              || CAST(doc_id + 1000000 AS VARCHAR) AS aug
+  FROM documents),
+r AS (SELECT doc_id,
+             regexp_replace(aug,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM a),
+r2 AS (SELECT doc_id, t1,
+              regexp_replace(t1, '[0-9]{6,}', '<NUM>', 'g') AS t2
+       FROM r)
+SELECT doc_id, md5(t2) AS redacted_md5,
+       CAST(len(string_split(t1, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+       CAST(len(string_split(t2, '<NUM>')) - 1 AS BIGINT) AS n_num
+FROM r2
+"""
+
 ORACLES["sim_lsh_buckets"] = _lsh_buckets_sql()
 # gate threshold 0.45: the synthetic embeddings top out at cosine ~0.51,
 # so the semantic default (0.7) never exercises the pair-scoring math —
@@ -763,6 +813,9 @@ QUERIES = {
     "text_quality": text.text_quality,
     "text_token_count": text.text_token_count,
     "text_fingerprint": text.text_fingerprint,
+    "text_sample_stratified": text.text_sample_stratified,
+    "text_chunk_tokens": text.text_chunk_tokens,
+    "text_redact_pii": text.text_redact_pii,
     "sim_cosine_topk": similarity.sim_cosine_topk,
     "sim_lsh_buckets": similarity.sim_lsh_buckets,
     "sim_ann_ivf": similarity.sim_ann_ivf,

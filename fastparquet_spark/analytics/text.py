@@ -82,3 +82,84 @@ def text_fingerprint(spark, sf_dir):
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
     fp = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
     return fp.select("doc_id", "fp", F.substring("fp", 1, 4).alias("shard"))
+
+
+def text_sample_stratified(spark, sf_dir, fractions: dict | None = None,
+                           seed: str = "s42"):
+    """Deterministic STRATIFIED sampling — corpus downsampling with
+    per-language rates (the standard mixture-reweighting step before
+    training).  Membership is a pure hash threshold:
+    ``md5(seed || doc_id) < rate`` on the first 8 hex chars — so the
+    sample is reproducible on any engine, stable under repartitioning,
+    and needs NO shuffle (a map-side filter; Spark's sampleBy is
+    seed-RNG-based and engine-specific, useless for an oracle).  At
+    100 TB this is the only sampling shape that works: no global state,
+    no count pass, rate changes re-derive membership for free."""
+    docs = load(spark, sf_dir, "documents")
+    fractions = fractions or {"en": 0.5, "de": 0.25, "fr": 0.25,
+                              "es": 1.0, "zh": 0.1}
+    # threshold on the first 8 hex chars as a uint32 fraction
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(seed),
+                                          F.col("doc_id").cast("string"))
+                                 .cast("binary")), 1, 8), 16, 10).cast("double")
+    frac = h / F.lit(float(0xFFFFFFFF))
+    rate = F.coalesce(*[F.when(F.col("lang") == lang, F.lit(r))
+                        for lang, r in sorted(fractions.items())],
+                      F.lit(0.0))
+    return (docs.filter(frac < rate)
+            .select("doc_id", "lang", F.round(frac, 6).alias("u")))
+
+
+def text_chunk_tokens(spark, sf_dir, chunk_words: int = 40):
+    """Fixed-token-window CHUNKING: split each document's word stream
+    into consecutive ``chunk_words``-word windows (the pre-tokenizer
+    packing step of a training pipeline).  Pure map-side explode of a
+    higher-order sequence expression — no shuffle, no UDF; output rows
+    carry (doc_id, chunk_id, chunk_text, n_words)."""
+    docs = load(spark, sf_dir, "documents")
+    w = _words()
+    d = docs.select("doc_id", w.alias("w"))
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, cast(ceil(size(w) / {chunk_words}.0) "
+            f"as int) - 1), i -> struct(i AS chunk_id, "
+            f"concat_ws(' ', slice(w, i * {chunk_words} + 1, {chunk_words}))"
+            f" AS chunk_text))")).alias("c"))
+    out = chunks.select("doc_id", "c.chunk_id", "c.chunk_text")
+    return out.withColumn(
+        "n_words", F.size(F.split(F.col("chunk_text"), " ")))
+
+
+def text_redact_pii(spark, sf_dir):
+    """Regex PII redaction (emails, long digit runs) — the scrubbing
+    map every corpus pipeline runs before training.  Pure
+    regexp_replace (JVM expression); the output is the redacted text's
+    hash + per-document redaction counts so the gate checks the
+    REPLACEMENT semantics exactly without hauling full texts through
+    the compare.
+
+    The synthetic corpus contains no PII, so the operator is exercised
+    on text AUGMENTED deterministically from the table's own columns
+    (an email + a digit run derived from doc_id) — identical
+    construction on both engines; a vacuous all-zero-count gate proves
+    nothing (the r4 ngram-jaccard lesson)."""
+    docs = load(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    digits = r"[0-9]{6,}"
+    aug = F.concat(F.col("text"), F.lit(" contact user"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("@mail.example.org ref "),
+                   (F.col("doc_id") + 1000000).cast("string"))
+    red = (docs
+           .withColumn("t1", F.regexp_replace(aug, email, "<EMAIL>"))
+           .withColumn("t2", F.regexp_replace("t1", digits, "<NUM>"))
+           .withColumn("n_email", F.size(F.split(F.col("t1"), "<EMAIL>",
+                                                 -1)) - 1)
+           .withColumn("n_num", F.size(F.split(F.col("t2"), "<NUM>",
+                                               -1)) - 1))
+    return red.select(
+        "doc_id",
+        F.md5(F.col("t2").cast("binary")).alias("redacted_md5"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_num").cast("long").alias("n_num"))
