@@ -191,9 +191,10 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     # about to add — drop it so footer-only readers fall back to the
     # footer walk instead of silently missing new data; append_dataset
     # re-merges it (incrementally) after the job commits
-    sidecar = _u_join(out_dir, "_metadata")
-    if drv_fs.exists(sidecar):
-        drv_fs.remove(sidecar)
+    for name in ("_metadata", "_common_metadata"):
+        sidecar = _u_join(out_dir, name)
+        if drv_fs.exists(sidecar):
+            drv_fs.remove(sidecar)
 
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)

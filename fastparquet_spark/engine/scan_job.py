@@ -20,9 +20,75 @@ surviving pages.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pyarrow as pa
+
+
+def _eval_partition_term(v, op, val) -> bool:
+    """Evaluate one predicate term against a file's constant partition
+    value (full OPS set; exact, since the value is a scalar)."""
+    if op == "is_null":
+        return v is None
+    if op == "is_not_null":
+        return v is not None
+    if v is None:
+        return False
+    if op in ("==", "="):
+        return v == val
+    if op == "!=":
+        return v != val
+    if op == "<":
+        return v < val
+    if op == "<=":
+        return v <= val
+    if op == ">":
+        return v > val
+    if op == ">=":
+        return v >= val
+    if op == "in":
+        return v in val
+    if op == "not in":
+        return v not in val
+    raise ValueError(f"unsupported filter op {op!r}")
+
+
+def _file_clauses(clauses, pvals: dict, file_names):
+    """Per-file DNF rewrite: partition terms are decided HERE against
+    the file's constant values — a clause whose partition term fails is
+    dropped for this file, a passing term is stripped (already true for
+    every row).  Returns the residual clauses; an empty residual clause
+    means 'every row of this file matches that branch'."""
+    out = []
+    for clause in clauses:
+        keep, resid = True, []
+        for col, op, val in clause:
+            if col in pvals:
+                if not _eval_partition_term(pvals[col], op, val):
+                    keep = False
+                    break
+            elif col in file_names:
+                resid.append((col, op, val))
+            else:
+                resid.append((col, op, val))  # unknown: reader keeps rows
+        if keep:
+            out.append(resid)
+    return out
+
+
+def _partition_arrow_type(values):
+    """Arrow type for a hive partition column from its observed values
+    (the same val_to_num posture as drill typing)."""
+    vals = [v for v in values if v is not None]
+    if vals and all(isinstance(v, bool) for v in vals):
+        return pa.bool_()
+    if vals and all(type(v) is int for v in vals):
+        return pa.int64()
+    if vals and all(isinstance(v, (int, float))
+                    and not isinstance(v, bool) for v in vals):
+        return pa.float64()
+    return pa.string()
 
 
 def paged_read(spark, in_dir: str, filters, columns=None,
@@ -33,16 +99,20 @@ def paged_read(spark, in_dir: str, filters, columns=None,
     ``in_dir``, read through the three-tier pruning stack:
 
     1. driver: row-group stats + bloom pruning (``filter_row_groups``,
-       concurrent footer/bloom fetches) -> surviving (file, row-group)
-       units;
+       concurrent footer/bloom fetches; hive partition values prune as
+       pseudo-stats) -> surviving (file, row-group) units;
     2. executor: ColumnIndex page skipping inside each surviving group
        (``read_pages`` — ranged reads of surviving spans only);
     3. executor: residual row filter in Arrow compute (``exact=True``,
        the default) so the result is exact, not a page-granular
        superset.
 
+    Hive ``key=value`` datasets work end to end: partition predicates
+    prune whole files on the driver, and partition columns are attached
+    to the output as constants per file (last, Spark's convention).
+
     ``columns``: projection (predicate columns are decoded as needed
-    and dropped from the result).
+    and dropped from the result; may include partition columns).
     """
     from pyspark.sql.pandas.types import from_arrow_schema
     from pyspark.sql.types import StringType, StructField, StructType
@@ -60,23 +130,37 @@ def paged_read(spark, in_dir: str, filters, columns=None,
     metas = dataset_metadata(in_dir, fs=fs)
     if not metas:
         raise ValueError(f"no parquet files under {in_dir}")
-    # driver-side tier: stats + concurrent bloom pruning
+    # driver-side tier: stats + concurrent bloom pruning (partition
+    # values participate as pseudo-stats, so a partition predicate
+    # prunes whole files here)
     survivors = filter_row_groups(in_dir, filters, fs=fs, metas=metas)
     by_file: dict[str, list[int]] = {}
     for f, ri in survivors:
         by_file.setdefault(f, []).append(ri)
+    parts_by_file = {m["file"]: (m.get("partitions") or {}) for m in metas}
 
-    # result schema from the first footer (metadata-only)
+    # result schema from the first footer (metadata-only); partition
+    # columns appended last, typed from observed values
     elems = {e["name"]: e for e in metas[0]["fmd"]["schema"][1:]
              if e.get("num_children") is None}
     names_all = [e["name"] for e in metas[0]["fmd"]["schema"][1:]
                  if e.get("num_children") is None]
-    project = list(columns) if columns is not None else names_all
-    arrow_schema = pa.schema([(n, _arrow_type(elems[n])) for n in project])
+    pnames = [k for k in (metas[0].get("partitions") or {})]
+    ptypes = {k: _partition_arrow_type(
+        [parts_by_file[m["file"]].get(k) for m in metas]) for k in pnames}
+    if columns is not None:
+        file_cols = [c for c in columns if c in names_all]
+        part_cols = [c for c in columns if c in pnames]
+    else:
+        file_cols, part_cols = list(names_all), list(pnames)
+    arrow_schema = pa.schema(
+        [(n, _arrow_type(elems[n])) for n in file_cols]
+        + [(n, ptypes[n]) for n in part_cols])
     out_schema = from_arrow_schema(arrow_schema)
 
     root = in_dir.rstrip("/")
-    units = [(f"{root}/{f}", ",".join(map(str, sorted(ris))))
+    units = [(f"{root}/{f}", ",".join(map(str, sorted(ris))),
+              json.dumps(parts_by_file[f]))
              for f, ris in sorted(by_file.items())]
     if not units:
         return spark.createDataFrame([], out_schema)
@@ -88,11 +172,15 @@ def paged_read(spark, in_dir: str, filters, columns=None,
     rdd = spark.sparkContext.parallelize(units, n_parts)
     paths_df = spark.createDataFrame(
         rdd, StructType([StructField("path", StringType()),
-                         StructField("rgs", StringType())]))
+                         StructField("rgs", StringType()),
+                         StructField("parts", StringType())]))
 
     clauses_ = [list(c) for c in filters]
-    project_ = list(project)
+    file_cols_ = list(file_cols)
+    part_cols_ = list(part_cols)
+    names_all_ = set(names_all)
     exact_ = exact
+    arrow_schema_ = arrow_schema
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
@@ -101,12 +189,22 @@ def paged_read(spark, in_dir: str, filters, columns=None,
 
         pa_w.set_cpu_count(1)
         for b in batches:
-            for path, rgs in zip(b.column("path").to_pylist(),
-                                 b.column("rgs").to_pylist()):
+            for path, rgs, pjson in zip(b.column("path").to_pylist(),
+                                        b.column("rgs").to_pylist(),
+                                        b.column("parts").to_pylist()):
                 ris = {int(x) for x in rgs.split(",")} if rgs else None
-                tbl = read_pages(path, clauses_, columns=project_,
+                pvals = json.loads(pjson)
+                # decide partition terms against this file's constants;
+                # only residual file-column terms reach the page reader
+                fclauses = _file_clauses(clauses_, pvals, names_all_)
+                if not fclauses:
+                    continue  # no DNF branch can match this file
+                tbl = read_pages(path, fclauses, columns=file_cols_,
                                  exact=exact_, row_groups=ris)
+                for name in part_cols_:
+                    tbl = tbl.append_column(
+                        name, pa.array([pvals.get(name)] * tbl.num_rows,
+                                       type=arrow_schema_.field(name).type))
                 yield from tbl.cast(arrow_schema_).to_batches()
 
-    arrow_schema_ = arrow_schema
     return paths_df.mapInArrow(scan, out_schema)

@@ -381,9 +381,10 @@ def drop_generations(out_dir: str, keep_from: int, fs=None) -> dict:
             base = os.path.basename(p)
             if base.endswith(".json") and base[:-5] in dead_prefixes:
                 fs.remove(p)
-    sidecar = _join(out_dir, "_metadata")
-    if fs.exists(sidecar):
-        fs.remove(sidecar)
+    for name in ("_metadata", "_common_metadata"):
+        sidecar = _join(out_dir, name)
+        if fs.exists(sidecar):
+            fs.remove(sidecar)
     if len(doomed) < len(metas):
         write_metadata_sidecar(out_dir, fs=fs)
     return {"removed_files": len(doomed), "removed_rows": removed_rows,

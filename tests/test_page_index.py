@@ -310,3 +310,38 @@ def test_dnf_filters_through_pages_and_paged_read(spark, tmp_path):
     # distributed: only files 0 and 2 survive row-group pruning
     got = sorted(r["k"] for r in paged_read(spark, str(d), dnf).collect())
     assert got == list(range(500)) + list(range(17_200, 18_000))
+
+
+def test_paged_read_hive_partitions(spark, tmp_path):
+    """paged_read over a hive key=value dataset: partition predicates
+    prune whole files on the driver, partition columns come back as
+    constants, and a partition-only DNF branch returns every row of its
+    matching files (per-file clause resolution)."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine import encode_dataset, paged_read, synthetic_source_table
+
+    out = str(tmp_path / "hive")
+    df = synthetic_source_table(spark, 2_000, partitions=2)
+    encode_dataset(spark, df, out, compression="SNAPPY",
+                   partition_cols=("lang",), num_partitions=2,
+                   sort_within=(), resume=False).collect()
+    src = spark.read.parquet(out)
+    langs = [r["lang"] for r in src.select("lang").distinct().collect()]
+    pick = sorted(langs)[0]
+    want = src.filter(F.col("lang") == pick).count()
+    got = paged_read(spark, out, [("lang", "==", pick)],
+                     columns=["path", "lang"])
+    rows = got.collect()
+    assert len(rows) == want and all(r["lang"] == pick for r in rows)
+    # DNF: partition-only branch OR a file-column branch
+    n_all = src.count()
+    sizes = {r["lang"]: r["cnt"] for r in
+             src.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    got2 = paged_read(spark, out,
+                      [[("lang", "==", pick)], [("commit", "==", "nope")]])
+    assert got2.count() == sizes[pick]  # second branch matches nothing
+    # no filter terms on partitions at all: plain predicate on all files
+    got3 = paged_read(spark, out, [("commit", "!=", "nope")])
+    assert got3.count() == n_all
+    assert "lang" in got3.columns  # partition col present, last
