@@ -20,3 +20,13 @@ execution model is Spark's, not pandas'.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: the compat facade (ParquetFile / write, the reference's
+    # public entry points) without forcing its imports on engine users
+    if name in ("ParquetFile", "write"):
+        from fastparquet_spark import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

@@ -1,0 +1,378 @@
+"""Drop-in compatibility facade: the reference's public API surface
+(``ParquetFile`` + ``write``, fastparquet/api.py:20-674 and
+fastparquet/writer.py:810-1010) expressed over this engine's primitives.
+
+A user of the reference switches by changing one import::
+
+    from fastparquet_spark.api import ParquetFile, write
+
+Semantics are reproduced from the reference's documented behavior, not
+its code: ``ParquetFile`` opens a file, a directory (``_metadata``
+sidecar honored), a glob, or an explicit file list; ``to_pandas`` takes
+the same ``columns`` / ``filters`` (DNF) / ``row_filter`` triple;
+``count(filters)`` is metadata-only unless ``row_filter=True``
+(api.py:512-525); ``statistics`` has the same
+``{stat: {column: [per-row-group]}}`` shape (api.py:822).
+
+This facade is the DRIVER-SIDE convenience path (pandas in, pandas
+out).  The distributed paths — ``engine.encode_dataset`` /
+``encode_files`` for writes, ``spark.read.parquet`` /
+``engine.paged_read`` for scans — remain the 100-TB story; everything
+here routes through the same writer/reader kernels.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow as pa
+
+from fastparquet_spark.format.dataset import (
+    _apply_row_filter_dnf,
+    _iter_chunks,
+    dataset_metadata,
+    filter_row_groups,
+)
+from fastparquet_spark.format.reader import (
+    _arrow_type,
+    head as _head,
+    read_footer_tail,
+    read_row_groups,
+)
+from fastparquet_spark.format.writer import write_file
+from fastparquet_spark.io import fetch_footers, get_fs
+
+__all__ = ["ParquetFile", "write"]
+
+
+def _normalize_filters(filters):
+    if not filters:
+        return None
+    if isinstance(filters[0], tuple):
+        return [list(filters)]
+    return [list(c) for c in filters]
+
+
+class ParquetFile:
+    """Open a parquet file, directory, glob, or list of files — the
+    reference's entry object (fastparquet/api.py:95-162)."""
+
+    def __init__(self, fn, fs=None):
+        self.fn = fn
+        if isinstance(fn, (tuple, list)):
+            base = os.path.commonpath([os.path.dirname(p) for p in fn]) \
+                if len(fn) > 1 else os.path.dirname(fn[0])
+            self._root = base or "."
+            self._fs = get_fs(fn[0], fs)
+            tails = fetch_footers(list(fn), self._fs)
+            self._metas = [
+                {"file": os.path.relpath(p, self._root),
+                 "fmd": read_footer_tail(t), "partitions": {}}
+                for p, t in zip(fn, tails)]
+        else:
+            self._fs = get_fs(fn, fs)
+            if any(c in fn for c in "*?[") or self._fs.isdir(fn):
+                self._root = fn if self._fs.isdir(fn) \
+                    else os.path.dirname(fn.split("*")[0]) or "."
+                self._metas = dataset_metadata(fn, fs=self._fs)
+                if any(c in fn for c in "*?["):
+                    self._root = os.path.dirname(fn.split("*")[0]) or "."
+            else:
+                self._root = os.path.dirname(fn) or "."
+                self._metas = [{
+                    "file": os.path.basename(fn),
+                    "fmd": read_footer_tail(fetch_footers([fn],
+                                                          self._fs)[0]),
+                    "partitions": {}}]
+        if not self._metas:
+            raise ValueError(f"no parquet data at {fn!r}")
+        self._fmd0 = self._metas[0]["fmd"]
+
+    # ---------------------------------------------------------- metadata --
+    @property
+    def columns(self) -> list[str]:
+        """Leaf column names (api.py:210), partition columns excluded."""
+        return [e["name"] for e in self._fmd0["schema"][1:]
+                if e.get("num_children") is None]
+
+    @property
+    def cats(self) -> dict:
+        """Partition column -> sorted observed values (api.py's cats)."""
+        out: dict[str, set] = {}
+        for m in self._metas:
+            for k, v in (m.get("partitions") or {}).items():
+                out.setdefault(k, set()).add(v)
+        return {k: sorted(v, key=repr) for k, v in out.items()}
+
+    @property
+    def dtypes(self) -> dict:
+        """Column -> numpy dtype (api.py:606 _dtypes)."""
+        import numpy as np
+
+        out = {}
+        for e in self._fmd0["schema"][1:]:
+            if e.get("num_children") is not None:
+                continue
+            try:
+                out[e["name"]] = np.dtype(
+                    _arrow_type(e).to_pandas_dtype())
+            except (NotImplementedError, TypeError):
+                out[e["name"]] = np.dtype("object")
+        return out
+
+    @property
+    def row_groups(self) -> list[dict]:
+        return [rg for m in self._metas
+                for rg in m["fmd"]["row_groups"]]
+
+    @property
+    def count_total(self) -> int:
+        return sum(m["fmd"]["num_rows"] for m in self._metas)
+
+    def count(self, filters=None, row_filter: bool = False) -> int:
+        """Total rows; metadata-only unless both filters and row_filter
+        are given (api.py:512-525)."""
+        filters = _normalize_filters(filters)
+        if filters and row_filter:
+            return len(self.to_pandas(
+                columns=[self.columns[0]], filters=filters,
+                row_filter=True))
+        if filters:
+            keep = self._surviving(filters)
+            total = 0
+            for m in self._metas:
+                ris = keep.get(m["file"])
+                if ris:
+                    total += sum(m["fmd"]["row_groups"][ri]["num_rows"]
+                                 for ri in ris)
+            return total
+        return self.count_total
+
+    @property
+    def statistics(self) -> dict:
+        """{stat: {column: [per-row-group values]}} (api.py:822)."""
+        stats: dict[str, dict[str, list]] = {
+            "min": {}, "max": {}, "null_count": {}, "distinct_count": {}}
+        names = self.columns
+        for _f, _ri, cols, _n in _iter_chunks(self._metas):
+            for name in names:
+                lo, hi, nulls, _nv = cols.get(name,
+                                              (None, None, None, None))
+                stats["min"].setdefault(name, []).append(lo)
+                stats["max"].setdefault(name, []).append(hi)
+                stats["null_count"].setdefault(name, []).append(nulls)
+                stats["distinct_count"].setdefault(name, []).append(None)
+        return stats
+
+    @property
+    def key_value_metadata(self) -> dict:
+        kv = self._fmd0.get("key_value_metadata") or []
+        return {e["key"]: e.get("value") for e in kv}
+
+    @property
+    def info(self) -> dict:
+        """Dataset summary (api.py:528-533)."""
+        return {"name": self.fn, "columns": self.columns,
+                "partitions": list(self.cats), "rows": self.count(),
+                "row_groups": len(self.row_groups)}
+
+    # --------------------------------------------------------------- read --
+    def _path(self, rel: str) -> str:
+        return f"{self._root.rstrip('/')}/{rel}"
+
+    def _surviving(self, filters) -> dict[str, list[int]]:
+        keep: dict[str, list[int]] = {}
+        pairs = filter_row_groups(self._root, filters, fs=self._fs,
+                                  metas=self._metas)
+        for f, ri in pairs:
+            keep.setdefault(f, []).append(ri)
+        return keep
+
+    def _tables(self, columns, filters, row_filter):
+        filters = _normalize_filters(filters)
+        names = self.columns
+        want = list(columns) if columns is not None else list(names)
+        decode = list(want)
+        if filters and row_filter:
+            for clause in filters:
+                for col, _op, _v in clause:
+                    if col in names and col not in decode:
+                        decode.append(col)
+        keep = self._surviving(filters) if filters else None
+        for m in self._metas:
+            if keep is None:
+                ris = list(range(len(m["fmd"]["row_groups"])))
+            else:
+                ris = sorted(keep.get(m["file"], []))
+            if not ris:
+                continue
+            file_cols = [c for c in decode if c in names]
+            tbl = read_row_groups(self._path(m["file"]), ris,
+                                  columns=file_cols)
+            for k, v in (m.get("partitions") or {}).items():
+                if columns is None or k in want:
+                    tbl = tbl.append_column(
+                        k, pa.array([v] * tbl.num_rows))
+            if filters and row_filter:
+                tbl = _apply_row_filter_dnf(tbl, filters)
+                tbl = tbl.select([c for c in tbl.column_names
+                                  if c in want or c not in names])
+            yield tbl
+
+    def to_pandas(self, columns=None, filters=None,
+                  row_filter: bool = False):
+        """Read into a pandas DataFrame with the reference's
+        ``columns`` / DNF ``filters`` / ``row_filter`` contract
+        (api.py:387-476): filters prune row groups (a superset of the
+        matching rows); ``row_filter=True`` applies the exact residual
+        predicate."""
+        parts = list(self._tables(columns, filters, row_filter))
+        if not parts:
+            names = columns if columns is not None else self.columns
+            names = [n for n in names
+                     if n in self.columns or n in self.cats]
+            empty = {n: pa.array(
+                [], type=_arrow_type(next(
+                    e for e in self._fmd0["schema"][1:]
+                    if e["name"] == n)) if n in self.columns
+                else pa.string()) for n in names}
+            return pa.table(empty).to_pandas()
+        return pa.concat_tables(parts,
+                                promote_options="default").to_pandas()
+
+    def iter_row_groups(self, filters=None, columns=None):
+        """Yield one pandas DataFrame per surviving row group
+        (api.py:321-337)."""
+        filters = _normalize_filters(filters)
+        keep = self._surviving(filters) if filters else None
+        for m in self._metas:
+            if keep is None:
+                ris = list(range(len(m["fmd"]["row_groups"])))
+            else:
+                ris = sorted(keep.get(m["file"], []))
+            for ri in ris:
+                tbl = read_row_groups(self._path(m["file"]), [ri],
+                                      columns=columns)
+                for k, v in (m.get("partitions") or {}).items():
+                    tbl = tbl.append_column(
+                        k, pa.array([v] * tbl.num_rows))
+                yield tbl.to_pandas()
+
+    def head(self, nrows: int, columns=None):
+        """First ``nrows`` rows (api.py:231-250) — decodes row groups
+        only until enough rows exist."""
+        m = self._metas[0]
+        tbl = _head(self._path(m["file"]), nrows, columns=columns)
+        for k, v in (m.get("partitions") or {}).items():
+            tbl = tbl.append_column(k, pa.array([v] * tbl.num_rows))
+        return tbl.to_pandas()
+
+    def __len__(self) -> int:
+        return self.count_total
+
+    def __str__(self) -> str:
+        return f"<ParquetFile {self.fn} ({self.count_total} rows)>"
+
+    __repr__ = __str__
+
+
+def write(filename, data, row_group_offsets: int | list = 50_000_000,
+          compression=None, file_scheme: str = "simple",
+          partition_on=(), append: bool = False, times: str = "int64",
+          custom_metadata: dict | None = None, stats: bool = True,
+          **kwargs: Any):
+    """The reference's top-level ``write`` (fastparquet/writer.py:810):
+    pandas DataFrame (or Arrow table) to a parquet file
+    (``file_scheme='simple'``) or a ``key=value``-partitioned dataset
+    with ``_metadata`` / ``_common_metadata`` sidecars
+    (``file_scheme='hive'`` + ``partition_on``).
+
+    ``row_group_offsets``: int => approximate rows per row group;
+    list => explicit start indices of each row group.
+    ``compression``: None => UNCOMPRESSED; a codec name or the
+    reference's ``{'type': ..., 'args': {'level': N}}`` spec.
+    ``append=True`` (hive only) adds new part files and re-merges the
+    sidecars.  Extra ``write_file`` options (``page_rows``,
+    ``bloom_filters``, ``encodings``, ``compat``, ``sorting_columns``)
+    pass through ``**kwargs``."""
+    import pandas as pd
+
+    from fastparquet_spark.format.dataset import write_metadata_sidecar
+
+    if isinstance(data, pd.DataFrame):
+        table = pa.Table.from_pandas(data, preserve_index=False)
+    elif isinstance(data, pa.Table):
+        table = data
+    else:
+        raise TypeError("data must be a pandas DataFrame or Arrow table")
+    comp = compression if compression is not None else "UNCOMPRESSED"
+
+    if isinstance(row_group_offsets, (list, tuple)):
+        bounds = list(row_group_offsets) + [table.num_rows]
+        slices = [table.slice(a, b - a)
+                  for a, b in zip(bounds, bounds[1:]) if b > a]
+        rg_rows = None
+    else:
+        slices = None
+        rg_rows = min(int(row_group_offsets), max(table.num_rows, 1))
+
+    def _emit(path: str, tbl: pa.Table):
+        if slices is not None and tbl is table:
+            from fastparquet_spark.format.writer import ParquetWriter
+
+            with open(path, "wb") as f:
+                w = ParquetWriter(f, tbl.schema, compression=comp,
+                                  stats=stats, times=times,
+                                  custom_metadata=custom_metadata,
+                                  **kwargs)
+                for s in slices:
+                    w.write_row_group(s)
+                w.close()
+        else:
+            write_file(path, tbl, compression=comp,
+                       row_group_rows=rg_rows, stats=stats, times=times,
+                       custom_metadata=custom_metadata, **kwargs)
+
+    if file_scheme == "simple":
+        if append:
+            raise ValueError(
+                "append=True needs file_scheme='hive' (the reference "
+                "raises for simple files too, writer.py:976-979)")
+        _emit(filename, table)
+        return
+
+    if file_scheme not in ("hive", "drill"):
+        raise ValueError(f"unknown file_scheme {file_scheme!r}")
+    pcols = list(partition_on)
+    fs = get_fs(filename)
+    fs.makedirs(filename)
+    start = 0
+    if append:
+        existing = [p for p in fs.walk_files(filename)
+                    if p.endswith(".parquet")
+                    and not os.path.basename(p).startswith((".", "_"))]
+        start = len(existing)
+    n_written = start
+    if pcols:
+        import pyarrow.compute as pc
+
+        combos = table.select(pcols).group_by(pcols).aggregate([])
+        data_cols = [c for c in table.column_names if c not in pcols]
+        for combo in combos.to_pylist():
+            mask = None
+            for c in pcols:
+                m = (pc.is_null(table.column(c)) if combo[c] is None
+                     else pc.equal(table.column(c), combo[c]))
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            part = table.filter(mask).select(data_cols)
+            if file_scheme == "hive":
+                rel = "/".join(f"{c}={combo[c]}" for c in pcols)
+            else:  # drill: bare value directories
+                rel = "/".join(str(combo[c]) for c in pcols)
+            fs.makedirs(f"{filename}/{rel}")
+            _emit(f"{filename}/{rel}/part.{n_written}.parquet", part)
+            n_written += 1
+    else:
+        _emit(f"{filename}/part.{n_written}.parquet", table)
+    write_metadata_sidecar(filename, fs=fs)

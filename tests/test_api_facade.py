@@ -1,0 +1,138 @@
+"""The drop-in compatibility facade (fastparquet_spark.api): the
+reference's ParquetFile + write surface over our engine — open
+file/dir/glob/list, columns/dtypes/statistics/count/head/
+iter_row_groups/to_pandas (columns+DNF filters+row_filter), and
+write() with simple/hive schemes, explicit row_group_offsets, append.
+
+Reference semantics cited per method in api.py docstrings
+(fastparquet/api.py:95-674, writer.py:810-1010)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from fastparquet_spark.api import ParquetFile, write
+
+
+def _df(n=3_000):
+    rng = np.random.default_rng(5)
+    return pd.DataFrame({
+        "k": np.arange(n, dtype=np.int64),
+        "lang": [["py", "rs", "go"][i % 3] for i in range(n)],
+        "score": rng.normal(0, 1, n),
+        "text": [f"doc {i} body" for i in range(n)],
+    })
+
+
+def test_write_simple_and_open(tmp_path):
+    df = _df()
+    path = str(tmp_path / "t.parquet")
+    write(path, df, row_group_offsets=1_000, compression="SNAPPY")
+    # independent reader agrees
+    assert pq.read_table(path).num_rows == len(df)
+    pf = ParquetFile(path)
+    assert pf.columns == ["k", "lang", "score", "text"]
+    assert len(pf) == len(df) and pf.count() == len(df)
+    assert len(pf.row_groups) == 3
+    assert pf.dtypes["k"] == np.dtype("int64")
+    assert pf.dtypes["lang"] == np.dtype("object")
+    back = pf.to_pandas()
+    pd.testing.assert_frame_equal(back, df)
+    # projection
+    two = pf.to_pandas(columns=["k", "lang"])
+    assert list(two.columns) == ["k", "lang"]
+    # head decodes only the first row group
+    h = pf.head(7)
+    assert list(h["k"]) == list(range(7))
+    # statistics: reference shape {stat: {col: [per-rg]}}
+    st = pf.statistics
+    assert st["min"]["k"] == [0, 1000, 2000]
+    assert st["max"]["k"] == [999, 1999, 2999]
+    assert st["null_count"]["k"] == [0, 0, 0]
+
+
+def test_filters_and_row_filter(tmp_path):
+    df = _df()
+    path = str(tmp_path / "f.parquet")
+    write(path, df, row_group_offsets=500, compression="ZSTD")
+    pf = ParquetFile(path)
+    # rg pruning only: superset aligned to row-group boundaries
+    sup = pf.to_pandas(filters=[("k", ">=", 1_200), ("k", "<", 1_300)])
+    assert len(sup) == 500 and sup["k"].min() == 1_000
+    # exact rows
+    ex = pf.to_pandas(filters=[("k", ">=", 1_200), ("k", "<", 1_300)],
+                      row_filter=True)
+    assert list(ex["k"]) == list(range(1_200, 1_300))
+    # predicate column decoded but dropped when not projected
+    ex2 = pf.to_pandas(columns=["lang"],
+                       filters=[("k", "==", 42)], row_filter=True)
+    assert list(ex2.columns) == ["lang"] and len(ex2) == 1
+    # DNF (OR of ANDs)
+    dnf = pf.to_pandas(filters=[[("k", "<", 5)], [("k", ">=", 2_995)]],
+                       row_filter=True)
+    assert sorted(dnf["k"]) == list(range(5)) + list(range(2_995, 3_000))
+    # count: metadata-only vs exact
+    assert pf.count([("k", "<", 250)]) == 500  # one rg survives
+    assert pf.count([("k", "<", 250)], row_filter=True) == 250
+    # iter_row_groups with filters yields only surviving groups
+    parts = list(pf.iter_row_groups(filters=[("k", "<", 700)]))
+    assert [len(p) for p in parts] == [500, 500]
+
+
+def test_write_hive_partitioned_and_append(tmp_path):
+    df = _df(900)
+    out = str(tmp_path / "ds")
+    write(out, df, file_scheme="hive", partition_on=["lang"],
+          compression="SNAPPY")
+    import os
+
+    assert os.path.exists(os.path.join(out, "_metadata"))
+    assert os.path.exists(os.path.join(out, "_common_metadata"))
+    pf = ParquetFile(out)
+    assert sorted(pf.cats["lang"]) == ["go", "py", "rs"]
+    assert pf.count() == 900
+    back = pf.to_pandas()
+    assert set(back.columns) == {"k", "score", "text", "lang"}
+    assert sorted(back["k"]) == list(range(900))
+    # partition predicate prunes whole files
+    py_rows = pf.to_pandas(filters=[("lang", "==", "py")],
+                           row_filter=True)
+    assert len(py_rows) == 300 and set(py_rows["lang"]) == {"py"}
+    # pyarrow reads the hive dataset too
+    assert pq.read_table(out).num_rows == 900
+    # append: new parts + re-merged sidecar
+    write(out, _df(90), file_scheme="hive", partition_on=["lang"],
+          append=True, compression="SNAPPY")
+    assert ParquetFile(out).count() == 990
+    # simple-scheme append raises like the reference
+    p1 = str(tmp_path / "x.parquet")
+    write(p1, df)
+    with pytest.raises(ValueError, match="hive"):
+        write(p1, df, append=True)
+
+
+def test_open_glob_and_list(tmp_path):
+    a, b = _df(100), _df(100)
+    b["k"] += 100
+    write(str(tmp_path / "p1.parquet"), a)
+    write(str(tmp_path / "p2.parquet"), b)
+    pf = ParquetFile(str(tmp_path / "p*.parquet"))
+    assert pf.count() == 200
+    pf2 = ParquetFile([str(tmp_path / "p1.parquet"),
+                       str(tmp_path / "p2.parquet")])
+    assert sorted(pf2.to_pandas()["k"]) == list(range(200))
+    assert pf2.info["rows"] == 200
+
+
+def test_explicit_row_group_offsets_and_custom_metadata(tmp_path):
+    df = _df(1_000)
+    path = str(tmp_path / "o.parquet")
+    write(path, df, row_group_offsets=[0, 100, 600],
+          custom_metadata={"pipeline": "v1"})
+    pf = ParquetFile(path)
+    assert [rg["num_rows"] for rg in pf.row_groups] == [100, 500, 400]
+    assert pf.key_value_metadata.get("pipeline") == "v1"
+    assert pq.read_table(path).num_rows == 1_000
