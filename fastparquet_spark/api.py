@@ -43,7 +43,11 @@ from fastparquet_spark.format.reader import (
 from fastparquet_spark.format.writer import write_file
 from fastparquet_spark.io import fetch_footers, get_fs
 
-__all__ = ["ParquetFile", "write"]
+__all__ = ["ParquetFile", "ParquetException", "write"]
+
+
+class ParquetException(Exception):
+    """The reference's top-level error type (fastparquet/util.py:22)."""
 
 
 def _normalize_filters(filters):

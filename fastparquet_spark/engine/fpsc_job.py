@@ -59,47 +59,37 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
     work = _salted(df, partition_cols, salt_rows, num_partitions)
 
     pretrained: dict = {}
+    decisions: dict = {}
     if pretrain_rows:
-        import numpy as np
-        import pyarrow as pa_t
-
-        from fastparquet_spark.codecs.fsst import fsst_train
+        from fastparquet_spark.format.container import decide_string_codecs
 
         sample = df.limit(pretrain_rows).toArrow()
-        for field in sample.schema:
-            if not (pa_t.types.is_string(field.type)
-                    or pa_t.types.is_large_string(field.type)
-                    or pa_t.types.is_binary(field.type)
-                    or pa_t.types.is_large_binary(field.type)):
-                continue
-            col = sample.column(field.name).combine_chunks()
-            if col.null_count:
-                col = col.drop_null()
-            if len(col) == 0:
-                continue
-            buf = col.cast(pa_t.large_binary()).buffers()[2]
-            if buf is None or buf.size == 0:
-                continue
-            data = np.frombuffer(buf, np.uint8, count=buf.size)
-            pretrained[field.name] = fsst_train(data)
+        # one driver pass trains FSST tables AND fixes fsst-vs-plain per
+        # string column, so tasks skip the losing codec's full trial
+        # (file_job.encode_files_fpsc has the identical step)
+        decisions = decide_string_codecs(sample, pretrained,
+                                         compression=compression)
 
     out_dir_ = out_dir
     compression_ = compression
     resume_ = resume
     rows_per_ = rows_per_container
     pretrained_ = pretrained
+    decisions_ = decisions
     bloom_ = bloom_filters
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
         from pyspark import TaskContext
 
+        from fastparquet_spark.engine.file_job import _publish
         from fastparquet_spark.format.container import write_container
         from fastparquet_spark.io import get_fs
 
         pa_w.set_cpu_count(1)
         fs = get_fs(out_dir_)
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         mpath = _u_join(out_dir_, f"{MANIFEST_DIR}/part-{pid:05d}.json")
         if resume_ and fs.exists(mpath):
             with fs.open_read(mpath) as fh:
@@ -119,13 +109,15 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
             fname = f"part-{pid:05d}-{k:03d}.fpsc"
             fpath = _u_join(out_dir_, fname)
             t0 = time.perf_counter()
-            tmp = fpath + ".inprogress"
-            with fs.open_write(tmp) as sink:
-                blocks = write_container(sink, tbl, compression=compression_,
-                                         fsst_cache=fsst_cache,
-                                         bloom_filters=bloom_)
+            blocks_box = []
+            _publish(fs, lambda sink: blocks_box.append(
+                write_container(sink, tbl, compression=compression_,
+                                fsst_cache=fsst_cache,
+                                bloom_filters=bloom_,
+                                codec_decisions=decisions_)),
+                     fpath, attempt)
+            blocks = blocks_box[0]
             kernel = time.perf_counter() - t0
-            fs.replace(tmp, fpath)
             done_rows.append(
                 {"partition": pid, "file": fname, "rows": tbl.num_rows,
                  "input_bytes": tbl.nbytes,
