@@ -495,18 +495,22 @@ def _chunk_may_match(cols, clause) -> bool:
     return True
 
 
-def read_page_index(path: str, fs=None) -> list[list[dict | None]]:
+def read_page_index(path: str, fs=None,
+                    fmd: dict | None = None) -> list[list[dict | None]]:
     """Parse the PageIndex of every column chunk of ``path`` (our own
     files and parquet-cpp/-java ones alike): per row group, per column,
     ``{"locations": [...], "null_pages": [...], "min_values": [...],
     "max_values": [...], "null_counts": [...]}`` or None when the chunk
-    carries no index."""
+    carries no index.  Pass ``fmd`` (an already-parsed footer) to skip
+    the footer fetch — read_pages does, so a page-skipping read costs
+    ONE footer round trip per file, not two."""
     from fastparquet_spark.format import thrift
     from fastparquet_spark.format.metadata import SPECS
     from fastparquet_spark.io import fetch_footers
 
     fs = get_fs(path, fs)
-    fmd = read_footer_tail(fetch_footers([path], fs)[0])
+    if fmd is None:
+        fmd = read_footer_tail(fetch_footers([path], fs)[0])
     # one ranged read covering all index spans (they sit together just
     # ahead of the footer in ours and parquet-cpp/-java files alike)
     spans = [(cc.get("column_index_offset"), cc.get("column_index_length"))
@@ -672,10 +676,10 @@ def read_pages(path: str, filters, columns=None, fs=None,
         filters = [filters]
     clauses = filters
     fs = get_fs(path, fs)
-    idx = read_page_index(path, fs=fs)
     src = _ByteSource(path, fs=fs)
     try:
         fmd = src.footer()
+        idx = read_page_index(path, fs=fs, fmd=fmd)
         elems = {e["name"]: e for e in fmd["schema"][1:]
                  if e.get("num_children") is None}
         names_all = [e["name"] for e in fmd["schema"][1:]

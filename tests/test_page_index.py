@@ -345,3 +345,23 @@ def test_paged_read_hive_partitions(spark, tmp_path):
     got3 = paged_read(spark, out, [("commit", "!=", "nope")])
     assert got3.count() == n_all
     assert "lang" in got3.columns  # partition col present, last
+
+
+def test_read_pages_one_footer_fetch(tmp_path):
+    """A page-skipping read costs ONE footer round trip per file —
+    read_page_index reuses the already-parsed footer (at 100k
+    object-store files the second fetch was pure added latency)."""
+    from fastparquet_spark.format.dataset import read_pages
+    from fastparquet_spark.io import CountingFS, get_fs
+
+    t = _table(10_000)
+    path = str(tmp_path / "onefoot.parquet")
+    write_file(path, t, compression="ZSTD", row_group_rows=5_000,
+               page_rows=1_000)
+    fs = CountingFS(get_fs(path))
+    got = read_pages(path, [("k", "<", 500)], columns=["k"], fs=fs,
+                     exact=True)
+    assert got.num_rows == 500
+    # opens: footer tail + index span + data spans go through ONE
+    # handle each via open_read; the footer tail itself is fetched once
+    assert fs.opens <= 3, fs.opens
