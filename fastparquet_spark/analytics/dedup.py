@@ -178,10 +178,15 @@ def connected_components(edges, max_iters: int = 20):
 
     ``edges``: DataFrame with columns (src, dst), treated undirected.
     Returns (doc_id, cluster) where cluster is the component minimum."""
+    # distinct hash-partitions by (src, dst); the per-round join keys on
+    # dst alone, so without this explicit repartition EVERY round would
+    # re-shuffle the (static) edge table — one shuffle here buys a
+    # co-located build side for all subsequent rounds
     edges = (edges.select("src", "dst")
              .union(edges.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().repartition(F.col("dst"))
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("cluster", F.col("doc_id")))
     prev_sum = None
