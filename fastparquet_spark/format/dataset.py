@@ -993,28 +993,36 @@ def filter_row_groups(out_dir: str, filters, fs=None, metas=None,
             survivors.append((f, ri, clauses))
     if not use_bloom:
         return [(f, ri) for f, ri, _c in survivors]
-    # pass 2: bloom membership for ==/in terms — ALL needed spans are
-    # known from the footers, so fetch them concurrently up front
-    # instead of one serial ranged read per chunk (r4 What's-wrong #2)
-    spans: dict = {}
+    # pass 2: bloom membership for ==/in terms — spans are known from
+    # the footers, so fetch them concurrently instead of one serial
+    # ranged read per chunk (r4 What's-wrong #2).  Evaluation runs in
+    # BATCHES of chunks so driver memory is bounded by one batch's
+    # filters, not the whole dataset's (100k chunks x ~100 KB blooms
+    # would otherwise pin ~10 GB on the driver).
     ctx = []
     for f, ri, clauses in survivors:
         m = by_file[f]
         elems = {e["name"]: e for e in m["fmd"]["schema"][1:]
                  if e.get("num_children") is None}
         rg = m["fmd"]["row_groups"][ri]
-        path = f"{root}/{f}"
-        for c in clauses:
-            for cmd, _enc in _bloom_terms(rg, elems, c):
-                spans.setdefault((path, cmd["bloom_filter_offset"]),
-                                 cmd.get("bloom_filter_length"))
-        ctx.append((path, rg, elems))
-    cache = _prefetch_blooms(spans, fs)
+        ctx.append((f"{root}/{f}", rg, elems))
     keep = []
-    for (f, ri, clauses), (path, rg, elems) in zip(survivors, ctx):
-        if any(not _bloom_rules_out(path, rg, elems, c, fs=fs, cache=cache)
-               for c in clauses):
-            keep.append((f, ri))
+    BATCH = 512
+    for lo in range(0, len(survivors), BATCH):
+        spans: dict = {}
+        for (f, ri, clauses), (path, rg, elems) in zip(
+                survivors[lo:lo + BATCH], ctx[lo:lo + BATCH]):
+            for c in clauses:
+                for cmd, _enc in _bloom_terms(rg, elems, c):
+                    spans.setdefault((path, cmd["bloom_filter_offset"]),
+                                     cmd.get("bloom_filter_length"))
+        cache = _prefetch_blooms(spans, fs)
+        for (f, ri, clauses), (path, rg, elems) in zip(
+                survivors[lo:lo + BATCH], ctx[lo:lo + BATCH]):
+            if any(not _bloom_rules_out(path, rg, elems, c, fs=fs,
+                                        cache=cache)
+                   for c in clauses):
+                keep.append((f, ri))
     return keep
 
 
