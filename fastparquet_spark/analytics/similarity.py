@@ -105,22 +105,19 @@ def footer_row_count(path_or_dir: str) -> int:
     """Exact dataset row count from parquet FOOTERS only (concurrent
     tail reads, no data pages, no Spark job) — the metadata answer to
     ``df.count()`` for raw parquet inputs.  Accepts a single file, a
-    directory, or a glob."""
+    directory (``_metadata`` sidecar honored: ONE fetch), or a glob."""
     from fastparquet_spark.io import fetch_footers, get_fs
 
-    fs = get_fs(path_or_dir)
-    if any(c in path_or_dir for c in "*?["):
-        files = [p for p in fs.glob(path_or_dir) if p.endswith(".parquet")]
-    elif path_or_dir.endswith(".parquet"):
-        files = [path_or_dir]
-    else:
-        files = [p for p in fs.walk_files(path_or_dir)
-                 if p.endswith(".parquet")
-                 and not p.rsplit("/", 1)[1].startswith((".", "_"))]
-    from fastparquet_spark.format.reader import read_footer_tail
+    if path_or_dir.endswith(".parquet") \
+            and not any(c in path_or_dir for c in "*?["):
+        from fastparquet_spark.format.reader import read_footer_tail
 
-    return sum(read_footer_tail(t)["num_rows"]
-               for t in fetch_footers(files, fs))
+        fs = get_fs(path_or_dir)
+        return read_footer_tail(fetch_footers([path_or_dir],
+                                              fs)[0])["num_rows"]
+    from fastparquet_spark.format.dataset import dataset_metadata
+
+    return sum(m["fmd"]["num_rows"] for m in dataset_metadata(path_or_dir))
 
 
 def derive_n_bits(n_rows: int, target_bucket: int = LSH_TARGET_BUCKET,

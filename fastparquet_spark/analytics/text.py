@@ -119,13 +119,18 @@ def text_chunk_tokens(spark, sf_dir, chunk_words: int = 40):
     docs = load(spark, sf_dir, "documents")
     w = _words()
     d = docs.select("doc_id", w.alias("w"))
+    # guard size(w) < 1 (null text -> size() = -1): Spark's sequence()
+    # REVERSES when stop < start, yielding phantom chunk_ids [0, -1]
+    # where DuckDB's generate_series is empty — emit no chunks instead
     chunks = d.select(
         "doc_id",
         F.explode(F.expr(
+            f"CASE WHEN size(w) >= 1 THEN "
             f"transform(sequence(0, cast(ceil(size(w) / {chunk_words}.0) "
             f"as int) - 1), i -> struct(i AS chunk_id, "
             f"concat_ws(' ', slice(w, i * {chunk_words} + 1, {chunk_words}))"
-            f" AS chunk_text))")).alias("c"))
+            f" AS chunk_text)) ELSE "
+            f"array() END")).alias("c"))
     out = chunks.select("doc_id", "c.chunk_id", "c.chunk_text")
     return out.withColumn(
         "n_words", F.size(F.split(F.col("chunk_text"), " ")))

@@ -76,12 +76,32 @@ class ParquetFile:
                 for p, t in zip(fn, tails)]
         else:
             self._fs = get_fs(fn, fs)
-            if any(c in fn for c in "*?[") or self._fs.isdir(fn):
-                self._root = fn if self._fs.isdir(fn) \
-                    else os.path.dirname(fn.split("*")[0]) or "."
+            if any(c in fn for c in "*?["):
+                # expand the glob OURSELVES: dataset_metadata's glob
+                # branch keys by basename, which collides for globs
+                # spanning subdirectories (hive key=value globs)
+                from fastparquet_spark.format.dataset import (
+                    _partition_values,
+                )
+
+                files = sorted(p for p in self._fs.glob(fn)
+                               if p.endswith(".parquet"))
+                if not files:
+                    raise ValueError(f"no parquet data at {fn!r}")
+                base = os.path.commonpath(
+                    [os.path.dirname(p) for p in files]) \
+                    if len(files) > 1 else os.path.dirname(files[0])
+                self._root = base or "."
+                tails = fetch_footers(files, self._fs)
+                self._metas = [
+                    {"file": os.path.relpath(p, self._root),
+                     "fmd": read_footer_tail(t),
+                     "partitions": _partition_values(
+                         os.path.relpath(p, self._root))}
+                    for p, t in zip(files, tails)]
+            elif self._fs.isdir(fn):
+                self._root = fn
                 self._metas = dataset_metadata(fn, fs=self._fs)
-                if any(c in fn for c in "*?["):
-                    self._root = os.path.dirname(fn.split("*")[0]) or "."
             else:
                 self._root = os.path.dirname(fn) or "."
                 self._metas = [{
@@ -204,6 +224,8 @@ class ParquetFile:
                     if col in names and col not in decode:
                         decode.append(col)
         keep = self._surviving(filters) if filters else None
+        from fastparquet_spark.engine.scan_job import _file_clauses
+
         for m in self._metas:
             if keep is None:
                 ris = list(range(len(m["fmd"]["row_groups"])))
@@ -211,6 +233,16 @@ class ParquetFile:
                 ris = sorted(keep.get(m["file"], []))
             if not ris:
                 continue
+            # partition terms are decided per file (a clause whose
+            # partition term fails is dropped for THIS file only —
+            # without this, a partition clause on an unprojected column
+            # degenerates to match-all in the residual filter)
+            fclauses = filters
+            if filters:
+                fclauses = _file_clauses(filters,
+                                         m.get("partitions") or {})
+                if not fclauses:
+                    continue
             file_cols = [c for c in decode if c in names]
             tbl = read_row_groups(self._path(m["file"]), ris,
                                   columns=file_cols)
@@ -219,7 +251,7 @@ class ParquetFile:
                     tbl = tbl.append_column(
                         k, pa.array([v] * tbl.num_rows))
             if filters and row_filter:
-                tbl = _apply_row_filter_dnf(tbl, filters)
+                tbl = _apply_row_filter_dnf(tbl, fclauses)
                 tbl = tbl.select([c for c in tbl.column_names
                                   if c in want or c not in names])
             yield tbl
@@ -265,12 +297,19 @@ class ParquetFile:
 
     def head(self, nrows: int, columns=None):
         """First ``nrows`` rows (api.py:231-250) — decodes row groups
-        only until enough rows exist."""
-        m = self._metas[0]
-        tbl = _head(self._path(m["file"]), nrows, columns=columns)
-        for k, v in (m.get("partitions") or {}).items():
-            tbl = tbl.append_column(k, pa.array([v] * tbl.num_rows))
-        return tbl.to_pandas()
+        (and files) only until enough rows exist."""
+        parts, have = [], 0
+        for m in self._metas:
+            tbl = _head(self._path(m["file"]), nrows - have,
+                        columns=columns)
+            for k, v in (m.get("partitions") or {}).items():
+                tbl = tbl.append_column(k, pa.array([v] * tbl.num_rows))
+            parts.append(tbl)
+            have += tbl.num_rows
+            if have >= nrows:
+                break
+        return pa.concat_tables(parts,
+                                promote_options="default").to_pandas()
 
     def __len__(self) -> int:
         return self.count_total

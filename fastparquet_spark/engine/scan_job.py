@@ -54,7 +54,7 @@ def _eval_partition_term(v, op, val) -> bool:
     raise ValueError(f"unsupported filter op {op!r}")
 
 
-def _file_clauses(clauses, pvals: dict, file_names):
+def _file_clauses(clauses, pvals: dict, file_names=None):
     """Per-file DNF rewrite: partition terms are decided HERE against
     the file's constant values — a clause whose partition term fails is
     dropped for this file, a passing term is stripped (already true for
@@ -68,10 +68,10 @@ def _file_clauses(clauses, pvals: dict, file_names):
                 if not _eval_partition_term(pvals[col], op, val):
                     keep = False
                     break
-            elif col in file_names:
-                resid.append((col, op, val))
             else:
-                resid.append((col, op, val))  # unknown: reader keeps rows
+                # file column, or unknown (the reader keeps rows for
+                # columns it cannot find — conservative)
+                resid.append((col, op, val))
         if keep:
             out.append(resid)
     return out
@@ -132,8 +132,14 @@ def paged_read(spark, in_dir: str, filters, columns=None,
         raise ValueError(f"no parquet files under {in_dir}")
     # driver-side tier: stats + concurrent bloom pruning (partition
     # values participate as pseudo-stats, so a partition predicate
-    # prunes whole files here)
-    survivors = filter_row_groups(in_dir, filters, fs=fs, metas=metas)
+    # prunes whole files here).  An empty filter list means SCAN ALL
+    # (filter_row_groups would read [] as an empty DNF -> no rows).
+    if not filters:
+        filters = [[]]
+        survivors = [(m["file"], ri) for m in metas
+                     for ri in range(len(m["fmd"]["row_groups"]))]
+    else:
+        survivors = filter_row_groups(in_dir, filters, fs=fs, metas=metas)
     by_file: dict[str, list[int]] = {}
     for f, ri in survivors:
         by_file.setdefault(f, []).append(ri)

@@ -558,7 +558,7 @@ def filter_pages(path: str, filters, fs=None) -> list[tuple[int, int, int]]:
     from fastparquet_spark.io import fetch_footers
 
     fmd = read_footer_tail(fetch_footers([path], fs)[0])
-    idx = read_page_index(path, fs=fs)
+    idx = read_page_index(path, fs=fs, fmd=fmd)
     out = []
     for ri, rg in enumerate(fmd["row_groups"]):
         grid, keep_mask = _page_keep_mask_dnf(fmd, idx, ri, filters)
@@ -701,6 +701,19 @@ def read_pages(path: str, filters, columns=None, fs=None,
                        for cii, cc in enumerate(rg["columns"])}
             if mask is not None and not any(mask):
                 continue
+            if mask is not None:
+                # page skipping is all-or-nothing per row group: every
+                # DECODED column must share the kept-page row set, so a
+                # single wanted column without a grid-aligned index
+                # (e.g. its chunk omitted the ColumnIndex for a NaN
+                # page) forces the whole-chunk path for the group —
+                # otherwise column lengths diverge and assembly fails
+                for name in want:
+                    ci_w = idx[ri][by_path[name][1]]
+                    if ci_w is None or [loc["first_row_index"]
+                                        for loc in ci_w["locations"]] != grid:
+                        mask = None
+                        break
             arrays, fields = [], []
             for name in want:
                 cmd, cii = by_path[name]

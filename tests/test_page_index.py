@@ -365,3 +365,46 @@ def test_read_pages_one_footer_fetch(tmp_path):
     # opens: footer tail + index span + data spans go through ONE
     # handle each via open_read; the footer tail itself is fetched once
     assert fs.opens <= 3, fs.opens
+
+
+def test_page_filter_with_indexless_projected_column(tmp_path):
+    """A wanted column whose chunk has NO ColumnIndex (NaN page,
+    decimal) must not desync lengths against a page-skipped filter
+    column — the row group falls back to whole-chunk decode and the
+    residual filter restores exactness (review r5 #1: ArrowInvalid
+    length mismatch)."""
+    import decimal
+
+    from fastparquet_spark.format.dataset import read_pages
+
+    n = 1_000
+    f = np.arange(n, dtype=np.float64)
+    f[150] = np.nan
+    t = pa.table({"doc_id": pa.array(range(n)), "amount": pa.array(f)})
+    p = str(tmp_path / "nanidx.parquet")
+    write_file(p, t, compression="SNAPPY", page_rows=100,
+               encodings={"amount": "plain"})
+    out = read_pages(p, [("doc_id", "<", 50)], exact=True)
+    assert out.num_rows == 50
+    assert out.column("doc_id").to_pylist() == list(range(50))
+    t2 = pa.table({"doc_id": pa.array(range(n)),
+                   "amt": pa.array([decimal.Decimal(i) / 100
+                                    for i in range(n)],
+                                   pa.decimal128(10, 2))})
+    p2 = str(tmp_path / "decidx.parquet")
+    write_file(p2, t2, compression="SNAPPY", page_rows=100)
+    out2 = read_pages(p2, [("doc_id", "<", 30)], exact=True)
+    assert out2.num_rows == 30
+
+
+def test_paged_read_empty_filters_scans_all(spark, tmp_path):
+    """paged_read with no filters is a full scan, not a silent empty
+    result (review r5 #5)."""
+    from fastparquet_spark.engine import paged_read
+
+    d = tmp_path / "all"
+    d.mkdir()
+    for i in range(2):
+        t = pa.table({"k": pa.array(range(i * 100, (i + 1) * 100))})
+        write_file(str(d / f"p{i}.parquet"), t, compression="SNAPPY")
+    assert paged_read(spark, str(d), []).count() == 200

@@ -70,3 +70,37 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert sum(r["rows"] for r in rows) == 500  # sf0.001 documents
+
+
+def test_chunk_tokens_no_phantom_chunks_for_empty_docs(spark, tmp_path):
+    """Spark's sequence() REVERSES when stop < start, which produced
+    phantom chunk_ids [0, -1] for null-text docs where DuckDB's
+    generate_series is empty (review r5 #4).  Both engines must emit
+    identical chunks for empty/whitespace/null text."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.analytics.registry import ORACLES
+    from fastparquet_spark.analytics.text import text_chunk_tokens
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["hello world " * 30, "", "   ", None]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([1, 0, 3, 0], pa.int64()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    sdf = text_chunk_tokens(spark, str(d))
+    srows = sorted(tuple(r) for r in
+                   sdf.select("doc_id", "chunk_id", "chunk_text",
+                              "n_words").collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'")
+    orows = sorted(tuple(r) for r in con.sql(
+        ORACLES["text_chunk_tokens"]).fetchall())
+    assert srows == orows
+    assert all(cid >= 0 for _d, cid, _t, _n in srows)
