@@ -108,15 +108,25 @@ def _sweep_stale_stages(fs, opath: str, keep: str) -> None:
 
 
 def _publish(fs, body_writer, opath: str, attempt) -> None:
-    """Stage -> write -> sweep stale twins -> atomic rename.  On any
+    """Stage -> write -> atomic rename -> sweep stale twins.  On any
     failure the stage file is removed; nothing committed-looking is
-    ever left behind."""
+    ever left behind.
+
+    The sweep runs strictly AFTER our own publish: sweeping first
+    allowed two simultaneous twins to delete each other's in-flight
+    stage and leave ZERO finals (both renames failing).  With
+    publish-first, a sweep victim's failed rename always means a twin
+    already published a COMPLETE final — treated as success."""
     tmp = _stage_name(opath, attempt)
     try:
         with fs.open_write(tmp) as sink:
             body_writer(sink)
+        try:
+            fs.replace(tmp, opath)
+        except OSError:
+            if not fs.exists(opath):
+                raise  # no twin published: a real failure
         _sweep_stale_stages(fs, opath, keep=tmp)
-        fs.replace(tmp, opath)
     except BaseException:
         try:
             if fs.exists(tmp):

@@ -254,3 +254,43 @@ def test_staged_commit_protocol_fpsc(spark, src_dir, tmp_path):
     vis = [f for f in os.listdir(out) if not f.startswith((".", "_"))]
     assert all(f.endswith(".fpsc") for f in vis)
     assert read_fpsc(spark, out).count() == 3000
+
+
+def test_publish_three_twins_hammer(tmp_path):
+    """Publish-first ordering: N simultaneous attempts always leave
+    exactly one complete final and all report success (sweep-first
+    allowed mutual stage destruction -> zero finals)."""
+    import threading
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.engine.file_job import _publish
+    from fastparquet_spark.format.writer import write_file
+    from fastparquet_spark.io import LocalFS
+
+    fs = LocalFS()
+    t = pa.table({"x": pa.array(range(200))})
+    for trial in range(10):
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        opath = str(d / "part-00000.parquet")
+        errs = []
+
+        def attempt(aid):
+            try:
+                _publish(fs, lambda sink: write_file(
+                    sink, t, compression="SNAPPY"), opath, aid)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        th = [threading.Thread(target=attempt, args=(a,))
+              for a in (1, 2, 3)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        assert sorted(os.listdir(d)) == ["part-00000.parquet"], \
+            (trial, os.listdir(d), errs)
+        assert not errs, (trial, errs)
+        assert pq.read_table(opath).num_rows == 200
