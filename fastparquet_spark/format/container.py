@@ -598,16 +598,23 @@ def container_bloom_rules_out(path: str, meta: dict, clauses,
             cm = by_name[col]
             f.seek(cm["bloom_offset"])
             bf = SplitBlockBloom.frombytes(f.read(cm["bloom_bytes"]))
+            # probe encoding shared with the parquet path: UINT columns
+            # hash the unsigned byte layout (the writer bit-reinterprets
+            # before hashing), and an out-of-range value means "cannot
+            # rule out", never an OverflowError crash (r5 review #4)
+            from fastparquet_spark.format.dataset import _bloom_value_bytes
+            from fastparquet_spark.format.metadata import ConvertedType
+
+            unsigned = str(cm.get("arrow_type", "")).startswith("uint")
+            elem = {"type": cm["ptype"],
+                    "converted_type": (ConvertedType.UINT_32
+                                       if cm["ptype"] == Type.INT32
+                                       else ConvertedType.UINT_64)
+                    if unsigned else None}
             hashes = []
             for v in vals:
-                if isinstance(v, str):
-                    b = v.encode("utf8")
-                elif isinstance(v, bytes):
-                    b = v
-                elif isinstance(v, int) and not isinstance(v, bool):
-                    width = 4 if cm["ptype"] == Type.INT32 else 8
-                    b = int(v).to_bytes(width, "little", signed=True)
-                else:
+                b = _bloom_value_bytes(v, elem)
+                if b is None:
                     hashes = None
                     break
                 hashes.append(xxh64(b, 0))

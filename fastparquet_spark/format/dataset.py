@@ -126,6 +126,31 @@ def _partition_values(rel_path: str, scheme: str = "hive") -> dict[str, Any]:
     return out
 
 
+
+def _leaf_elems(schema: list) -> dict:
+    """Leaf schema elements keyed by FULL dotted path — bare-name keying
+    mis-decodes stats when leaf names collide across nesting levels
+    (two lists' 'element' leaves, a struct field shadowing a top-level
+    column): the wrong type crashes struct.unpack or silently decodes
+    garbage bounds that mis-prune (r5 review #1)."""
+    out: dict[str, dict] = {}
+    pos = 1
+
+    def walk(prefix: str, count: int) -> None:
+        nonlocal pos
+        for _ in range(count):
+            e = schema[pos]
+            pos += 1
+            name = f"{prefix}.{e['name']}" if prefix else e["name"]
+            nc = e.get("num_children")
+            if nc:
+                walk(name, nc)
+            else:
+                out[name] = e
+    walk("", schema[0].get("num_children") or 0)
+    return out
+
+
 def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[dict]:
     """Footer of every part file: [{file, fmd, partitions}] in
     deterministic order.  Footers are TAIL reads fetched concurrently
@@ -147,8 +172,17 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
         # need relative depths, i.e. a directory root
         files = sorted(p for p in fs.glob(out_dir) if p.endswith(".parquet"))
         tails = fetch_footers(files, fs)
+        # partition segments are parsed RELATIVE to the glob's static
+        # prefix — a key=value directory ABOVE the dataset root (e.g.
+        # /data/run=3/out/*.parquet) must not become a phantom
+        # partition column whose pseudo-stats mis-prune (r5 review #7)
+        for w in "*?[":
+            out_dir = out_dir.split(w)[0]
+        static = out_dir.rsplit("/", 1)[0] if "/" in out_dir else ""
         return [{"file": os.path.basename(p), "fmd": read_footer_tail(t),
-                 "partitions": _partition_values(p)}
+                 "partitions": _partition_values(
+                     p[len(static) + 1:] if static and p.startswith(static)
+                     else os.path.basename(p))}
                 for p, t in zip(files, tails)]
     sidecar = _join(out_dir, "_metadata")
     if use_sidecar and fs.exists(sidecar):
@@ -398,17 +432,16 @@ def _iter_chunks(metas):
     min == max == value (and null_count == nvals for the default
     partition), so stats pruning covers them with no extra code path."""
     for m in metas:
-        elems = {e["name"]: e for e in m["fmd"]["schema"][1:]
-                 if e.get("num_children") is None}
+        elems = _leaf_elems(m["fmd"]["schema"])
         for ri, rg in enumerate(m["fmd"]["row_groups"]):
             cols: dict[str, tuple] = {}
             for cc in rg["columns"]:
                 cmd = cc["meta_data"]
                 path = cmd["path_in_schema"]
                 name = ".".join(path)
-                elem = elems.get(path[-1])
+                elem = elems.get(name)
                 if elem is None:
-                    continue  # nested leaf under a group we can't key by name
+                    continue  # leaf the schema walk couldn't place
                 st = cmd.get("statistics") or {}
                 lo = _decode_stat(st.get("min_value") or st.get("min"),
                                   elem["type"], elem.get("converted_type"))
@@ -595,8 +628,7 @@ def _page_keep_mask(fmd: dict, idx, ri: int, clause):
     (None, None) when no aligned ColumnIndex can discriminate.  Page
     boundaries per column differ only if page_rows differed; ours are
     uniform — the first indexed filter column fixes the grid."""
-    elems = {e["name"]: e for e in fmd["schema"][1:]
-             if e.get("num_children") is None}
+    elems = _leaf_elems(fmd["schema"])
     rg = fmd["row_groups"][ri]
     names = [".".join(cc["meta_data"]["path_in_schema"])
              for cc in rg["columns"]]
@@ -614,7 +646,7 @@ def _page_keep_mask(fmd: dict, idx, ri: int, clause):
             grid = firsts
         elif firsts != grid:
             continue  # unaligned page grids: skip this column
-        elem = elems.get(col.split(".")[-1])
+        elem = elems.get(col)
         mask = []
         for pi in range(len(locs)):
             if ci["null_pages"][pi]:
@@ -669,7 +701,8 @@ def read_pages(path: str, filters, columns=None, fs=None,
     import pyarrow as pa
 
     from fastparquet_spark.format.reader import (
-        _ByteSource, _read_column_chunk, _to_arrow,
+        _ByteSource, _chunk_bounds, _fetch_chunk, _read_column_chunk,
+        _to_arrow,
     )
 
     if filters and isinstance(filters[0], tuple):
@@ -680,6 +713,7 @@ def read_pages(path: str, filters, columns=None, fs=None,
     try:
         fmd = src.footer()
         idx = read_page_index(path, fs=fs, fmd=fmd)
+        bounds = _chunk_bounds(fmd, src.data_end)
         elems = {e["name"]: e for e in fmd["schema"][1:]
                  if e.get("num_children") is None}
         names_all = [e["name"] for e in fmd["schema"][1:]
@@ -723,16 +757,11 @@ def read_pages(path: str, filters, columns=None, fs=None,
                 if mask is None or ci is None or \
                         [loc["first_row_index"]
                          for loc in ci["locations"]] != grid:
-                    # no usable index alignment: whole chunk
-                    start = min(p for p in (cmd.get("dictionary_page_offset"),
-                                            cmd["data_page_offset"])
-                                if p is not None)
-                    blob = src.range(start, cmd["total_compressed_size"])
-                    cmd2 = dict(cmd,
-                                data_page_offset=cmd["data_page_offset"] - start)
-                    if cmd.get("dictionary_page_offset") is not None:
-                        cmd2["dictionary_page_offset"] = \
-                            cmd["dictionary_page_offset"] - start
+                    # no usable index alignment: whole chunk, sized by
+                    # the NEXT chunk's start — total_compressed_size is
+                    # under-reported by some writers (incl. the
+                    # reference) and must not truncate the page loop
+                    blob, cmd2 = _fetch_chunk(src, cmd, bounds)
                     n_keep = rg["num_rows"]
                 else:
                     locs = ci["locations"]
@@ -874,15 +903,35 @@ def read_bloom_filter(path: str, offset: int, length: int | None = None,
 
 def _bloom_value_bytes(value, elem: dict) -> bytes | None:
     """PLAIN-encode a point-predicate value for bloom hashing (the
-    parquet-java input contract); None when the type isn't bloomable."""
+    parquet-java input contract); None when the probe can't be encoded
+    in the COLUMN's layout — a bloom no-answer must be conservative
+    ("can't rule out"), never a mis-typed hash that false-negatives a
+    chunk that actually matches (e.g. a float probe of an int column)."""
+    ptype = elem["type"]
     if isinstance(value, str):
-        return value.encode("utf8")
+        return value.encode("utf8") if ptype == Type.BYTE_ARRAY else None
     if isinstance(value, bytes):
-        return value
+        return value if ptype == Type.BYTE_ARRAY else None
     if isinstance(value, bool) or value is None:
         return None
+    if isinstance(value, float):
+        if ptype in (Type.FLOAT, Type.DOUBLE):
+            return struct.pack("<f" if ptype == Type.FLOAT else "<d", value)
+        if ptype in (Type.INT32, Type.INT64) and value.is_integer():
+            value = int(value)  # 3.0 == 3 on an int column: exact
+        else:
+            return None
     if isinstance(value, int):
-        width = 4 if elem["type"] == Type.INT32 else 8
+        if ptype not in (Type.INT32, Type.INT64):
+            if ptype in (Type.FLOAT, Type.DOUBLE):
+                # int probe of a float column: hash the float layout
+                # the writer hashed (exact when representable)
+                f = float(value)
+                if int(f) == value:
+                    return struct.pack(
+                        "<f" if ptype == Type.FLOAT else "<d", f)
+            return None
+        width = 4 if ptype == Type.INT32 else 8
         # UINT columns hash the unsigned byte layout (same bits the
         # writer hashed); a probe value outside the signed range must
         # not crash the scan planner — fall back to "can't rule out"
@@ -894,9 +943,6 @@ def _bloom_value_bytes(value, elem: dict) -> bytes | None:
             return int(value).to_bytes(width, "little", signed=not unsigned)
         except OverflowError:
             return None
-    if isinstance(value, float):
-        fmt = "<f" if elem["type"] == Type.FLOAT else "<d"
-        return struct.pack(fmt, value)
     return None
 
 
@@ -916,7 +962,7 @@ def _bloom_terms(rg: dict, elems: dict, clause):
             vals = list(val)
         else:
             continue
-        elem = elems.get(col.split(".")[-1])
+        elem = elems.get(col)
         if elem is None:
             continue
         encoded = [_bloom_value_bytes(v, elem) for v in vals]
@@ -1015,8 +1061,7 @@ def filter_row_groups(out_dir: str, filters, fs=None, metas=None,
     ctx = []
     for f, ri, clauses in survivors:
         m = by_file[f]
-        elems = {e["name"]: e for e in m["fmd"]["schema"][1:]
-                 if e.get("num_children") is None}
+        elems = _leaf_elems(m["fmd"]["schema"])
         rg = m["fmd"]["row_groups"][ri]
         ctx.append((f"{root}/{f}", rg, elems))
     keep = []

@@ -479,6 +479,31 @@ def _read_row_group(src: _ByteSource, rg, tree, columns=None,
     return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
 
 
+
+def _empty_table(tree, columns=None) -> pa.Table:
+    """Zero-row table with the footer schema's REAL Arrow types — a
+    zero-row-group file must not degrade to null-typed columns (they
+    fail pa.concat_tables against populated parts, r5 review #2)."""
+    from fastparquet_spark.format.assembly import assemble_column, leaves
+
+    lvs = leaves(tree)
+    arrays, fields = [], []
+    for child in tree.children:
+        if columns is not None and child.name not in columns:
+            continue
+        if child.is_leaf and child.r == 0:
+            arr = _to_arrow(np.zeros(0, dtype=bool), None, child.elem)
+        else:
+            streams = {
+                path: (np.zeros(0, np.int32), np.zeros(0, np.int32), None)
+                for path, leaf in lvs if path[0] == child.name}
+            arr = assemble_column(child, streams, _to_arrow)
+        arrays.append(arr)
+        fields.append(pa.field(child.name, arr.type,
+                               nullable=child.repetition != 0))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
 def iter_row_groups(source, columns=None):
     """Yield one pyarrow Table per row group — the reference's streaming
     chunk iteration (fastparquet/api.py:321-337 iter_row_groups), with
@@ -521,9 +546,7 @@ def read_file(source, columns=None) -> pa.Table:
     finally:
         src.close()
     if not parts:
-        names = [c.name for c in tree.children
-                 if columns is None or c.name in columns]
-        return pa.table({nm: [] for nm in names})
+        return _empty_table(tree, columns)
     return pa.concat_tables(parts)
 
 
@@ -544,9 +567,7 @@ def read_row_groups(source, indices, columns=None) -> pa.Table:
     finally:
         src.close()
     if not parts:
-        names = [c.name for c in tree.children
-                 if columns is None or c.name in columns]
-        return pa.table({nm: [] for nm in names})
+        return _empty_table(tree, columns)
     return pa.concat_tables(parts)
 
 

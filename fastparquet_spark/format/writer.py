@@ -536,17 +536,15 @@ class ParquetWriter:
         # scans).  sorting_columns: names or (name, descending,
         # nulls_first) tuples; unknown names are ignored.
         self.custom_metadata = custom_metadata
-        self._sorting = None
-        if sorting_columns:
-            leaf_names = [m[2] for m in self.col_meta]
-            sc = []
-            for s in sorting_columns:
-                name, desc, nf = (s, False, False) if isinstance(s, str) else s
-                if name in leaf_names:
-                    sc.append({"column_idx": leaf_names.index(name),
-                               "descending": bool(desc),
-                               "nulls_first": bool(nf)})
-            self._sorting = sc or None
+        # resolved per row group against the REAL leaf-chunk list:
+        # SortingColumn.column_idx indexes the row group's chunks, and a
+        # struct/map column ahead of the sort column contributes several
+        # chunks — a col_meta (top-level) index would name the wrong
+        # leaf (r5 review #3)
+        self._sorting_req = []
+        for s in (sorting_columns or []):
+            name, desc, nf = (s, False, False) if isinstance(s, str) else s
+            self._sorting_req.append((name, bool(desc), bool(nf)))
 
     def _write_list_column(self, arr: pa.Array, name: str, meta, pos: int):
         """One LIST column chunk: vectorized Dremel level GENERATION
@@ -1015,8 +1013,14 @@ class ParquetWriter:
             if cast_to is not None and arr.type != cast_to:
                 arr = arr.cast(cast_to)
             n = len(arr)
-            defs, null_count = _def_levels(arr, n, v2=page_version == 2)
+            # values feed encoding choice / stats / blooms either way;
+            # the full-column def-level RLE is only the SINGLE-page
+            # path's — the paged branch regenerates levels per page and
+            # would throw this away (r5 review #6: pure O(n) waste on
+            # the throughput path)
             values = _extract(arr, ptype)
+            if not (self.page_rows and page_version == 1):
+                defs, null_count = _def_levels(arr, n, v2=page_version == 2)
 
             enc_override = encodings.get(name)
             if enc_override is not None:
@@ -1172,8 +1176,19 @@ class ParquetWriter:
                 compressed_size=written, dict_entries=n_dict))
         rg = {"columns": chunks_cols, "total_byte_size": rg_bytes,
               "num_rows": chunk.num_rows}
-        if self._sorting:
-            rg["sorting_columns"] = self._sorting
+        if self._sorting_req:
+            paths = [cc["meta_data"]["path_in_schema"]
+                     for cc in chunks_cols]
+            sc = []
+            for name, desc, nf in self._sorting_req:
+                idxs = [i for i, pth in enumerate(paths)
+                        if pth and pth[0] == name]
+                # only a FLAT leaf is a declarable sort key
+                if len(idxs) == 1 and len(paths[idxs[0]]) == 1:
+                    sc.append({"column_idx": idxs[0], "descending": desc,
+                               "nulls_first": nf})
+            if sc:
+                rg["sorting_columns"] = sc
         self.row_groups.append(rg)
         self.pos = pos
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -46,7 +47,14 @@ def test_reads_third_party_file_identically(fname):
     assert got.num_rows == expected.num_rows
     for col in expected.column_names:
         a = expected.column(col).combine_chunks()
-        b = got.column(col).combine_chunks().cast(a.type)
+        b = got.column(col).combine_chunks()
+        if pa.types.is_null(a.type):
+            # pyarrow degrades zero-row-group columns to null type; we
+            # keep the footer's REAL type (r5) — value-compare is
+            # vacuous either way, both must be empty/all-null
+            assert len(b) == len(a) and b.null_count == len(b)
+            continue
+        b = b.cast(a.type)
         pd.testing.assert_series_equal(a.to_pandas(), b.to_pandas(),
                                        check_names=False, obj=f"{fname}:{col}")
 
