@@ -159,65 +159,6 @@ def _cum0(a: np.ndarray) -> np.ndarray:
     return np.concatenate(([0], np.cumsum(a)[:-1]))
 
 
-def _select_nonoverlapping(pos: np.ndarray, n: int) -> np.ndarray:
-    """Leftmost-greedy subset of sorted positions with pairwise gap >= n
-    — EXACT greedy, fully vectorized.
-
-    Positions split into conflict clusters (separated by gaps >= n);
-    isolated positions are all kept.  Each round consumes, for EVERY
-    multi-position cluster in parallel, the cluster's leading
-    constant-gap run (an arithmetic progression, where greedy keeps
-    every ceil(n/gap)-th element in closed form), then re-clusters the
-    survivors past the last pick.  Rounds needed = max constant-gap
-    runs per cluster — 1 for repeated bytes/periodic patterns, a
-    handful for natural text.  A pathological cluster deeper than the
-    round cap leaves its tail un-substituted (ratio loss only, never a
-    correctness one)."""
-    pos = np.ascontiguousarray(pos, dtype=np.int64)
-    sel_parts: list[np.ndarray] = []
-    for _ in range(_MAX_SELECT_ROUNDS):
-        if len(pos) < 2:
-            sel_parts.append(pos)
-            break
-        gaps = np.diff(pos)
-        seg = np.empty(len(pos), dtype=bool)
-        seg[0] = True
-        np.greater_equal(gaps, n, out=seg[1:])
-        if seg.all():
-            sel_parts.append(pos)  # no conflicts at all
-            break
-        starts = np.nonzero(seg)[0]
-        ends = np.concatenate((starts[1:], [len(pos)]))
-        cnt = ends - starts
-        sel_parts.append(pos[starts[cnt == 1]])  # isolated: all kept
-        ms, me = starts[cnt >= 2], ends[cnt >= 2]
-        g = gaps[ms]                   # leading gap of each cluster
-        # end of the leading constant-gap run: first gap-change index
-        chg = np.concatenate((np.nonzero(np.diff(gaps) != 0)[0] + 1,
-                              [len(gaps)]))
-        rg = np.minimum(chg[np.searchsorted(chg, ms + 1)], me - 1)
-        pcnt = rg - ms + 1             # positions in the leading run
-        s = -(-n // g)                 # greedy index stride = ceil(n/gap)
-        m = -(-pcnt // s)              # picks per cluster this round
-        base = np.repeat(ms, m)
-        offs = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(_cum0(m), m)
-        sel_parts.append(pos[base + np.repeat(s, m) * offs])
-        last = pos[ms + s * (m - 1)]   # last pick per cluster
-        ssz = me - 1 - rg              # positions left after the run
-        has = ssz > 0
-        if not has.any():
-            break
-        rs2, sz2, lim = rg[has] + 1, ssz[has], last[has] + n
-        base2 = np.repeat(rs2, sz2)
-        offs2 = np.arange(int(sz2.sum()), dtype=np.int64) - np.repeat(
-            _cum0(sz2), sz2)
-        surv = pos[base2 + offs2]
-        pos = surv[surv >= np.repeat(lim, sz2)]
-    out = np.concatenate(sel_parts) if sel_parts else pos[:0]
-    out.sort()
-    return out
-
-
 class _EncodePlan:
     """Per-table matching structures, built once and cached on the
     table object (encode is called per chunk with a shared table).
@@ -275,7 +216,7 @@ def _select_var(pos: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Left-to-right greedy over variable-length matches (true FSST
     scan order): returns INDICES into pos of the accepted matches.
 
-    Same round structure as :func:`_select_nonoverlapping` — clusters
+    Greedy leftmost-wins selection by clustering: clusters
     split where a match starts at or past the previous match's end;
     each round consumes every cluster's leading constant-(gap, len) run
     in closed form (repetition blocks), peeling irregular clusters one

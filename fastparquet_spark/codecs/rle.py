@@ -94,6 +94,11 @@ def decode_hybrid(buf, width: int, count: int, offset: int = 0,
         length = int.from_bytes(bytes(buf[pos:pos + 4]), "little")
         pos += 4
     end = pos + length
+    if width == 0:
+        # a single-distinct-value dictionary page: parquet-java emits
+        # bit-width 0 and may flush <8 buffered indices as a BIT-PACKED
+        # run (zero data bytes) — every value is 0 by definition
+        return np.zeros(count, dtype=np.uint64), end
     out = np.empty(count, dtype=np.uint64)
     filled = 0
     while pos < end and filled < count:

@@ -146,8 +146,22 @@ def column_stats(values, ptype: int) -> ColumnStats:
     runs = max(1, int((np.diff(head) != 0).sum()) + 1) if len(head) > 1 else 1
     mean_run = len(head) / runs
     sorted_frac = delta_bits = 0.0
-    if v.dtype.kind in "iu" and len(s) > 1:
-        d = np.diff(s.astype(np.int64))
+    if v.dtype.kind in "iu" and n > 1:
+        # deltas must come from CONTIGUOUS slices: a strided sample
+        # inflates every delta ~stride-fold (log2(stride) extra bits),
+        # biasing selection away from DELTA_BINARY_PACKED exactly on
+        # the large columns where it pays (r5 review #10).  Four evenly
+        # placed blocks keep the probe deterministic and O(SAMPLE).
+        k = min(n, SAMPLE)
+        nb = 4 if n > SAMPLE else 1
+        bs = max(k // nb, 2)
+        parts = []
+        for b in range(nb):
+            start = 0 if nb == 1 else (b * (n - bs)) // (nb - 1)
+            blk = v[start:start + bs].astype(np.int64)
+            if len(blk) > 1:
+                parts.append(np.diff(blk))
+        d = np.concatenate(parts)
         sorted_frac = float((d >= 0).mean())
         with np.errstate(divide="ignore"):
             delta_bits = float(np.mean(np.ceil(np.log2(np.abs(d.astype(np.float64)) + 1)) + 1))

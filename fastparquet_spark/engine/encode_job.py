@@ -389,15 +389,27 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
             for row in done_rows:
                 row["encode_secs"] = total_secs
                 row["kernel_secs"] = kernel_secs
-            # task commit: (1) sweep stale finals this partition id left in
-            # any touched hive dir from an earlier failed attempt (batch
-            # boundaries after a shuffle are not deterministic, so the old
-            # attempt's -rN split may not be reproduced), (2) publish all
-            # staged files, (3) write the manifest marker.  Step 1 + the
-            # deterministic names make retries self-healing; step 2's
-            # placement means a task that dies earlier published NOTHING.
+            # task commit: (1) publish ALL staged files (atomic per
+            # file), (2) sweep stale finals/stages this partition id
+            # left in any touched hive dir from a dead attempt (batch
+            # boundaries after a shuffle are not deterministic, so the
+            # old attempt's -rN split may not be reproduced), (3) write
+            # the manifest marker.  Publish-FIRST ordering (r5 review):
+            # sweeping before publishing let two simultaneous twins
+            # delete each other's in-flight stages and leave ZERO
+            # finals, and a zombie's sweep could remove a committed
+            # -rN file while that attempt's manifest still claimed it —
+            # now any destruction happens only after OUR complete set
+            # is on disk, and a swept twin's failed rename (final
+            # already present) reads as success, not data loss.
             finals = {f for _t, f in pending}
             staged = {t for t, _f in pending}
+            for tmp, final in pending:
+                try:
+                    fs.replace(tmp, final)  # atomic per file
+                except OSError:
+                    if not fs.exists(final):
+                        raise
             if layout_ == "hive":
                 me = f"{file_prefix_}-{pid:05d}"
                 for d in sorted({f.rsplit("/", 1)[0] for f in finals}):
@@ -407,15 +419,16 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                         if (p not in finals and p not in staged
                                 and (core.startswith(me + ".")
                                      or core.startswith(me + "-r"))):
-                            fs.remove(p)  # dead attempt's file or stage
-            for staged, final in pending:
-                fs.replace(staged, final)  # atomic per file
+                            try:
+                                fs.remove(p)  # dead attempt's leftover
+                            except OSError:
+                                pass
             # manifest written AFTER all data files: its existence == commit
             payload = done_rows[0] if (layout_ == "flat" and len(done_rows) == 1) \
                 else done_rows
-            with fs.open_write(mpath + ".tmp") as fh:
+            with fs.open_write(f"{mpath}.tmp-{attempt}") as fh:
                 fh.write(json.dumps(payload).encode())
-            fs.replace(mpath + ".tmp", mpath)
+            fs.replace(f"{mpath}.tmp-{attempt}", mpath)
             for row in done_rows:
                 yield _arrow_manifest_batch(row)
         except BaseException:
@@ -482,7 +495,15 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     if set(new_sig) != set(old_sig):
         raise ValueError(
             f"append schema mismatch: existing {old_sig} vs new {new_sig}")
-    # next generation: one past the highest existing g-prefix
+    # next generation: one past the highest existing g-prefix — UNLESS
+    # the highest generation came from an INTERRUPTED append, in which
+    # case re-running must RESUME it (same prefix; committed partitions
+    # skip via their manifests) rather than re-encode the whole df under
+    # a fresh prefix, duplicating the partial generation's rows (r5
+    # review #4).  A completed append always re-merges the `_metadata`
+    # sidecar as its last step and encode_dataset removes it at plan
+    # time, so: top generation present in files but sidecar ABSENT =>
+    # that append never finished.
     gens = [0]
     for m in existing:
         base = os.path.basename(m["file"])
@@ -494,6 +515,9 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
         else:
             gens.append(1)
     gen = max(gens)
+    resume = kwargs.get("resume", True)
+    if resume and gen > 1 and old_sidecar is None:
+        gen -= 1  # resume the interrupted generation
     rows = encode_dataset(spark, df, out_dir,
                           file_prefix=f"part-g{gen:03d}", **kwargs).collect()
     new_files = sorted({r["file"] for r in rows if not r["skipped"]})

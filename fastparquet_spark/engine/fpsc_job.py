@@ -82,7 +82,7 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
         import pyarrow as pa_w
         from pyspark import TaskContext
 
-        from fastparquet_spark.engine.file_job import _publish
+        from fastparquet_spark.engine.file_job import _stage_name
         from fastparquet_spark.format.container import write_container
         from fastparquet_spark.io import get_fs
 
@@ -101,28 +101,34 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
 
         fsst_cache: dict = dict(pretrained_)  # driver-trained tables
         done_rows: list[dict] = []
+        pending: list[tuple[str, str]] = []  # (staged, final)
         buf: list[pa.RecordBatch] = []
         buf_rows = 0
+        task_start = time.perf_counter()
 
         def write_one(tbl: pa.Table):
+            # STAGE only — all containers publish together at task
+            # commit, so a failed/racing attempt never leaves a partial
+            # final-named set that read_fpsc (which lists *.fpsc,
+            # manifest-blind) would read (r5 review #2)
             k = len(done_rows)
             fname = f"part-{pid:05d}-{k:03d}.fpsc"
             fpath = _u_join(out_dir_, fname)
+            tmp = _stage_name(fpath, attempt)
             t0 = time.perf_counter()
-            blocks_box = []
-            _publish(fs, lambda sink: blocks_box.append(
-                write_container(sink, tbl, compression=compression_,
-                                fsst_cache=fsst_cache,
-                                bloom_filters=bloom_,
-                                codec_decisions=decisions_)),
-                     fpath, attempt)
-            blocks = blocks_box[0]
+            with fs.open_write(tmp) as sink:
+                blocks = write_container(sink, tbl,
+                                         compression=compression_,
+                                         fsst_cache=fsst_cache,
+                                         bloom_filters=bloom_,
+                                         codec_decisions=decisions_)
             kernel = time.perf_counter() - t0
+            pending.append((tmp, fpath))
             done_rows.append(
                 {"partition": pid, "file": fname, "rows": tbl.num_rows,
                  "input_bytes": tbl.nbytes,
-                 "output_bytes": fs.size(fpath),
-                 "encode_secs": kernel, "kernel_secs": kernel,
+                 "output_bytes": fs.size(tmp),
+                 "encode_secs": 0.0, "kernel_secs": kernel,
                  "skipped": False,
                  "columns": json.dumps({b.name: b.codec for b in blocks})})
 
@@ -140,20 +146,51 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
             else:
                 buf, buf_rows = [], 0  # release buffered batches
 
-        for b in batches:
-            buf.append(b)
-            buf_rows += b.num_rows
-            if buf_rows >= rows_per_:
-                flush_chunk()
-        flush_chunk(final=True)
-        if not done_rows:
-            return
-        # manifest written AFTER all containers: its existence == commit
-        with fs.open_write(mpath + ".tmp") as fh:
-            fh.write(json.dumps(done_rows).encode())
-        fs.replace(mpath + ".tmp", mpath)
-        for row in done_rows:
-            yield _arrow_manifest_batch(row)
+        try:
+            for b in batches:
+                buf.append(b)
+                buf_rows += b.num_rows
+                if buf_rows >= rows_per_:
+                    flush_chunk()
+            flush_chunk(final=True)
+            if not done_rows:
+                return
+            # task commit: publish the COMPLETE container set first
+            # (each rename atomic; a swept stage with the final present
+            # means a twin already published a complete file), then
+            # sweep a dead twin's extra-index finals, then the manifest
+            for tmp, fpath in pending:
+                try:
+                    fs.replace(tmp, fpath)
+                except OSError:
+                    if not fs.exists(fpath):
+                        raise
+            finals = {f for _t, f in pending}
+            me = f"part-{pid:05d}-"
+            for pth in fs.listdir(out_dir_):
+                base = pth.rsplit("/", 1)[1]
+                if base.startswith(me) and base.endswith(".fpsc") \
+                        and pth not in finals:
+                    try:
+                        fs.remove(pth)
+                    except OSError:
+                        pass
+            total = time.perf_counter() - task_start
+            for row in done_rows:
+                row["encode_secs"] = total
+            with fs.open_write(f"{mpath}.tmp-{attempt}") as fh:
+                fh.write(json.dumps(done_rows).encode())
+            fs.replace(f"{mpath}.tmp-{attempt}", mpath)
+            for row in done_rows:
+                yield _arrow_manifest_batch(row)
+        except BaseException:
+            for tmp, _f in pending:
+                try:
+                    if fs.exists(tmp):
+                        fs.remove(tmp)
+                except OSError:
+                    pass
+            raise
 
     return work.mapInArrow(run, _manifest_struct())
 

@@ -54,7 +54,7 @@ def _eval_partition_term(v, op, val) -> bool:
     raise ValueError(f"unsupported filter op {op!r}")
 
 
-def _file_clauses(clauses, pvals: dict, file_names=None):
+def _file_clauses(clauses, pvals: dict):
     """Per-file DNF rewrite: partition terms are decided HERE against
     the file's constant values — a clause whose partition term fails is
     dropped for this file, a passing term is stripped (already true for
@@ -69,8 +69,8 @@ def _file_clauses(clauses, pvals: dict, file_names=None):
                     keep = False
                     break
             else:
-                # file column, or unknown (the reader keeps rows for
-                # columns it cannot find — conservative)
+                # file column or unknown — the reader keeps rows for
+                # columns it cannot find (conservative)
                 resid.append((col, op, val))
         if keep:
             out.append(resid)
@@ -127,7 +127,31 @@ def paged_read(spark, in_dir: str, filters, columns=None,
         filters = [filters]
 
     fs = get_fs(in_dir, fs)
-    metas = dataset_metadata(in_dir, fs=fs)
+    if any(c in in_dir for c in "*?["):
+        # expand the glob OURSELVES: dataset_metadata's glob branch
+        # keys by basename, which cannot be re-joined into real
+        # executor paths (and collides across subdirectories)
+        import os as _os
+
+        from fastparquet_spark.format.dataset import _partition_values
+        from fastparquet_spark.format.reader import read_footer_tail
+        from fastparquet_spark.io import fetch_footers
+
+        files = sorted(p for p in fs.glob(in_dir)
+                       if p.endswith(".parquet"))
+        if not files:
+            raise ValueError(f"no parquet files under {in_dir}")
+        base = _os.path.commonpath([_os.path.dirname(p) for p in files]) \
+            if len(files) > 1 else _os.path.dirname(files[0])
+        tails = fetch_footers(files, fs)
+        metas = [{"file": _os.path.relpath(p, base),
+                  "fmd": read_footer_tail(t),
+                  "partitions": _partition_values(
+                      _os.path.relpath(p, base))}
+                 for p, t in zip(files, tails)]
+        in_dir = base
+    else:
+        metas = dataset_metadata(in_dir, fs=fs)
     if not metas:
         raise ValueError(f"no parquet files under {in_dir}")
     # driver-side tier: stats + concurrent bloom pruning (partition
@@ -157,10 +181,20 @@ def paged_read(spark, in_dir: str, filters, columns=None,
     if columns is not None:
         file_cols = [c for c in columns if c in names_all]
         part_cols = [c for c in columns if c in pnames]
+        if not file_cols and names_all:
+            # a partition-only projection still needs per-row
+            # cardinality: decode ONE (narrow) file column to carry the
+            # row count, dropped before the constants are attached
+            file_cols = [names_all[0]]
+            drop_cols = [names_all[0]]
+        else:
+            drop_cols = []
     else:
         file_cols, part_cols = list(names_all), list(pnames)
+        drop_cols = []
     arrow_schema = pa.schema(
-        [(n, _arrow_type(elems[n])) for n in file_cols]
+        [(n, _arrow_type(elems[n])) for n in file_cols
+         if n not in drop_cols]
         + [(n, ptypes[n]) for n in part_cols])
     out_schema = from_arrow_schema(arrow_schema)
 
@@ -183,8 +217,8 @@ def paged_read(spark, in_dir: str, filters, columns=None,
 
     clauses_ = [list(c) for c in filters]
     file_cols_ = list(file_cols)
+    drop_cols_ = list(drop_cols)
     part_cols_ = list(part_cols)
-    names_all_ = set(names_all)
     exact_ = exact
     arrow_schema_ = arrow_schema
 
@@ -202,11 +236,13 @@ def paged_read(spark, in_dir: str, filters, columns=None,
                 pvals = json.loads(pjson)
                 # decide partition terms against this file's constants;
                 # only residual file-column terms reach the page reader
-                fclauses = _file_clauses(clauses_, pvals, names_all_)
+                fclauses = _file_clauses(clauses_, pvals)
                 if not fclauses:
                     continue  # no DNF branch can match this file
                 tbl = read_pages(path, fclauses, columns=file_cols_,
                                  exact=exact_, row_groups=ris)
+                if drop_cols_:
+                    tbl = tbl.drop_columns(drop_cols_)
                 for name in part_cols_:
                     tbl = tbl.append_column(
                         name, pa.array([pvals.get(name)] * tbl.num_rows,

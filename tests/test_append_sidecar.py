@@ -12,6 +12,7 @@ append, :1156-1193 merge):
 from __future__ import annotations
 
 import glob
+import os
 
 import pyarrow.parquet as pq
 import pytest
@@ -265,3 +266,43 @@ def test_common_metadata_sidecar_written_and_opens(spark, tmp_path):
     assert cm2.metadata.num_row_groups == 0
     assert sum(rg["num_rows"] for m in dataset_metadata(out)
                for rg in m["fmd"]["row_groups"]) == 700
+
+
+def test_append_resume_reuses_interrupted_generation(spark, tmp_path):
+    """(r5 review #4) an interrupted append (generation files exist,
+    sidecar never re-merged) must RESUME that generation on re-run —
+    committed partitions skip via manifests — instead of re-encoding
+    the whole df under a fresh prefix and duplicating rows."""
+    from fastparquet_spark.engine import append_dataset, encode_dataset
+
+    out = str(tmp_path / "ds")
+    encode_dataset(spark, _df(spark, 0, 1000), out, num_partitions=2,
+                   salt_rows=10**9, resume=False).collect()
+    write_metadata_sidecar(out)
+    # simulate an interrupted append: run it fully, then delete the
+    # sidecar (the completion marker) and ONE partition's manifest +
+    # file (an uncommitted partition)
+    append_dataset(spark, _df(spark, 1000, 1600), out,
+                   num_partitions=2, salt_rows=10**9, resume=False)
+    victims = sorted(glob.glob(f"{out}/part-g001-*.parquet"))
+    os.remove(os.path.join(out, "_metadata"))
+    if os.path.exists(os.path.join(out, "_common_metadata")):
+        os.remove(os.path.join(out, "_common_metadata"))
+    vic = os.path.basename(victims[0])
+    os.remove(victims[0])
+    os.remove(os.path.join(out, "_manifests",
+                           vic.replace(".parquet", ".json")))
+    # re-run the SAME append with resume semantics
+    rows = append_dataset(spark, _df(spark, 1000, 1600), out,
+                          num_partitions=2, salt_rows=10**9)
+    # no part-g002 files: the interrupted generation was resumed
+    assert not glob.glob(f"{out}/part-g002-*.parquet")
+    skipped = [r for r in rows if r["skipped"]]
+    redone = [r for r in rows if not r["skipped"]]
+    assert skipped and redone  # committed partition skipped, victim redone
+    # total rows exactly once
+    assert spark.read.parquet(out).count() == 1600
+    # and the sidecar is consistent again
+    n = sum(rg["num_rows"] for m in dataset_metadata(out)
+            for rg in m["fmd"]["row_groups"])
+    assert n == 1600

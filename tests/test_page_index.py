@@ -325,7 +325,7 @@ def test_paged_read_hive_partitions(spark, tmp_path):
     df = synthetic_source_table(spark, 2_000, partitions=2)
     encode_dataset(spark, df, out, compression="SNAPPY",
                    partition_cols=("lang",), num_partitions=2,
-                   sort_within=(), resume=False).collect()
+                   sort_within=(), resume=False, layout="hive").collect()
     src = spark.read.parquet(out)
     langs = [r["lang"] for r in src.select("lang").distinct().collect()]
     pick = sorted(langs)[0]

@@ -144,3 +144,52 @@ def test_glob_above_root_hive_dirs_are_not_partitions(tmp_path):
     keep = filter_row_groups(f"{d}/*.parquet", [("run", "==", 5)])
     # unknown column cannot prune: chunk kept
     assert len(keep) == 1
+
+
+def test_rle_width_zero_bitpacked_run():
+    """parquet-java emits bit-width 0 for single-distinct-value dict
+    pages and may flush <8 values as a BIT-PACKED run (zero data
+    bytes): decode must yield zeros, not ZeroDivisionError (review #5)."""
+    from fastparquet_spark.codecs.rle import decode_hybrid
+
+    # stream: uint32 length prefix (1 byte) + bit-packed header for one
+    # 8-value group (header = (1 << 1) | 1 = 3), no data bytes
+    stream = (1).to_bytes(4, "little") + bytes([3])
+    vals, end = decode_hybrid(memoryview(stream), width=0, count=3)
+    assert list(vals) == [0, 0, 0]
+    # RLE-run form too
+    stream2 = (1).to_bytes(4, "little") + bytes([6])  # run=3, rle
+    vals2, _ = decode_hybrid(memoryview(stream2), width=0, count=3)
+    assert list(vals2) == [0, 0, 0]
+
+
+def test_paged_read_partition_only_projection_and_glob(spark, tmp_path):
+    """(review #3/#6) paged_read: a projection of ONLY partition
+    columns returns one row per matching data row, and a glob in_dir
+    resolves real executor paths."""
+    from fastparquet_spark.engine import (
+        encode_dataset, paged_read, synthetic_source_table,
+    )
+
+    out = str(tmp_path / "hive")
+    df = synthetic_source_table(spark, 900, partitions=2)
+    encode_dataset(spark, df, out, compression="SNAPPY",
+                   partition_cols=("lang",), num_partitions=2,
+                   sort_within=(), resume=False,
+                   layout="hive").collect()
+    src = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    pick = sorted(r["lang"] for r in
+                  src.select("lang").distinct().collect())[0]
+    want = src.filter(F.col("lang") == pick).count()
+    got = paged_read(spark, out, [("lang", "==", pick)],
+                     columns=["lang"])
+    rows = got.collect()
+    assert len(rows) == want > 0
+    assert got.columns == ["lang"]
+    assert all(r["lang"] == pick for r in rows)
+    # glob spanning the hive subdirectories
+    got2 = paged_read(spark, f"{out}/lang=*/*.parquet",
+                      [("lang", "==", pick)], columns=["path", "lang"])
+    assert got2.count() == want
