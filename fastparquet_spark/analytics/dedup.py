@@ -13,15 +13,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from fastparquet_spark.analytics.relational import load
+from fastparquet_spark.analytics.text import _words  # single tokenizer
 
 N_HASHES = 8          # minhash signature length
 BANDS = 2             # LSH bands (N_HASHES / BANDS rows per band)
 SHINGLE = 3           # words per shingle
 MAX_BUCKET = 1024     # docs considered per LSH bucket (smallest doc_ids)
-
-
-def _words(col="text"):
-    return F.split(F.trim(F.lower(F.regexp_replace(F.col(col), "[^a-zA-Z0-9 ]", " "))), " +")
 
 
 def _shingles_df(spark, sf_dir, max_doc=None, distinct: bool = True):

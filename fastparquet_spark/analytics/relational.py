@@ -158,7 +158,13 @@ def q_rle_runs(spark, sf_dir, chunk_rows: int = 65536):
              .withColumn("prev_chunk_last", F.lag("last_type").over(wc))
              .select("chunk", "prev_chunk_last"))
     runs = runs.join(F.broadcast(lastc), "chunk", "left")
-    boundary_prev = F.coalesce(F.col("prev"), F.col("prev_chunk_last"))
+    # the chunk-boundary substitution applies ONLY to each chunk's
+    # first row: coalesce(prev, ...) would also fire when the previous
+    # ROW EXISTS but its value is NULL, miscounting run starts on
+    # null-bearing columns (r5 review)
+    runs = runs.withColumn("rn", F.row_number().over(w))
+    boundary_prev = F.when(F.col("rn") == 1,
+                           F.col("prev_chunk_last")).otherwise(F.col("prev"))
     runs = runs.withColumn(
         "is_start",
         F.when(boundary_prev.isNull() |

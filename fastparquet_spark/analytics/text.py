@@ -21,6 +21,9 @@ LANG_MARKERS = {
 
 
 def _words(col="text"):
+    """Shared tokenizer — MUST stay in lockstep with registry._WORDS_SQL
+    (the DuckDB mirror); dedup.py imports this same helper so shingles
+    and text operators can never tokenize differently."""
     return F.split(F.trim(F.lower(F.regexp_replace(F.col(col), "[^a-zA-Z0-9 ]", " "))), " +")
 
 

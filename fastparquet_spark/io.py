@@ -111,14 +111,20 @@ class ArrowFS:
         # matching LocalFS/glob.glob semantics
         import fnmatch
 
+        if not any(c in pattern for c in "*?["):
+            # wildcard-free pattern: glob.glob semantics ([path] / [])
+            return [pattern] if self.exists(pattern) else []
         segs = pattern.split("/")
         first_wild = next((i for i, s in enumerate(segs)
                            if any(c in s for c in "*?[")), len(segs))
         base = "/".join(segs[:first_wild]) or "/"
-        if first_wild == len(segs) - 1:
-            cands = self.listdir(base)  # final-segment-only: flat list
-        else:
-            cands = self.walk_files(base)
+        try:
+            if first_wild == len(segs) - 1:
+                cands = self.listdir(base)  # final-segment-only: flat
+            else:
+                cands = self.walk_files(base)
+        except (OSError, FileNotFoundError):
+            return []  # nonexistent prefix: glob.glob returns []
 
         # match per path SEGMENT ('*' must not cross '/'), the LocalFS /
         # glob.glob semantics — a naive full-path fnmatch would let
@@ -161,15 +167,22 @@ class ArrowFS:
 
 
 class CountingFS:
-    """Wraps an FS; counts bytes actually read (for tail-read proofs)."""
+    """Wraps an FS; counts bytes actually read (for tail-read proofs).
+    Counter updates are locked: fetch_footers/_prefetch_blooms read
+    through one FS from up to 16 threads, and += on an attribute is a
+    non-atomic read-modify-write."""
 
     def __init__(self, inner):
+        import threading
+
         self.inner = inner
         self.bytes_read = 0
         self.opens = 0
+        self._lock = threading.Lock()
 
     def open_read(self, path: str):
-        self.opens += 1
+        with self._lock:
+            self.opens += 1
         return _CountingFile(self.inner.open_read(path), self)
 
     def __getattr__(self, name):
@@ -183,7 +196,8 @@ class _CountingFile:
 
     def read(self, n=-1):
         data = self._f.read(n)
-        self._c.bytes_read += len(data)
+        with self._c._lock:
+            self._c.bytes_read += len(data)
         return data
 
     def __getattr__(self, name):
@@ -203,9 +217,17 @@ def get_fs(path: str, fs=None):
     if _is_uri(path):
         from pyarrow.fs import FileSystem
 
-        arrow_fs, _inner = FileSystem.from_uri(path)
-        scheme = path.split("://", 1)[0] + "://"
-        return ArrowFS(arrow_fs, scheme)
+        arrow_fs, inner = FileSystem.from_uri(path)
+        # prefix = everything from_uri consumed BEYOND the inner path —
+        # for hdfs://nn:8020/x this includes the authority (nn:8020);
+        # stripping only the scheme handed HadoopFileSystem a relative
+        # 'nn:8020/x' path (r5 review).  s3/gs keep their bucket in the
+        # inner path, so their prefix stays just 'scheme://'.
+        if inner and path.endswith(inner):
+            prefix = path[:len(path) - len(inner)]
+        else:
+            prefix = path.split("://", 1)[0] + "://"
+        return ArrowFS(arrow_fs, prefix)
     return LocalFS()
 
 
@@ -235,6 +257,11 @@ def fetch_footers(paths: list[str], fs=None, max_workers: int = 16) -> list[byte
     over 100k files burn minutes of idle cluster before a job starts."""
     from concurrent.futures import ThreadPoolExecutor
 
+    if fs is None and paths:
+        # resolve ONCE: per-path FileSystem.from_uri would rebuild an
+        # object-store client (credentials, TLS) for every footer,
+        # serializing exactly the setup the thread pool exists to avoid
+        fs = get_fs(paths[0])
     if len(paths) <= 1:
         return [read_tail_footer(p, fs) for p in paths]
     with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:

@@ -118,25 +118,28 @@ class FpscReader(DataSourceReader):
         from fastparquet_spark.format.container import read_container_footer
         from fastparquet_spark.format.dataset import _chunk_may_match
 
+        from fastparquet_spark.format.container import (
+            container_bloom_rules_out,
+        )
+
         with ThreadPoolExecutor(max_workers=min(16, max(len(files), 1))) as ex:
             metas = list(ex.map(read_container_footer, files))
-        kept = []
-        for p, meta in zip(files, metas):
-            cols = {cm["name"]: (cm.get("min"), cm.get("max"),
-                                 cm.get("null_count"), cm.get("n"))
-                    for cm in meta["columns"]}
-            if not _chunk_may_match(cols, self._clauses):
-                continue
-            # second tier: container bloom filters for ==/in point
-            # predicates stats can't discriminate (one small ranged
-            # read per surviving file)
-            from fastparquet_spark.format.container import (
-                container_bloom_rules_out,
-            )
-
-            if container_bloom_rules_out(p, meta, self._clauses):
-                continue
-            kept.append(p)
+            stat_kept = []
+            for p, meta in zip(files, metas):
+                cols = {cm["name"]: (cm.get("min"), cm.get("max"),
+                                     cm.get("null_count"), cm.get("n"))
+                        for cm in meta["columns"]}
+                if _chunk_may_match(cols, self._clauses):
+                    stat_kept.append((p, meta))
+            # second tier: container bloom probes for ==/in point
+            # predicates stats can't discriminate — CONCURRENT ranged
+            # reads (a sequential driver loop over 10k object-store
+            # files burns minutes of planning before any task launches)
+            ruled = list(ex.map(
+                lambda pm: container_bloom_rules_out(pm[0], pm[1],
+                                                     self._clauses),
+                stat_kept))
+        kept = [p for (p, _m), out in zip(stat_kept, ruled) if not out]
         return [InputPartition(p) for p in kept]
 
     def read(self, partition: InputPartition):

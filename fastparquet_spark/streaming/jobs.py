@@ -23,7 +23,9 @@ def encode_stream(spark, stream_df, out_dir: str, checkpoint_dir: str, *,
 
     if fmt not in ("parquet", "fpsc"):
         raise ValueError("fmt must be 'parquet' or 'fpsc'")
-    os.makedirs(out_dir, exist_ok=True)
+    from fastparquet_spark.io import get_fs
+
+    get_fs(out_dir).makedirs(out_dir)  # fs seam: URI sinks work too
 
     def handle(batch_df, epoch_id: int):
         epoch_dir = os.path.join(out_dir, f"epoch={epoch_id:08d}")

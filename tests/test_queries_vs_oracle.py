@@ -104,3 +104,35 @@ def test_chunk_tokens_no_phantom_chunks_for_empty_docs(spark, tmp_path):
         ORACLES["text_chunk_tokens"]).fetchall())
     assert srows == orows
     assert all(cid >= 0 for _d, cid, _t, _n in srows)
+
+
+def test_rle_runs_null_values_match_oracle(spark, tmp_path):
+    """(r5 review) the chunk-boundary stitch must fire only on each
+    chunk's FIRST row — coalescing any NULL lag() pulled the previous
+    chunk's value into mid-chunk NULL positions, miscounting runs on
+    null-bearing columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.analytics.registry import ORACLES
+    from fastparquet_spark.analytics.relational import q_rle_runs
+
+    d = str(tmp_path)
+    t = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": pa.array([0] * 8, pa.timestamp("us")),
+        "user_id": pa.array([1] * 8, pa.int64()),
+        "event_type": pa.array(["a", None, "b", "b", None, None,
+                                "a", "a"]),
+        "value": pa.array([0.0] * 8),
+        "props": pa.array(["{}"] * 8),
+    })
+    pq.write_table(t, f"{d}/events.parquet")
+    srows = sorted((tuple(r) for r in
+                    q_rle_runs(spark, d, chunk_rows=3).collect()),
+                   key=repr)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    orows = sorted((tuple(r) for r in
+                    con.sql(ORACLES["q_rle_runs"]).fetchall()), key=repr)
+    assert srows == orows
