@@ -50,7 +50,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_pairs", "dedup_simhash", "dedup_clusters",
     "text_quality",
     "text_fingerprint", "sim_cosine_topk", "sim_lsh_buckets",
-    "sim_neardup_lsh", "mm_binary_meta",
+    "sim_neardup_lsh", "mm_binary_meta", "text_sample_stratified",
+    "text_chunk_tokens", "text_redact_pii", "engine_paged_scan",
 ]
 
 

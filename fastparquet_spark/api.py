@@ -256,13 +256,15 @@ class ParquetFile:
                                   if c in want or c not in names])
             yield tbl
 
-    def to_pandas(self, columns=None, filters=None,
-                  row_filter: bool = False):
+    def to_pandas(self, columns=None, categories=None, filters=None,
+                  index=None, row_filter: bool = False):
         """Read into a pandas DataFrame with the reference's
-        ``columns`` / DNF ``filters`` / ``row_filter`` contract
-        (api.py:387-476): filters prune row groups (a superset of the
-        matching rows); ``row_filter=True`` applies the exact residual
-        predicate."""
+        ``columns`` / ``categories`` / DNF ``filters`` / ``index`` /
+        ``row_filter`` contract (api.py:387-476): filters prune row
+        groups (a superset of the matching rows); ``row_filter=True``
+        applies the exact residual predicate; ``categories`` names
+        columns returned as pandas Categoricals; ``index`` promotes a
+        column to the frame index."""
         parts = list(self._tables(columns, filters, row_filter))
         if not parts:
             names = columns if columns is not None else self.columns
@@ -273,9 +275,16 @@ class ParquetFile:
                     e for e in self._fmd0["schema"][1:]
                     if e["name"] == n)) if n in self.columns
                 else pa.string()) for n in names}
-            return pa.table(empty).to_pandas()
-        return pa.concat_tables(parts,
-                                promote_options="default").to_pandas()
+            df = pa.table(empty).to_pandas()
+        else:
+            df = pa.concat_tables(parts,
+                                  promote_options="default").to_pandas()
+        for c in (categories or []):
+            if c in df.columns:
+                df[c] = df[c].astype("category")
+        if index is not None and index in df.columns:
+            df = df.set_index(index)
+        return df
 
     def iter_row_groups(self, filters=None, columns=None):
         """Yield one pandas DataFrame per surviving row group

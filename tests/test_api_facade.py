@@ -180,3 +180,14 @@ def test_head_walks_multiple_files(tmp_path):
                       str(tmp_path / "p2.parquet")])
     h = pf.head(80)
     assert len(h) == 80 and sorted(h["k"]) == list(range(80))
+
+
+def test_to_pandas_categories_and_index(tmp_path):
+    df = _df(200)
+    path = str(tmp_path / "ci.parquet")
+    write(path, df)
+    pf = ParquetFile(path)
+    out = pf.to_pandas(categories=["lang"], index="k")
+    assert out.index.name == "k"
+    assert str(out["lang"].dtype) == "category"
+    assert len(out) == 200
