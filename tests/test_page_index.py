@@ -408,3 +408,74 @@ def test_paged_read_empty_filters_scans_all(spark, tmp_path):
         t = pa.table({"k": pa.array(range(i * 100, (i + 1) * 100))})
         write_file(str(d / f"p{i}.parquet"), t, compression="SNAPPY")
     assert paged_read(spark, str(d), []).count() == 200
+
+
+def test_read_pages_fuzz_vs_pyarrow_compute():
+    """Property fuzz: random tables, page sizes and predicates —
+    read_pages(exact=True) must equal a full-table Arrow compute
+    filter, regardless of which pages the index prunes."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from fastparquet_spark.format.dataset import read_pages
+
+    rng = np.random.default_rng(11)
+    OPS = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+           "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+    for trial in range(12):
+        n = int(rng.integers(50, 4_000))
+        sortedness = rng.random()
+        k = np.sort(rng.integers(0, n, n)) if sortedness > 0.5 \
+            else rng.integers(0, n, n)
+        f = rng.normal(0, 100, n)
+        if trial % 3 == 0:
+            f[rng.integers(0, n, max(n // 50, 1))] = np.nan
+        t = pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "f": pa.array(f),
+            "s": pa.array([f"w{int(x) % 37}" for x in k]),
+            "m": pa.array([int(x) if x % 5 else None for x in k],
+                          pa.int64()),
+        })
+        path = tempfile.mktemp(suffix=".parquet")
+        page_rows = int(rng.choice([64, 100, 333, 1000]))
+        rg_rows = int(rng.choice([500, 1000, 5000]))
+        write_file(path, t, compression="SNAPPY",
+                   row_group_rows=rg_rows, page_rows=page_rows)
+        # random single-term and two-term AND/OR predicates
+        col = str(rng.choice(["k", "f", "s", "m"]))
+        op = str(rng.choice(list(OPS)))
+        val = {"k": int(rng.integers(0, n)),
+               "f": float(rng.normal(0, 100)),
+               "s": f"w{int(rng.integers(0, 37))}",
+               "m": int(rng.integers(0, n))}[col]
+        clause = [(col, op, val)]
+        if trial % 2:
+            clause.append(("k", "<", int(rng.integers(1, n + 1))))
+        filters = [clause] if trial % 4 != 3 else \
+            [clause, [("k", ">=", int(rng.integers(0, n)))]]
+        got = read_pages(path, filters, exact=True)
+        # oracle: full table + Arrow mask with identical semantics
+        mask = None
+        for cl in (filters if isinstance(filters[0], list) else [filters]):
+            m = None
+            for c, o, v in cl:
+                t_ = OPS[o](t.column(c), v)
+                t_ = pc.fill_null(t_, False)
+                m = t_ if m is None else pc.and_(m, t_)
+            if m is None:
+                m = pa.array([True] * n)
+            mask = m if mask is None else pc.or_(mask, m)
+        want = t.filter(mask)
+        assert got.num_rows == want.num_rows, \
+            (trial, filters, got.num_rows, want.num_rows)
+        import math
+
+        def norm(vals):
+            return sorted(("NaN" if isinstance(v, float) and math.isnan(v)
+                           else v for v in vals), key=repr)
+
+        for c in t.column_names:
+            assert norm(got.column(c).to_pylist()) == \
+                norm(want.column(c).to_pylist()), (trial, filters, c)
