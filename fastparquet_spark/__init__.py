@@ -25,7 +25,7 @@ __version__ = "0.1.0"
 def __getattr__(name):
     # lazy: the compat facade (ParquetFile / write, the reference's
     # public entry points) without forcing its imports on engine users
-    if name in ("ParquetFile", "ParquetException", "write"):
+    if name in ("ParquetFile", "ParquetException", "merge", "write"):
         from fastparquet_spark import api
 
         return getattr(api, name)

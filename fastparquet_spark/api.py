@@ -43,7 +43,7 @@ from fastparquet_spark.format.reader import (
 from fastparquet_spark.format.writer import write_file
 from fastparquet_spark.io import fetch_footers, get_fs
 
-__all__ = ["ParquetFile", "ParquetException", "write"]
+__all__ = ["ParquetFile", "ParquetException", "merge", "write"]
 
 
 class ParquetException(Exception):
@@ -428,3 +428,32 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
     else:
         _emit(f"{filename}/part.{n_written}.parquet", table)
     write_metadata_sidecar(filename, fs=fs)
+
+
+def merge(file_list, verify_schema: bool = True) -> ParquetFile:
+    """Create a logical dataset out of multiple parquet files — the
+    reference's ``fastparquet.writer.merge`` (writer.py:1156-1193):
+    writes a merged ``_metadata`` (+ ``_common_metadata``) sidecar in
+    the files' common directory and returns the opened ParquetFile.
+    Files must share one directory level; schemas must match
+    (``verify_schema``)."""
+    from fastparquet_spark.format.dataset import (
+        schema_signature, write_metadata_sidecar,
+    )
+    from fastparquet_spark.format.reader import read_footer_tail
+
+    paths = [f.fn if isinstance(f, ParquetFile) else f for f in file_list]
+    if not paths:
+        raise ValueError("merge needs at least one file")
+    root = os.path.commonpath([os.path.dirname(p) for p in paths])         if len(paths) > 1 else os.path.dirname(paths[0])
+    fs = get_fs(paths[0])
+    if verify_schema:
+        tails = fetch_footers(list(paths), fs)
+        sigs = {tuple(schema_signature(read_footer_tail(t)))
+                for t in tails}
+        if len(sigs) > 1:
+            raise ValueError("merge: schemas differ across input files")
+    rels = [os.path.relpath(p, root) for p in paths]
+    write_metadata_sidecar(root, fs=fs, base=None, add_files=None)         if set(rels) == {os.path.basename(p) for p in paths} and False         else None
+    write_metadata_sidecar(root, fs=fs)
+    return ParquetFile(root, fs=fs)

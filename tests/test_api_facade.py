@@ -191,3 +191,43 @@ def test_to_pandas_categories_and_index(tmp_path):
     assert out.index.name == "k"
     assert str(out["lang"].dtype) == "category"
     assert len(out) == 200
+
+
+def test_merge_and_drill_scheme(tmp_path):
+    """merge() writes the sidecars and opens the dataset (reference
+    writer.py:1156); write(file_scheme='drill') lays out bare value
+    dirs that drill_read discovers as dir0."""
+    import os
+
+    from fastparquet_spark.api import merge
+
+    d = tmp_path / "m"
+    d.mkdir()
+    a, b = _df(60), _df(60)
+    b["k"] += 60
+    write(str(d / "a.parquet"), a)
+    write(str(d / "b.parquet"), b)
+    pf = merge([str(d / "a.parquet"), str(d / "b.parquet")])
+    assert os.path.exists(d / "_metadata")
+    assert os.path.exists(d / "_common_metadata")
+    assert pf.count() == 120
+    # schema mismatch raises
+    import pandas as pd
+    import pytest as _pt
+
+    write(str(d / "c_bad.parquet"),
+          pd.DataFrame({"other": [1, 2]}))
+    with _pt.raises(ValueError, match="schemas differ"):
+        merge([str(d / "a.parquet"), str(d / "c_bad.parquet")])
+    os.remove(d / "c_bad.parquet")
+    # drill scheme
+    out = str(tmp_path / "drill")
+    write(out, _df(90), file_scheme="drill", partition_on=["lang"])
+    subdirs = sorted(p for p in os.listdir(out)
+                     if not p.startswith("_"))
+    assert subdirs == ["go", "py", "rs"]  # bare label dirs
+    from fastparquet_spark.format.dataset import dataset_metadata
+
+    metas = dataset_metadata(out, use_sidecar=False)
+    assert all(m["partitions"].get("dir0") in ("go", "py", "rs")
+               for m in metas)
