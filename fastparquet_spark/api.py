@@ -84,8 +84,12 @@ class ParquetFile:
                     _partition_values,
                 )
 
-                files = sorted(p for p in self._fs.glob(fn)
-                               if p.endswith(".parquet"))
+                # trust the user's pattern (the reference opens whatever
+                # the glob matches — any suffix, e.g. '*.parq'); only
+                # sidecar/hidden basenames are excluded
+                files = sorted(
+                    p for p in self._fs.glob(fn)
+                    if not os.path.basename(p).startswith(("_", ".")))
                 if not files:
                     raise ValueError(f"no parquet data at {fn!r}")
                 base = os.path.commonpath(
@@ -244,12 +248,27 @@ class ParquetFile:
                 if not fclauses:
                     continue
             file_cols = [c for c in decode if c in names]
-            tbl = read_row_groups(self._path(m["file"]), ris,
-                                  columns=file_cols)
-            for k, v in (m.get("partitions") or {}).items():
-                if columns is None or k in want:
-                    tbl = tbl.append_column(
-                        k, pa.array([v] * tbl.num_rows))
+            pmap = m.get("partitions") or {}
+            if file_cols:
+                tbl = read_row_groups(self._path(m["file"]), ris,
+                                      columns=file_cols)
+                for k, v in pmap.items():
+                    if columns is None or k in want:
+                        tbl = tbl.append_column(
+                            k, pa.array([v] * tbl.num_rows))
+            else:
+                # partition-columns-only projection: row cardinality
+                # comes from the footer counts, no column decode (the
+                # reference returns the full-cardinality column here —
+                # fastparquet api.py:387-476; r5 ADVICE #2)
+                nrows = sum(m["fmd"]["row_groups"][ri]["num_rows"]
+                            for ri in ris)
+                pcols = {k: pa.array([v] * nrows)
+                         for k, v in pmap.items()
+                         if columns is None or k in want}
+                if not pcols:
+                    continue
+                tbl = pa.table(pcols)
             if filters and row_filter:
                 tbl = _apply_row_filter_dnf(tbl, fclauses)
                 tbl = tbl.select([c for c in tbl.column_names
@@ -446,6 +465,13 @@ def merge(file_list, verify_schema: bool = True) -> ParquetFile:
     if not paths:
         raise ValueError("merge needs at least one file")
     root = os.path.commonpath([os.path.dirname(p) for p in paths])         if len(paths) > 1 else os.path.dirname(paths[0])
+    rels = [os.path.relpath(p, root) for p in paths]
+    # the reference allows files at the root or exactly one directory
+    # level below it (writer.py:1165-1172); deeper nesting is rejected
+    if any(r.count(os.sep) > 1 for r in rels):
+        raise ValueError(
+            "merge: files must share one directory, or sit at most one "
+            f"level below {root}")
     fs = get_fs(paths[0])
     if verify_schema:
         tails = fetch_footers(list(paths), fs)
@@ -453,7 +479,8 @@ def merge(file_list, verify_schema: bool = True) -> ParquetFile:
                 for t in tails}
         if len(sigs) > 1:
             raise ValueError("merge: schemas differ across input files")
-    rels = [os.path.relpath(p, root) for p in paths]
-    write_metadata_sidecar(root, fs=fs, base=None, add_files=None)         if set(rels) == {os.path.basename(p) for p in paths} and False         else None
-    write_metadata_sidecar(root, fs=fs)
+    # the sidecar covers EXACTLY file_list — parquet files under root
+    # that were not passed in must not be swept into _metadata
+    write_metadata_sidecar(root, fs=fs,
+                           files=[r.replace(os.sep, "/") for r in rels])
     return ParquetFile(root, fs=fs)

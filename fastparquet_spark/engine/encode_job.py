@@ -500,10 +500,15 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     # case re-running must RESUME it (same prefix; committed partitions
     # skip via their manifests) rather than re-encode the whole df under
     # a fresh prefix, duplicating the partial generation's rows (r5
-    # review #4).  A completed append always re-merges the `_metadata`
-    # sidecar as its last step and encode_dataset removes it at plan
-    # time, so: top generation present in files but sidecar ABSENT =>
-    # that append never finished.
+    # review #4).  The proof of interruption is a POSITIVE signal: every
+    # append writes `_g{N}_INPROGRESS` before any task runs and removes
+    # it only after the final sidecar re-merge, so marker present =>
+    # that generation never finished.  ("sidecar absent" alone is NOT
+    # proof — a LATER append that died between its plan-time sidecar
+    # invalidation and its first task commit also leaves no sidecar,
+    # and decrementing onto the earlier COMPLETED generation would make
+    # every partition skip and silently drop the new rows — r5 ADVICE
+    # #1.)
     gens = [0]
     for m in existing:
         base = os.path.basename(m["file"])
@@ -516,8 +521,15 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
             gens.append(1)
     gen = max(gens)
     resume = kwargs.get("resume", True)
-    if resume and gen > 1 and old_sidecar is None:
-        gen -= 1  # resume the interrupted generation
+    from fastparquet_spark.io import get_fs
+
+    fs = get_fs(out_dir)
+    if (resume and gen > 1 and old_sidecar is None
+            and fs.exists(_u_join(out_dir, f"_g{gen - 1:03d}_INPROGRESS"))):
+        gen -= 1  # resume the provably interrupted generation
+    marker = _u_join(out_dir, f"_g{gen:03d}_INPROGRESS")
+    with fs.open_write(marker) as fh:
+        fh.write(b"")
     rows = encode_dataset(spark, df, out_dir,
                           file_prefix=f"part-g{gen:03d}", **kwargs).collect()
     new_files = sorted({r["file"] for r in rows if not r["skipped"]})
@@ -526,6 +538,10 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
                                add_files=new_files)
     else:
         write_metadata_sidecar(out_dir)
+    try:  # completion: the generation is now published in the sidecar
+        fs.remove(marker)
+    except OSError:
+        pass
     return rows
 
 

@@ -244,9 +244,17 @@ def paged_read(spark, in_dir: str, filters, columns=None,
                 if drop_cols_:
                     tbl = tbl.drop_columns(drop_cols_)
                 for name in part_cols_:
+                    ptype = arrow_schema_.field(name).type
+                    pval = pvals.get(name)
+                    # heterogeneous partition spellings (k=3 beside
+                    # k=abc) resolve the COLUMN type to string while
+                    # individual values stay int/float — stringify so
+                    # pa.array does not raise ArrowTypeError (r5
+                    # ADVICE #5)
+                    if pa.types.is_string(ptype) and pval is not None:
+                        pval = str(pval)
                     tbl = tbl.append_column(
-                        name, pa.array([pvals.get(name)] * tbl.num_rows,
-                                       type=arrow_schema_.field(name).type))
+                        name, pa.array([pval] * tbl.num_rows, type=ptype))
                 yield from tbl.cast(arrow_schema_).to_batches()
 
     return paths_df.mapInArrow(scan, out_schema)

@@ -250,7 +250,8 @@ def read_sidecar(out_dir: str, fs=None) -> dict | None:
 
 
 def write_metadata_sidecar(out_dir: str, fs=None, base: dict | None = None,
-                           add_files: list[str] | None = None) -> int:
+                           add_files: list[str] | None = None,
+                           files: list[str] | None = None) -> int:
     """Merge part footers into a ``_metadata`` sidecar (the reference's
     ``merge``, fastparquet/writer.py:1156-1193): one FileMetaData whose
     row groups carry ``file_path`` relative to the dataset root.
@@ -260,7 +261,12 @@ def write_metadata_sidecar(out_dir: str, fs=None, base: dict | None = None,
     + ``add_files`` = relative paths of the NEW part files): only the
     new files' footers are fetched and appended to ``base`` — an
     append touches O(new files), not O(dataset), unlike the
-    reference's full re-merge."""
+    reference's full re-merge.
+
+    EXPLICIT mode (``files`` = relative paths): merge exactly those
+    files, in that order — the reference's ``merge(file_list)``
+    contract (writer.py:1156-1193), which must NOT sweep in other
+    parquet files that happen to live under ``out_dir``."""
     from fastparquet_spark.format import thrift
     from fastparquet_spark.format.metadata import MAGIC, SPECS
     from fastparquet_spark.format.writer import CREATED_BY
@@ -284,7 +290,14 @@ def write_metadata_sidecar(out_dir: str, fs=None, base: dict | None = None,
                 rgs.append(rg2)
                 num_rows += rg["num_rows"]
     else:
-        metas = dataset_metadata(out_dir, fs=fs, use_sidecar=False)
+        if files is not None:
+            tails = fetch_footers([_join(out_dir, f) for f in files], fs)
+            scheme = detect_scheme(list(files))
+            metas = [{"file": rel, "fmd": read_footer_tail(t),
+                      "partitions": _partition_values(rel, scheme)}
+                     for rel, t in zip(files, tails)]
+        else:
+            metas = dataset_metadata(out_dir, fs=fs, use_sidecar=False)
         if not metas:
             raise ValueError(f"no part files under {out_dir}")
         schema = metas[0]["fmd"]["schema"]

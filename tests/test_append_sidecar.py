@@ -292,6 +292,10 @@ def test_append_resume_reuses_interrupted_generation(spark, tmp_path):
     os.remove(victims[0])
     os.remove(os.path.join(out, "_manifests",
                            vic.replace(".parquet", ".json")))
+    # a REAL interrupted append leaves its in-progress marker on disk
+    # (it is removed only after the final sidecar re-merge)
+    with open(os.path.join(out, "_g001_INPROGRESS"), "wb"):
+        pass
     # re-run the SAME append with resume semantics
     rows = append_dataset(spark, _df(spark, 1000, 1600), out,
                           num_partitions=2, salt_rows=10**9)
@@ -306,3 +310,40 @@ def test_append_resume_reuses_interrupted_generation(spark, tmp_path):
     n = sum(rg["num_rows"] for m in dataset_metadata(out)
             for rg in m["fmd"]["row_groups"])
     assert n == 1600
+    # the completed resume cleared its marker
+    assert not os.path.exists(os.path.join(out, "_g001_INPROGRESS"))
+
+
+def test_append_never_resumes_completed_generation(spark, tmp_path):
+    """(r5 ADVICE #1 — silent data loss guard) a sidecar missing for any
+    OTHER reason than an interrupted append — here: a later append died
+    after its plan-time sidecar invalidation but before any task commit
+    — must NOT decrement onto the previous COMPLETED generation (whose
+    manifests all exist, so every partition would skip and the new
+    DataFrame's rows would vanish).  Without the in-progress marker the
+    append writes a fresh generation."""
+    from fastparquet_spark.engine import append_dataset, encode_dataset
+
+    out = str(tmp_path / "ds")
+    encode_dataset(spark, _df(spark, 0, 1000), out, num_partitions=2,
+                   salt_rows=10**9, resume=False).collect()
+    write_metadata_sidecar(out)
+    # generation 1 COMPLETES (marker removed, sidecar merged)
+    append_dataset(spark, _df(spark, 1000, 1500), out,
+                   num_partitions=2, salt_rows=10**9)
+    assert not glob.glob(f"{out}/_g*_INPROGRESS")
+    # a later append dies after invalidating the sidecar, before any
+    # task manifest or marker for g002 lands
+    os.remove(os.path.join(out, "_metadata"))
+    if os.path.exists(os.path.join(out, "_common_metadata")):
+        os.remove(os.path.join(out, "_common_metadata"))
+    # re-run with DIFFERENT data and default resume semantics
+    rows = append_dataset(spark, _df(spark, 1500, 2000), out,
+                          num_partitions=2, salt_rows=10**9)
+    # rows were NOT silently dropped: a fresh generation was written
+    assert glob.glob(f"{out}/part-g002-*.parquet")
+    assert not any(r["skipped"] for r in rows)
+    assert spark.read.parquet(out).count() == 2000
+    n = sum(rg["num_rows"] for m in dataset_metadata(out)
+            for rg in m["fmd"]["row_groups"])
+    assert n == 2000
