@@ -8,6 +8,7 @@ format as a first-class Spark data source:
     spark.read.format("fpsc").load(path)
 """
 
+from fastparquet_spark.sources.fps_source import FpsDataSource
 from fastparquet_spark.sources.fpsc_source import FpscDataSource
 
-__all__ = ["FpscDataSource"]
+__all__ = ["FpsDataSource", "FpscDataSource"]

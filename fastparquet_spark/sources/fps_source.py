@@ -1,0 +1,328 @@
+"""The engine's parquet read path as a Spark Python Data Source
+(pyspark.sql.datasource, Spark 4) — Catalyst drives the three-tier
+pruning stack instead of hand-built DNF filters:
+
+    spark.dataSource.register(FpsDataSource)
+    spark.read.format("fps").load("/data/ds").filter("k = 7")
+
+is the idiomatic spelling of ``engine.scan_job.paged_read``:
+
+1. ``pushFilters`` receives Catalyst's translated predicates and keeps
+   the comparison/null/in terms as one DNF AND-clause;
+2. ``partitions()`` (driver, metadata-only) runs row-group stats +
+   bloom pruning (``filter_row_groups`` — sidecar-aware footer fetch,
+   concurrent bloom probes; hive partition values prune whole files as
+   pseudo-stats) and emits one input partition per group of surviving
+   files;
+3. ``read()`` (executor) runs ColumnIndex page skipping inside each
+   surviving row group (``read_pages`` — ranged reads of surviving
+   spans only) and yields the page-granular superset as Arrow batches.
+
+Every filter is returned to Spark as unsupported, so Spark keeps
+responsibility for exactness and applies the full predicate over the
+superset rows — the source's job is pruning IO, not row-level
+semantics.  That split means the source stays correct even when
+``spark.sql.python.filterPushdown.enabled`` is off (no pruning, same
+rows).
+
+The Python Data Source API has no column-pruning hook yet; pass
+``.option("columns", "a,b")`` to project at the page-reader level
+(predicate columns are decoded as needed and dropped, mirroring
+``paged_read``'s contract).  Hive ``key=value`` datasets work end to
+end, partition columns appended last (Spark's convention).
+
+Write side (``df.write.format("fps").save(dir)``): each task streams
+its Arrow batches through ``format.writer.write_file`` into one
+staged ``part-<job>-<pid>.parquet`` per task attempt; ``commit``
+renames the one successful attempt per task to its deterministic
+final name and sweeps stale stages (the engine's twin-safe
+publish-first protocol), then re-merges the ``_metadata`` /
+``_common_metadata`` sidecars so footer-only readers see the new
+files in one fetch.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_MAX_TASKS = 4096  # ceiling on scheduler units for 100k-file datasets
+
+
+def _load_metas(path: str):
+    """(root, metas) for a dataset dir / glob — sidecar-aware, footer
+    tails only (one fetch when ``_metadata`` exists)."""
+    import os
+
+    from fastparquet_spark.format.dataset import (
+        _partition_values, dataset_metadata,
+    )
+    from fastparquet_spark.format.reader import read_footer_tail
+    from fastparquet_spark.io import fetch_footers, get_fs
+
+    fs = get_fs(path)
+    if any(c in path for c in "*?["):
+        files = sorted(p for p in fs.glob(path)
+                       if not os.path.basename(p).startswith(("_", ".")))
+        if not files:
+            raise ValueError(f"no parquet files match {path!r}")
+        base = os.path.commonpath([os.path.dirname(p) for p in files]) \
+            if len(files) > 1 else os.path.dirname(files[0])
+        tails = fetch_footers(files, fs)
+        metas = [{"file": os.path.relpath(p, base),
+                  "fmd": read_footer_tail(t),
+                  "partitions": _partition_values(os.path.relpath(p, base))}
+                 for p, t in zip(files, tails)]
+        return base, metas
+    metas = dataset_metadata(path, fs=fs)
+    if not metas:
+        raise ValueError(f"no parquet files under {path!r}")
+    return path.rstrip("/"), metas
+
+
+def _result_columns(metas, columns):
+    """(file_cols, part_cols, drop_cols, arrow_schema) — same contract
+    as ``paged_read``: file columns in footer order, partition columns
+    (typed from observed values) appended last."""
+    import pyarrow as pa
+
+    from fastparquet_spark.engine.scan_job import _partition_arrow_type
+    from fastparquet_spark.format.reader import _arrow_type
+
+    elems = {e["name"]: e for e in metas[0]["fmd"]["schema"][1:]
+             if e.get("num_children") is None}
+    names_all = list(elems)
+    pnames = list(metas[0].get("partitions") or {})
+    ptypes = {k: _partition_arrow_type(
+        [(m.get("partitions") or {}).get(k) for m in metas])
+        for k in pnames}
+    drop_cols: list[str] = []
+    if columns is not None:
+        file_cols = [c for c in columns if c in names_all]
+        part_cols = [c for c in columns if c in pnames]
+        if not file_cols and names_all:
+            # partition-only projection still needs row cardinality
+            file_cols = [names_all[0]]
+            drop_cols = [names_all[0]]
+    else:
+        file_cols, part_cols = list(names_all), list(pnames)
+    arrow_schema = pa.schema(
+        [(n, _arrow_type(elems[n])) for n in file_cols
+         if n not in drop_cols]
+        + [(n, ptypes[n]) for n in part_cols])
+    return file_cols, part_cols, drop_cols, arrow_schema
+
+
+class FpsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fps"
+
+    def _columns_opt(self):
+        cols = self.options.get("columns")
+        return [c.strip() for c in cols.split(",") if c.strip()] \
+            if cols else None
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        _root, metas = _load_metas(self.options["path"])
+        _fc, _pc, _dc, arrow_schema = _result_columns(
+            metas, self._columns_opt())
+        return from_arrow_schema(arrow_schema)
+
+    def reader(self, schema: StructType):
+        return FpsReader(self.options["path"], self._columns_opt())
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return FpsWriter(
+            self.options["path"],
+            self.options.get("compression", "ZSTD"),
+            int(self.options.get("row_group_rows", 1_000_000)),
+            overwrite)
+
+
+class FpsReader(DataSourceReader):
+    def __init__(self, path: str, columns):
+        self.path = path
+        self.columns = columns
+        self._clauses: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Catalyst -> DNF translation.  Spark hands the conjunction of
+        the query's source-level predicates; the comparison / null / IN
+        terms become ONE AND-clause for the pruning stack.  ALL filters
+        are returned (unsupported), so Spark re-applies the exact
+        predicate over the page-granular superset we yield."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+            IsNull, LessThan, LessThanOrEqual,
+        )
+
+        ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
+               LessThan: "<", LessThanOrEqual: "<=", In: "in",
+               IsNull: "is_null", IsNotNull: "is_not_null"}
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                val = getattr(f, "value", None)  # In.value is a tuple
+                self._clauses.append((f.attribute[0], op, val))
+        return filters
+
+    def partitions(self):
+        """Driver tier: stats + bloom row-group pruning (metadata-only)
+        -> grouped (file, row-groups, partition-values) units.
+
+        Each InputPartition is SELF-CONTAINED (units + the projection /
+        clauses / result schema header): Spark pickles the reader
+        object before this runs, so executor-side ``read`` must not
+        depend on driver-side mutations of ``self``."""
+        from fastparquet_spark.format.dataset import filter_row_groups
+
+        root, metas = _load_metas(self.path)
+        file_cols, part_cols, drop_cols, aschema = _result_columns(
+            metas, self.columns)
+        filters = [self._clauses] if self._clauses else None
+        if filters:
+            survivors = filter_row_groups(root, filters, metas=metas)
+        else:
+            survivors = [(m["file"], ri) for m in metas
+                         for ri in range(len(m["fmd"]["row_groups"]))]
+        by_file: dict[str, list[int]] = {}
+        for f, ri in survivors:
+            by_file.setdefault(f, []).append(ri)
+        pmap = {m["file"]: (m.get("partitions") or {}) for m in metas}
+        units = [(f"{root}/{f}", sorted(ris), pmap[f])
+                 for f, ris in sorted(by_file.items())]
+        header = {"file_cols": file_cols, "part_cols": part_cols,
+                  "drop_cols": drop_cols,
+                  "schema": aschema.serialize().to_pybytes(),
+                  "clauses": list(self._clauses)}
+        per = max(1, -(-len(units) // _MAX_TASKS))  # ceil-div grouping
+        return [InputPartition((header, units[i:i + per]))
+                for i in range(0, len(units), per)]
+
+    def read(self, partition: InputPartition):
+        # all files pruned -> Spark still issues one read(None)
+        if partition is None or partition.value is None:
+            return
+        import pyarrow as pa
+
+        from fastparquet_spark.engine.scan_job import _file_clauses
+        from fastparquet_spark.format.dataset import read_pages
+
+        pa.set_cpu_count(1)
+        header, units = partition.value
+        aschema = pa.ipc.read_schema(pa.py_buffer(header["schema"]))
+        # [[]] is the match-all DNF (an empty list would mean NO branch)
+        clauses = [list(header["clauses"])] if header["clauses"] else [[]]
+        for path, ris, pvals in units:
+            fclauses = _file_clauses(clauses, pvals)
+            if not fclauses:
+                continue  # partition term rules this file out
+            tbl = read_pages(path, fclauses, columns=header["file_cols"],
+                             exact=False, row_groups=set(ris))
+            if header["drop_cols"]:
+                tbl = tbl.drop_columns(header["drop_cols"])
+            for name in header["part_cols"]:
+                ptype = aschema.field(name).type
+                pval = pvals.get(name)
+                if pa.types.is_string(ptype) and pval is not None:
+                    pval = str(pval)
+                tbl = tbl.append_column(
+                    name, pa.array([pval] * tbl.num_rows, type=ptype))
+            yield from tbl.cast(aschema).to_batches()
+
+
+@dataclass
+class _Committed(WriterCommitMessage):
+    files: tuple = ()  # (staged_rel, final_rel) pairs
+
+
+class FpsWriter(DataSourceArrowWriter):
+    """Twin-safe staged commit, same protocol as the engine's file
+    jobs: tasks write ``.<final>.stage-<attempt>`` (dot-hidden, so no
+    reader or lister ever sees a partial file), the driver's ``commit``
+    renames exactly the winning attempt per task and sweeps the rest."""
+
+    def __init__(self, path: str, compression: str, row_group_rows: int,
+                 overwrite: bool):
+        import uuid
+
+        self.path = path
+        self.compression = compression
+        self.row_group_rows = row_group_rows
+        self.overwrite = overwrite
+        self.job = uuid.uuid4().hex[:8]
+
+    def _full(self, rel: str) -> str:
+        return self.path.rstrip("/") + "/" + rel
+
+    def write(self, iterator: Iterator) -> _Committed:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        from fastparquet_spark.format.writer import write_file
+        from fastparquet_spark.io import get_fs
+
+        pa.set_cpu_count(1)
+        fs = get_fs(self.path)
+        fs.makedirs(self.path)
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        batches = list(iterator)
+        if not any(b.num_rows for b in batches):
+            return _Committed(())
+        tbl = pa.Table.from_batches([b for b in batches if b.num_rows])
+        final = f"part-{self.job}-{pid:05d}.parquet"
+        staged = f".{final}.stage-{attempt}"
+        write_file(self._full(staged), tbl, compression=self.compression,
+                   row_group_rows=self.row_group_rows)
+        return _Committed(((staged, final),))
+
+    def commit(self, messages):
+        from fastparquet_spark.io import get_fs
+
+        fs = get_fs(self.path)
+        root = self.path.rstrip("/")
+        if self.overwrite:
+            for p in fs.glob(f"{root}/*.parquet"):
+                fs.remove(p)
+            for name in ("_metadata", "_common_metadata"):
+                if fs.exists(f"{root}/{name}"):
+                    fs.remove(f"{root}/{name}")
+        for msg in messages:
+            for staged, final in msg.files:
+                fs.replace(self._full(staged), self._full(final))
+        # sweep stale stages from failed/speculative attempts
+        for p in fs.glob(f"{root}/.part-{self.job}-*.stage-*"):
+            try:
+                fs.remove(p)
+            except OSError:
+                pass
+        from fastparquet_spark.format.dataset import write_metadata_sidecar
+
+        write_metadata_sidecar(self.path)
+
+    def abort(self, messages):
+        from fastparquet_spark.io import get_fs
+
+        fs = get_fs(self.path)
+        for msg in messages:
+            if msg is None:
+                continue
+            for staged, _final in msg.files:
+                try:
+                    fs.remove(self._full(staged))
+                except OSError:
+                    pass

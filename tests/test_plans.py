@@ -149,3 +149,33 @@ def test_neardup_lsh_no_count_job_at_build(spark, monkeypatch):
     df = sim_neardup_lsh(spark, "/root/testdata/sf0.001")  # builds the plan
     monkeypatch.undo()
     assert df.count() >= 0  # and it still executes
+
+
+def test_fps_source_scan_is_pruned_by_catalyst(spark, tmp_path):
+    """The 'fps' data source's pruning is driven by CATALYST, visible
+    in the executed plan: the scan appears as a BatchScan node with an
+    exact Filter above it (the source yields a page-granular superset),
+    and a pushed predicate shrinks the number of input partitions —
+    which can only happen if pushFilters -> partitions() pruning ran
+    during planning (PushedFilters text is not rendered for Python
+    sources, so partition count is the observable)."""
+    import pyarrow as pa
+
+    from fastparquet_spark.format.writer import write_file
+    from fastparquet_spark.sources import FpsDataSource
+
+    d = tmp_path / "fps"
+    d.mkdir()
+    for i in range(4):
+        write_file(str(d / f"p{i}.parquet"),
+                   pa.table({"k": pa.array(range(i * 1000, (i + 1) * 1000))}),
+                   row_group_rows=500)
+    spark.dataSource.register(FpsDataSource)
+    base = spark.read.format("fps").load(str(d))
+    assert base.rdd.getNumPartitions() == 4  # one unit per file
+    filtered = spark.read.format("fps").load(str(d)).filter("k >= 3500")
+    p = plan_of(filtered)
+    assert "BatchScan fps" in p
+    assert "Filter" in p  # Spark keeps exactness over the superset
+    assert filtered.rdd.getNumPartitions() == 1  # 3 of 4 files pruned
+    assert filtered.count() == 500

@@ -136,3 +136,12 @@ def test_rle_runs_null_values_match_oracle(spark, tmp_path):
     orows = sorted((tuple(r) for r in
                     con.sql(ORACLES["q_rle_runs"]).fetchall()), key=repr)
     assert srows == orows
+
+
+def test_every_query_has_a_nonnone_oracle():
+    """The registry docstring's claim stays true: every queries() key
+    carries a non-None oracle_sql() entry (the strong hash gate — no
+    rows-only checks)."""
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(qs) == set(os_)
+    assert all(isinstance(v, str) and v.strip() for v in os_.values())
