@@ -91,17 +91,19 @@ def _load_metas(path: str):
 
 
 def _result_columns(metas, columns):
-    """(file_cols, part_cols, drop_cols, arrow_schema) — same contract
-    as ``paged_read``: file columns in footer order, partition columns
-    (typed from observed values) appended last."""
+    """(file_cols, part_cols, drop_cols, arrow_schema, names_all,
+    present) — same contract as ``paged_read``: the UNION of the
+    per-file leaf schemas in first-seen order (schema-evolution-
+    tolerant, type conflicts error), partition columns (typed from
+    observed values) appended last."""
     import pyarrow as pa
 
-    from fastparquet_spark.engine.scan_job import _partition_arrow_type
+    from fastparquet_spark.engine.scan_job import (
+        _partition_arrow_type, union_leaf_elems,
+    )
     from fastparquet_spark.format.reader import _arrow_type
 
-    elems = {e["name"]: e for e in metas[0]["fmd"]["schema"][1:]
-             if e.get("num_children") is None}
-    names_all = list(elems)
+    names_all, elems, present = union_leaf_elems(metas)
     pnames = list(metas[0].get("partitions") or {})
     ptypes = {k: _partition_arrow_type(
         [(m.get("partitions") or {}).get(k) for m in metas])
@@ -120,7 +122,7 @@ def _result_columns(metas, columns):
         [(n, _arrow_type(elems[n])) for n in file_cols
          if n not in drop_cols]
         + [(n, ptypes[n]) for n in part_cols])
-    return file_cols, part_cols, drop_cols, arrow_schema
+    return file_cols, part_cols, drop_cols, arrow_schema, names_all, present
 
 
 class FpsDataSource(DataSource):
@@ -137,8 +139,7 @@ class FpsDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         _root, metas = _load_metas(self.options["path"])
-        _fc, _pc, _dc, arrow_schema = _result_columns(
-            metas, self._columns_opt())
+        arrow_schema = _result_columns(metas, self._columns_opt())[3]
         return from_arrow_schema(arrow_schema)
 
     def reader(self, schema: StructType):
@@ -190,8 +191,8 @@ class FpsReader(DataSourceReader):
         from fastparquet_spark.format.dataset import filter_row_groups
 
         root, metas = _load_metas(self.path)
-        file_cols, part_cols, drop_cols, aschema = _result_columns(
-            metas, self.columns)
+        file_cols, part_cols, drop_cols, aschema, names_all, present = \
+            _result_columns(metas, self.columns)
         filters = [self._clauses] if self._clauses else None
         if filters:
             survivors = filter_row_groups(root, filters, metas=metas)
@@ -202,8 +203,16 @@ class FpsReader(DataSourceReader):
         for f, ri in survivors:
             by_file.setdefault(f, []).append(ri)
         pmap = {m["file"]: (m.get("partitions") or {}) for m in metas}
-        units = [(f"{root}/{f}", sorted(ris), pmap[f])
-                 for f, ris in sorted(by_file.items())]
+        units = []
+        for f, ris in sorted(by_file.items()):
+            absent = [c for c in file_cols if c not in present[f]]
+            fallback = ""
+            if len(absent) == len(file_cols):
+                mine = [c for c in names_all if c in present[f]]
+                if mine:
+                    fallback = mine[0]
+            units.append((f"{root}/{f}", sorted(ris), pmap[f],
+                          absent, fallback))
         header = {"file_cols": file_cols, "part_cols": part_cols,
                   "drop_cols": drop_cols,
                   "schema": aschema.serialize().to_pybytes(),
@@ -221,19 +230,34 @@ class FpsReader(DataSourceReader):
         from fastparquet_spark.engine.scan_job import _file_clauses
         from fastparquet_spark.format.dataset import read_pages
 
+        from fastparquet_spark.engine.scan_job import _absent_clauses
+
         pa.set_cpu_count(1)
         header, units = partition.value
         aschema = pa.ipc.read_schema(pa.py_buffer(header["schema"]))
         # [[]] is the match-all DNF (an empty list would mean NO branch)
         clauses = [list(header["clauses"])] if header["clauses"] else [[]]
-        for path, ris, pvals in units:
+        file_cols, drop_cols = header["file_cols"], header["drop_cols"]
+        for path, ris, pvals, absent, fallback in units:
             fclauses = _file_clauses(clauses, pvals)
+            if absent and fclauses:
+                # schema evolution: terms on columns this file predates
+                # evaluate as all-null
+                fclauses = _absent_clauses(fclauses, set(absent))
             if not fclauses:
-                continue  # partition term rules this file out
-            tbl = read_pages(path, fclauses, columns=header["file_cols"],
+                continue  # partition/absent term rules this file out
+            cols_here = [c for c in file_cols if c not in absent]
+            drop_here = [c for c in drop_cols if c not in absent]
+            if not cols_here and fallback:
+                cols_here, drop_here = [fallback], [fallback]
+            tbl = read_pages(path, fclauses, columns=cols_here,
                              exact=False, row_groups=set(ris))
-            if header["drop_cols"]:
-                tbl = tbl.drop_columns(header["drop_cols"])
+            if drop_here:
+                tbl = tbl.drop_columns(drop_here)
+            for c in file_cols:
+                if c in absent and c not in drop_cols:
+                    tbl = tbl.append_column(
+                        c, pa.nulls(tbl.num_rows, aschema.field(c).type))
             for name in header["part_cols"]:
                 ptype = aschema.field(name).type
                 pval = pvals.get(name)
@@ -241,7 +265,7 @@ class FpsReader(DataSourceReader):
                     pval = str(pval)
                 tbl = tbl.append_column(
                     name, pa.array([pval] * tbl.num_rows, type=ptype))
-            yield from tbl.cast(aschema).to_batches()
+            yield from tbl.select(aschema.names).cast(aschema).to_batches()
 
 
 @dataclass

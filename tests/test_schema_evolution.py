@@ -1,0 +1,97 @@
+"""Schema-evolution-tolerant scans (r5 VERDICT missing #1): a dataset
+whose later files carry a column the earlier files predate must read
+as the UNION schema with typed-null fill — through paged_read AND the
+'fps' data source — with SQL three-valued semantics for predicates on
+the evolved column.  Type conflicts across files are an error, not a
+coercion (stricter than silent garbage, looser than the reference's
+assumed equality, fastparquet/util.py:115-213)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from fastparquet_spark.format.writer import write_file
+
+
+def _evolved_dataset(tmp_path):
+    d = tmp_path / "evo"
+    d.mkdir()
+    # generation 0: (k, s)
+    write_file(str(d / "part-00.parquet"),
+               pa.table({"k": pa.array(range(0, 1000)),
+                         "s": pa.array([f"s{i % 7}" for i in range(1000)])}),
+               row_group_rows=500)
+    # generation 1 adds a nullable double column
+    write_file(str(d / "part-01.parquet"),
+               pa.table({"k": pa.array(range(1000, 2000)),
+                         "s": pa.array([f"s{i % 7}" for i in range(1000)]),
+                         "extra": pa.array([float(i) for i in range(1000)])}),
+               row_group_rows=500)
+    return str(d)
+
+
+def test_paged_read_union_schema_null_fill(spark, tmp_path):
+    from fastparquet_spark.engine import paged_read
+
+    path = _evolved_dataset(tmp_path)
+    df = paged_read(spark, path, filters=None)
+    assert df.columns == ["k", "s", "extra"]
+    assert df.count() == 2000
+    # old files' rows carry typed nulls
+    assert df.filter("extra IS NULL").count() == 1000
+    assert df.filter("extra IS NOT NULL").count() == 1000
+    assert dict(df.schema["extra"].jsonValue(),)["type"] == "double"
+
+
+def test_paged_read_predicates_on_evolved_column(spark, tmp_path):
+    from fastparquet_spark.engine import paged_read
+
+    path = _evolved_dataset(tmp_path)
+    # comparison on the evolved column: old files contribute nothing
+    got = paged_read(spark, path, [("extra", ">=", 990.0)])
+    rows = sorted(r["k"] for r in got.collect())
+    assert rows == list(range(1990, 2000))
+    # is_null selects exactly the pre-evolution rows
+    nulls = paged_read(spark, path, [("extra", "is_null", None)])
+    assert sorted(r["k"] for r in nulls.collect()) == list(range(1000))
+    # DNF branch mixing evolved + original columns
+    dnf = [[("extra", "<", 5.0)], [("k", "<", 3)]]
+    got2 = sorted(r["k"] for r in paged_read(spark, path, dnf).collect())
+    assert got2 == [0, 1, 2, 1000, 1001, 1002, 1003, 1004]
+
+
+def test_paged_read_projection_of_only_evolved_column(spark, tmp_path):
+    from fastparquet_spark.engine import paged_read
+
+    path = _evolved_dataset(tmp_path)
+    df = paged_read(spark, path, filters=None, columns=["extra"])
+    assert df.columns == ["extra"]
+    assert df.count() == 2000  # old files still carry cardinality
+    assert df.filter("extra IS NULL").count() == 1000
+
+
+def test_fps_source_schema_evolution(spark, tmp_path):
+    from fastparquet_spark.sources import FpsDataSource
+
+    spark.dataSource.register(FpsDataSource)
+    path = _evolved_dataset(tmp_path)
+    df = spark.read.format("fps").load(path)
+    assert df.columns == ["k", "s", "extra"]
+    assert df.count() == 2000
+    assert df.filter("extra IS NULL").count() == 1000
+    got = df.filter("extra >= 990.0")
+    assert sorted(r["k"] for r in got.collect()) == list(range(1990, 2000))
+
+
+def test_type_conflict_raises(spark, tmp_path):
+    from fastparquet_spark.engine import paged_read
+
+    d = tmp_path / "conflict"
+    d.mkdir()
+    write_file(str(d / "a.parquet"),
+               pa.table({"k": pa.array(range(10), pa.int64())}))
+    write_file(str(d / "b.parquet"),
+               pa.table({"k": pa.array(["x", "y"])}))
+    with pytest.raises(ValueError, match="type conflict"):
+        paged_read(spark, str(d), filters=None)
