@@ -179,3 +179,11 @@ def test_fps_source_scan_is_pruned_by_catalyst(spark, tmp_path):
     assert "Filter" in p  # Spark keeps exactness over the superset
     assert filtered.rdd.getNumPartitions() == 1  # 3 of 4 files pruned
     assert filtered.count() == 500
+
+
+def test_ann_ivf_centroids_no_generate(spark):
+    """Centroid building must stay one-row-per-vector: no Generate
+    (posexplode) node anywhere in the IVF plan — the 64x row
+    amplification it caused was the stage hot spot at 10^9 vectors."""
+    p = plan_of(similarity.sim_ann_ivf(spark, SF))
+    assert "Generate" not in p
