@@ -64,7 +64,22 @@ class ParquetFile:
 
     def __init__(self, fn, fs=None):
         self.fn = fn
-        if isinstance(fn, (tuple, list)):
+        self._blob = None
+        if hasattr(fn, "read") and hasattr(fn, "seek"):
+            # open file object (the reference accepts one,
+            # fastparquet/api.py:95-162): buffer once, serve every
+            # row-group read from memory
+            from fastparquet_spark.format.reader import read_footer
+
+            fn.seek(0)
+            blob = fn.read()
+            self._blob = blob
+            self.fn = getattr(fn, "name", "<file-like>")
+            self._root = "."
+            self._fs = get_fs(".", fs)
+            self._metas = [{"file": os.path.basename(str(self.fn)),
+                            "fmd": read_footer(blob), "partitions": {}}]
+        elif isinstance(fn, (tuple, list)):
             base = os.path.commonpath([os.path.dirname(p) for p in fn]) \
                 if len(fn) > 1 else os.path.dirname(fn[0])
             self._root = base or "."
@@ -206,13 +221,17 @@ class ParquetFile:
                 "row_groups": len(self.row_groups)}
 
     # --------------------------------------------------------------- read --
-    def _path(self, rel: str) -> str:
+    def _path(self, rel: str):
+        if self._blob is not None:
+            return self._blob  # in-memory source (file-like open)
         return f"{self._root.rstrip('/')}/{rel}"
 
     def _surviving(self, filters) -> dict[str, list[int]]:
         keep: dict[str, list[int]] = {}
+        # bloom probes need ranged file reads; stats-only for in-memory
         pairs = filter_row_groups(self._root, filters, fs=self._fs,
-                                  metas=self._metas)
+                                  metas=self._metas,
+                                  use_bloom=self._blob is None)
         for f, ri in pairs:
             keep.setdefault(f, []).append(ri)
         return keep
@@ -303,6 +322,38 @@ class ParquetFile:
                 df[c] = df[c].astype("category")
         if index is not None and index in df.columns:
             df = df.set_index(index)
+        elif index is None:
+            df = self._restore_pandas_index(df, columns)
+        return df
+
+    def _restore_pandas_index(self, df, columns):
+        """Restore the frame index from the 'pandas' schema JSON in
+        ``key_value_metadata`` (written by :func:`write`; the
+        reference restores it the same way, fastparquet/api.py:
+        555-562).  RangeIndex entries are left as the default index;
+        with an explicit ``columns`` projection that omits the stored
+        index column, the frame is returned as-is."""
+        import json as _json
+
+        pmd = self.key_value_metadata.get("pandas")
+        if not pmd:
+            return df
+        try:
+            meta = _json.loads(pmd)
+        except ValueError:
+            return df
+        idx_cols = [c for c in meta.get("index_columns", [])
+                    if isinstance(c, str) and c in df.columns]
+        if not idx_cols or (columns is not None
+                            and any(c not in columns for c in idx_cols)):
+            return df
+        df = df.set_index(idx_cols)
+        names = []
+        for c in idx_cols:
+            cm = next((m for m in meta.get("columns", [])
+                       if m.get("field_name") == c), None)
+            names.append(cm.get("name") if cm else c)
+        df.index.names = names
         return df
 
     def iter_row_groups(self, filters=None, columns=None):
@@ -372,7 +423,18 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
     from fastparquet_spark.format.dataset import write_metadata_sidecar
 
     if isinstance(data, pd.DataFrame):
-        table = pa.Table.from_pandas(data, preserve_index=False)
+        # preserve_index=None: a named/non-default index becomes a
+        # column; pyarrow embeds the 'pandas' schema JSON in the
+        # metadata, which we forward into key_value_metadata so
+        # to_pandas restores the index without being told its name —
+        # the reference's behavior (fastparquet/writer.py:719-729,
+        # read back api.py:555-562)
+        table = pa.Table.from_pandas(data, preserve_index=None)
+        pmd = (table.schema.metadata or {}).get(b"pandas")
+        if pmd is not None:
+            custom_metadata = dict(custom_metadata or {})
+            custom_metadata.setdefault("pandas", pmd.decode())
+        table = table.replace_schema_metadata(None)
     elif isinstance(data, pa.Table):
         table = data
     else:
