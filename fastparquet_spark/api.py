@@ -131,13 +131,19 @@ class ParquetFile:
         if not self._metas:
             raise ValueError(f"no parquet data at {fn!r}")
         self._fmd0 = self._metas[0]["fmd"]
+        # schema-evolution tolerance: the dataset schema is the UNION
+        # of the per-file leaf schemas (typed-null fill on read; type
+        # conflicts raise) — same contract as engine.paged_read
+        from fastparquet_spark.engine.scan_job import union_leaf_elems
+
+        self._names, self._elems, self._present = \
+            union_leaf_elems(self._metas)
 
     # ---------------------------------------------------------- metadata --
     @property
     def columns(self) -> list[str]:
         """Leaf column names (api.py:210), partition columns excluded."""
-        return [e["name"] for e in self._fmd0["schema"][1:]
-                if e.get("num_children") is None]
+        return list(self._names)
 
     @property
     def cats(self) -> dict:
@@ -154,14 +160,12 @@ class ParquetFile:
         import numpy as np
 
         out = {}
-        for e in self._fmd0["schema"][1:]:
-            if e.get("num_children") is not None:
-                continue
+        for name in self._names:
             try:
-                out[e["name"]] = np.dtype(
-                    _arrow_type(e).to_pandas_dtype())
+                out[name] = np.dtype(
+                    _arrow_type(self._elems[name]).to_pandas_dtype())
             except (NotImplementedError, TypeError):
-                out[e["name"]] = np.dtype("object")
+                out[name] = np.dtype("object")
         return out
 
     @property
@@ -247,7 +251,9 @@ class ParquetFile:
                     if col in names and col not in decode:
                         decode.append(col)
         keep = self._surviving(filters) if filters else None
-        from fastparquet_spark.engine.scan_job import _file_clauses
+        from fastparquet_spark.engine.scan_job import (
+            _absent_clauses, _file_clauses,
+        )
 
         for m in self._metas:
             if keep is None:
@@ -256,35 +262,49 @@ class ParquetFile:
                 ris = sorted(keep.get(m["file"], []))
             if not ris:
                 continue
+            present = self._present[m["file"]]
+            absent = [c for c in decode if c in names and c not in present]
             # partition terms are decided per file (a clause whose
             # partition term fails is dropped for THIS file only —
             # without this, a partition clause on an unprojected column
-            # degenerates to match-all in the residual filter)
+            # degenerates to match-all in the residual filter); terms
+            # on columns this file predates read as all-null
             fclauses = filters
             if filters:
                 fclauses = _file_clauses(filters,
                                          m.get("partitions") or {})
+                if absent and fclauses:
+                    fclauses = _absent_clauses(fclauses, set(absent))
                 if not fclauses:
                     continue
-            file_cols = [c for c in decode if c in names]
+            file_cols = [c for c in decode
+                         if c in names and c in present]
             pmap = m.get("partitions") or {}
             if file_cols:
                 tbl = read_row_groups(self._path(m["file"]), ris,
                                       columns=file_cols)
+                for c in want:
+                    if c in names and c not in present:
+                        tbl = tbl.append_column(c, pa.nulls(
+                            tbl.num_rows, _arrow_type(self._elems[c])))
                 for k, v in pmap.items():
                     if columns is None or k in want:
                         tbl = tbl.append_column(
                             k, pa.array([v] * tbl.num_rows))
             else:
-                # partition-columns-only projection: row cardinality
-                # comes from the footer counts, no column decode (the
+                # no decodable file column (partition-only projection,
+                # or every projected column postdates this file): row
+                # cardinality comes from the footer counts (the
                 # reference returns the full-cardinality column here —
                 # fastparquet api.py:387-476; r5 ADVICE #2)
                 nrows = sum(m["fmd"]["row_groups"][ri]["num_rows"]
                             for ri in ris)
-                pcols = {k: pa.array([v] * nrows)
-                         for k, v in pmap.items()
-                         if columns is None or k in want}
+                pcols = {c: pa.nulls(nrows, _arrow_type(self._elems[c]))
+                         for c in want
+                         if c in names and c not in present}
+                pcols.update({k: pa.array([v] * nrows)
+                              for k, v in pmap.items()
+                              if columns is None or k in want})
                 if not pcols:
                     continue
                 tbl = pa.table(pcols)
@@ -309,10 +329,8 @@ class ParquetFile:
             names = [n for n in names
                      if n in self.columns or n in self.cats]
             empty = {n: pa.array(
-                [], type=_arrow_type(next(
-                    e for e in self._fmd0["schema"][1:]
-                    if e["name"] == n)) if n in self.columns
-                else pa.string()) for n in names}
+                [], type=_arrow_type(self._elems[n])
+                if n in self._elems else pa.string()) for n in names}
             df = pa.table(empty).to_pandas()
         else:
             df = pa.concat_tables(parts,
@@ -366,9 +384,17 @@ class ParquetFile:
                 ris = list(range(len(m["fmd"]["row_groups"])))
             else:
                 ris = sorted(keep.get(m["file"], []))
+            present = self._present[m["file"]]
+            cols_here = columns if columns is None else \
+                [c for c in columns if c in present]
             for ri in ris:
                 tbl = read_row_groups(self._path(m["file"]), [ri],
-                                      columns=columns)
+                                      columns=cols_here)
+                if columns is not None:
+                    for c in columns:  # evolution: typed-null fill
+                        if c in self._elems and c not in present:
+                            tbl = tbl.append_column(c, pa.nulls(
+                                tbl.num_rows, _arrow_type(self._elems[c])))
                 for k, v in (m.get("partitions") or {}).items():
                     tbl = tbl.append_column(
                         k, pa.array([v] * tbl.num_rows))

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""In-session scale sweep: run EVERY registry query against its DuckDB
+oracle on an arbitrary sf directory (usually one synthesized by
+make_big_sf.py) and report per-query row/value agreement.
+
+    python scripts/make_big_sf.py /tmp/sf3.0   # BIG_SF_COPIES=30
+    python scripts/sweep_registry.py /tmp/sf3.0
+
+Exit code 0 iff every query matches (count + order-insensitive values,
+floats rounded to 9 decimals).  This is the same comparison the
+driver's correctness gate runs at sf0.01 — the sweep's job is to catch
+divergences that only appear at scale (bucket caps binding, salting
+paths, convergence rounds)."""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        nr = []
+        for v in r:
+            if isinstance(v, float):
+                nr.append("NaN" if math.isnan(v) else round(v, 9))
+            else:
+                nr.append(v)
+        out.append(tuple(nr))
+    return sorted(out, key=repr)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf0.3"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("registry-sweep")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "16g")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    names = only or sorted(queries)
+    bad = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir)
+            cols = sorted(sdf.columns)
+            srows = [tuple(row[c] for c in cols) for row in sdf.collect()]
+            ores = con.sql(oracles[name])
+            idx = [ores.columns.index(c) for c in cols]
+            orows = [tuple(r[i] for i in idx) for r in ores.fetchall()]
+            ok_n = len(srows) == len(orows)
+            ok_v = ok_n and _norm(srows) == _norm(orows)
+            status = "OK" if ok_v else "MISMATCH"
+            if not ok_v:
+                bad.append(name)
+            print(f"{name:32s} {status:8s} spark={len(srows)} "
+                  f"oracle={len(orows)} {time.time()-t0:6.1f}s", flush=True)
+        except Exception as e:  # keep sweeping; report at the end
+            bad.append(name)
+            print(f"{name:32s} ERROR    {type(e).__name__}: {e}",
+                  flush=True)
+    print(f"\nsweep: {len(names) - len(bad)}/{len(names)} green "
+          f"on {sf_dir}; failures: {bad or 'none'}")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

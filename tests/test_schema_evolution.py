@@ -95,3 +95,30 @@ def test_type_conflict_raises(spark, tmp_path):
                pa.table({"k": pa.array(["x", "y"])}))
     with pytest.raises(ValueError, match="type conflict"):
         paged_read(spark, str(d), filters=None)
+
+
+def test_facade_schema_evolution(tmp_path):
+    """ParquetFile over an evolved dataset: union columns/dtypes,
+    typed-null fill in to_pandas, three-valued filter semantics, and
+    iter_row_groups projection of the evolved column."""
+    import numpy as np
+
+    from fastparquet_spark.api import ParquetFile
+
+    path = _evolved_dataset(tmp_path)
+    pf = ParquetFile(path)
+    assert pf.columns == ["k", "s", "extra"]
+    assert pf.dtypes["extra"] == np.dtype("float64")
+    df = pf.to_pandas()
+    assert len(df) == 2000
+    assert df["extra"].isna().sum() == 1000
+    # filter on the evolved column through the facade
+    hit = pf.to_pandas(filters=[("extra", ">=", 990.0)], row_filter=True)
+    assert sorted(hit["k"]) == list(range(1990, 2000))
+    # projection of ONLY the evolved column still carries cardinality
+    only = pf.to_pandas(columns=["extra"])
+    assert len(only) == 2000 and only["extra"].isna().sum() == 1000
+    # iter_row_groups with an explicit evolved projection
+    frames = list(pf.iter_row_groups(columns=["k", "extra"]))
+    assert sum(len(f) for f in frames) == 2000
+    assert all(list(f.columns) == ["k", "extra"] for f in frames)
