@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "text_fingerprint", "sim_cosine_topk", "sim_lsh_buckets",
     "sim_neardup_lsh", "mm_binary_meta", "text_sample_stratified",
     "text_chunk_tokens", "text_redact_pii", "engine_paged_scan",
+    "engine_fps_scan",
 ]
 
 
@@ -63,6 +64,7 @@ def make_spark(cpus: int):
          .config("spark.sql.shuffle.partitions", str(cpus))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         .config("spark.sql.python.filterPushdown.enabled", "true")
          .config("spark.driver.memory", "24g")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
