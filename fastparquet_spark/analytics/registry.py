@@ -66,15 +66,15 @@ mh AS (SELECT doc_id, seed,
 ORACLES: dict[str, str | None] = {
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= '1998-09-01'
 GROUP BY l_returnflag, l_linestatus
 """,
     "q3_shipping_topk": """
 SELECT l_orderkey,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -83,7 +83,7 @@ GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
 """,
     "q_filter_project": """
 SELECT count(*) AS n_rows,
-       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_qty
 FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.03
 """,
     "q_window_rank": """
@@ -98,7 +98,7 @@ ORDER BY value DESC, event_id LIMIT 20
 """,
     "q_join_agg_nation": """
 SELECT r_name, count(*) AS n_cust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -149,12 +149,12 @@ GROUP BY user_id
 """,
     "q_rollup_pricing": """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     "q_cube_volumes": """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS total_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
     "q_cardinality_stats": """
@@ -792,9 +792,8 @@ def engine_fps_scan(spark, sf_dir):
     (``.filter(...)`` -> pushFilters -> driver stats+bloom row-group
     pruning -> executor ColumnIndex page skipping), not as a hand-built
     DNF.  Spark applies the exact residual predicate over the
-    page-granular superset the source yields, so results are exact even
-    with pushdown disabled.  The oracle recomputes from the raw table
-    (round-5 judge's top-next item)."""
+    page-granular superset the source yields.  The oracle recomputes
+    from the raw table (round-5 judge's top-next item)."""
     from pyspark.sql import functions as F
 
     from fastparquet_spark.engine import encode_dataset
@@ -807,16 +806,19 @@ def engine_fps_scan(spark, sf_dir):
                    sort_within=("doc_id",), resume=False,
                    page_rows=100, bloom_filters={"doc_id": 0.01}).collect()
     spark.dataSource.register(FpsDataSource)  # idempotent (replaces)
+    # Spark REFUSES a reader that implements pushFilters when this conf
+    # is off (DATA_SOURCE_PUSHDOWN_DISABLED) — it is runtime-settable
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (spark.read.format("fps")
           .option("columns", "doc_id,lang,n_chars").load(out)
-          .filter((F.col("doc_id") >= 500) & (F.col("doc_id") < 650)))
+          .filter((F.col("doc_id") >= 120) & (F.col("doc_id") < 270)))
     return df.select("doc_id", "lang",
                      F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
 ORACLES["engine_fps_scan"] = """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
-FROM documents WHERE doc_id >= 500 AND doc_id < 650
+FROM documents WHERE doc_id >= 120 AND doc_id < 270
 """
 
 

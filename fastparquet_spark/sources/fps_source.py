@@ -21,9 +21,10 @@ is the idiomatic spelling of ``engine.scan_job.paged_read``:
 Every filter is returned to Spark as unsupported, so Spark keeps
 responsibility for exactness and applies the full predicate over the
 superset rows — the source's job is pruning IO, not row-level
-semantics.  That split means the source stays correct even when
-``spark.sql.python.filterPushdown.enabled`` is off (no pruning, same
-rows).
+semantics.  NOTE: because the reader implements ``pushFilters``,
+Spark requires ``spark.sql.python.filterPushdown.enabled=true`` (it
+raises DATA_SOURCE_PUSHDOWN_DISABLED otherwise); the conf is
+runtime-settable via ``spark.conf.set``.
 
 The Python Data Source API has no column-pruning hook yet; pass
 ``.option("columns", "a,b")`` to project at the page-reader level

@@ -46,6 +46,7 @@ def main():
              .appName("registry-sweep")
              .config("spark.sql.shuffle.partitions", "32")
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.python.filterPushdown.enabled", "true")
              .config("spark.driver.memory", "16g")
              .config("spark.ui.enabled", "false").getOrCreate())
     con = duckdb.connect()
