@@ -74,7 +74,10 @@ def sim_ann_ivf(spark, sf_dir, query_id: int = 0, k: int = 5, n_probe: int = 2):
         "emb_d", F.transform("embedding", lambda x: x.cast("double")))
     # centroid per label: element-wise mean as DIM parallel aggregates
     # of a single groupBy (no explode, no second shuffle)
-    sums = [F.sum(F.element_at("emb_d", i + 1).cast("decimal(30,10)"))
+    # F.get (not element_at): returns NULL past the array end instead
+    # of an ANSI INVALID_ARRAY_INDEX error, mirroring the oracle's
+    # ed[i] semantics for any short/null embedding
+    sums = [F.sum(F.get("emb_d", i).cast("decimal(30,10)"))
             .cast("double").alias(f"s{i}") for i in range(DIM)]
     cent = (emb.groupBy("label")
             .agg(F.count("*").alias("n"), *sums)

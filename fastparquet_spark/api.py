@@ -36,7 +36,6 @@ from fastparquet_spark.format.dataset import (
 )
 from fastparquet_spark.format.reader import (
     _arrow_type,
-    head as _head,
     read_footer_tail,
     read_row_groups,
 )
@@ -92,32 +91,15 @@ class ParquetFile:
         else:
             self._fs = get_fs(fn, fs)
             if any(c in fn for c in "*?["):
-                # expand the glob OURSELVES: dataset_metadata's glob
-                # branch keys by basename, which collides for globs
-                # spanning subdirectories (hive key=value globs)
+                # shared glob semantics (load_dataset_metas): trust the
+                # user's suffix pattern, skip sidecar/hidden basenames
+                # AND directories, key metas relative to the common root
                 from fastparquet_spark.format.dataset import (
-                    _partition_values,
+                    load_dataset_metas,
                 )
 
-                # trust the user's pattern (the reference opens whatever
-                # the glob matches — any suffix, e.g. '*.parq'); only
-                # sidecar/hidden basenames are excluded
-                files = sorted(
-                    p for p in self._fs.glob(fn)
-                    if not os.path.basename(p).startswith(("_", ".")))
-                if not files:
-                    raise ValueError(f"no parquet data at {fn!r}")
-                base = os.path.commonpath(
-                    [os.path.dirname(p) for p in files]) \
-                    if len(files) > 1 else os.path.dirname(files[0])
-                self._root = base or "."
-                tails = fetch_footers(files, self._fs)
-                self._metas = [
-                    {"file": os.path.relpath(p, self._root),
-                     "fmd": read_footer_tail(t),
-                     "partitions": _partition_values(
-                         os.path.relpath(p, self._root))}
-                    for p, t in zip(files, tails)]
+                self._root, self._metas = load_dataset_metas(
+                    fn, fs=self._fs)
             elif self._fs.isdir(fn):
                 self._root = fn
                 self._metas = dataset_metadata(fn, fs=self._fs)
@@ -134,10 +116,20 @@ class ParquetFile:
         # schema-evolution tolerance: the dataset schema is the UNION
         # of the per-file leaf schemas (typed-null fill on read; type
         # conflicts raise) — same contract as engine.paged_read
-        from fastparquet_spark.engine.scan_job import union_leaf_elems
+        from fastparquet_spark.engine.scan_job import (
+            _partition_arrow_type, union_leaf_elems,
+        )
 
         self._names, self._elems, self._present = \
             union_leaf_elems(self._metas)
+        # partition columns typed from observed values across files —
+        # mixed spellings (k=3 beside k=abc) resolve to string and the
+        # int-spelled values are stringified on attach
+        pnames = {k for m in self._metas
+                  for k in (m.get("partitions") or {})}
+        self._ptypes = {k: _partition_arrow_type(
+            [(m.get("partitions") or {}).get(k) for m in self._metas])
+            for k in sorted(pnames)}
 
     # ---------------------------------------------------------- metadata --
     @property
@@ -225,6 +217,16 @@ class ParquetFile:
                 "row_groups": len(self.row_groups)}
 
     # --------------------------------------------------------------- read --
+    def _pcol(self, k, v, n):
+        """Typed partition-constant column (string-resolved columns
+        stringify int-spelled values instead of raising
+        ArrowTypeError on concat)."""
+        t = self._ptypes.get(k)
+        if t is not None and pa.types.is_string(t) and v is not None \
+                and not isinstance(v, str):
+            v = str(v)
+        return pa.array([v] * n, type=t)
+
     def _path(self, rel: str):
         if self._blob is not None:
             return self._blob  # in-memory source (file-like open)
@@ -290,7 +292,7 @@ class ParquetFile:
                 for k, v in pmap.items():
                     if columns is None or k in want:
                         tbl = tbl.append_column(
-                            k, pa.array([v] * tbl.num_rows))
+                            k, self._pcol(k, v, tbl.num_rows))
             else:
                 # no decodable file column (partition-only projection,
                 # or every projected column postdates this file): row
@@ -302,7 +304,7 @@ class ParquetFile:
                 pcols = {c: pa.nulls(nrows, _arrow_type(self._elems[c]))
                          for c in want
                          if c in names and c not in present}
-                pcols.update({k: pa.array([v] * nrows)
+                pcols.update({k: self._pcol(k, v, nrows)
                               for k, v in pmap.items()
                               if columns is None or k in want})
                 if not pcols:
@@ -387,7 +389,21 @@ class ParquetFile:
             present = self._present[m["file"]]
             cols_here = columns if columns is None else \
                 [c for c in columns if c in present]
+            pmap = m.get("partitions") or {}
             for ri in ris:
+                if columns is not None and not cols_here:
+                    # projection has no column THIS file carries
+                    # (evolved/partition-only): cardinality from the
+                    # footer, projected file columns typed-null
+                    nrows = m["fmd"]["row_groups"][ri]["num_rows"]
+                    data = {c: pa.nulls(nrows, _arrow_type(self._elems[c]))
+                            for c in columns if c in self._elems}
+                    data.update({k: self._pcol(k, v, nrows)
+                                 for k, v in pmap.items()})
+                    if not data:
+                        continue
+                    yield pa.table(data).to_pandas()
+                    continue
                 tbl = read_row_groups(self._path(m["file"]), [ri],
                                       columns=cols_here)
                 if columns is not None:
@@ -395,26 +411,27 @@ class ParquetFile:
                         if c in self._elems and c not in present:
                             tbl = tbl.append_column(c, pa.nulls(
                                 tbl.num_rows, _arrow_type(self._elems[c])))
-                for k, v in (m.get("partitions") or {}).items():
+                for k, v in pmap.items():
                     tbl = tbl.append_column(
-                        k, pa.array([v] * tbl.num_rows))
+                        k, self._pcol(k, v, tbl.num_rows))
                 yield tbl.to_pandas()
 
     def head(self, nrows: int, columns=None):
         """First ``nrows`` rows (api.py:231-250) — decodes row groups
-        (and files) only until enough rows exist."""
-        parts, have = [], 0
-        for m in self._metas:
-            tbl = _head(self._path(m["file"]), nrows - have,
-                        columns=columns)
-            for k, v in (m.get("partitions") or {}).items():
-                tbl = tbl.append_column(k, pa.array([v] * tbl.num_rows))
-            parts.append(tbl)
-            have += tbl.num_rows
+        (and files) only until enough rows exist.  Routes through
+        iter_row_groups so evolved and partition columns get the same
+        typed-null / typed-constant treatment as every other read."""
+        import pandas as pd
+
+        frames, have = [], 0
+        for df in self.iter_row_groups(columns=columns):
+            frames.append(df.iloc[:nrows - have])
+            have += len(frames[-1])
             if have >= nrows:
                 break
-        return pa.concat_tables(parts,
-                                promote_options="default").to_pandas()
+        if not frames:
+            return self.to_pandas(columns=columns).iloc[:0]
+        return pd.concat(frames, ignore_index=True)
 
     def __len__(self) -> int:
         return self.count_total

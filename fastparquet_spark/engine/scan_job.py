@@ -28,13 +28,30 @@ import pyarrow as pa
 
 def _eval_partition_term(v, op, val) -> bool:
     """Evaluate one predicate term against a file's constant partition
-    value (full OPS set; exact, since the value is a scalar)."""
+    value (full OPS set; exact, since the value is a scalar).
+
+    When the partition COLUMN resolved to string (mixed spellings like
+    k=3 beside k=abc) the stored value is a str while the filter value
+    may be numeric — equality-class ops compare stringified (matching
+    the column's resolved type); ordering ops against an incomparable
+    type raise loudly instead of silently dropping the file."""
     if op == "is_null":
         return v is None
     if op == "is_not_null":
         return v is not None
     if v is None:
         return False
+    if isinstance(v, str) and not isinstance(val, str):
+        if op in ("==", "=", "!="):
+            val = str(val)
+        elif op in ("in", "not in"):
+            val = [x if isinstance(x, str) else str(x) for x in val]
+        elif isinstance(val, (int, float)):
+            raise ValueError(
+                f"cannot order-compare numeric filter value {val!r} "
+                f"against string-typed partition value {v!r} — the "
+                f"column resolved to string (mixed value spellings); "
+                f"pass a string bound")
     if op in ("==", "="):
         return v == val
     if op == "!=":
@@ -135,6 +152,78 @@ def _absent_clauses(clauses, absent):
     return out
 
 
+def build_scan_units(by_file, metas, file_cols, names_all, present,
+                     ptypes):
+    """One (file, row_groups, pvals, absent, fallback) tuple per
+    surviving file — shared by paged_read and the fps data source.
+
+    Partition values are coerced HERE to the column's RESOLVED type: a
+    string-typed column (mixed spellings, k=3 beside k=abc) stringifies
+    int-spelled values, so executor-side partition-term decisions and
+    the attached constants agree with the result schema.  ``absent``
+    lists projected columns this file predates (schema evolution);
+    ``fallback`` names a present column to carry row cardinality when
+    every projected column is absent."""
+    pmap = {}
+    for m in metas:
+        pv = dict(m.get("partitions") or {})
+        for k, v in pv.items():
+            t = ptypes.get(k)
+            if t is not None and pa.types.is_string(t) \
+                    and v is not None and not isinstance(v, str):
+                pv[k] = str(v)
+        pmap[m["file"]] = pv
+    units = []
+    for f, ris in sorted(by_file.items()):
+        absent = [c for c in file_cols if c not in present[f]]
+        fallback = ""
+        if file_cols and len(absent) == len(file_cols):
+            mine = [c for c in names_all if c in present[f]]
+            if mine:
+                fallback = mine[0]
+        units.append((f, sorted(ris), pmap[f], absent, fallback))
+    return units
+
+
+def scan_unit(path, ris, pvals, absent, fallback, clauses, file_cols,
+              drop_cols, part_cols, arrow_schema, exact):
+    """Executor-side scan of ONE (file, row-groups) unit — the shared
+    body of paged_read's mapInArrow fn and FpsReader.read, so the
+    per-file clause/evolution/partition logic cannot drift between the
+    two consumers.  Returns a Table cast to ``arrow_schema``, or None
+    when no DNF branch can match this file."""
+    from fastparquet_spark.format.dataset import read_pages
+
+    fclauses = _file_clauses(clauses, pvals)
+    if absent and fclauses:
+        # schema evolution: terms on columns this file predates
+        # evaluate as all-null
+        fclauses = _absent_clauses(fclauses, set(absent))
+    if not fclauses:
+        return None
+    cols_here = [c for c in file_cols if c not in absent]
+    drop_here = [c for c in drop_cols if c not in absent]
+    if not cols_here and fallback:
+        cols_here, drop_here = [fallback], [fallback]
+    tbl = read_pages(path, fclauses, columns=cols_here, exact=exact,
+                     row_groups=set(ris))
+    if drop_here:
+        tbl = tbl.drop_columns(drop_here)
+    for c in file_cols:
+        if c in absent and c not in drop_cols:
+            tbl = tbl.append_column(
+                c, pa.nulls(tbl.num_rows, arrow_schema.field(c).type))
+    for name in part_cols:
+        ptype = arrow_schema.field(name).type
+        pval = pvals.get(name)
+        if pa.types.is_string(ptype) and pval is not None:
+            pval = str(pval)  # belt: units built by build_scan_units
+        tbl = tbl.append_column(
+            name, pa.array([pval] * tbl.num_rows, type=ptype))
+    # evolution columns were appended out of order; restore schema order
+    return tbl.select(arrow_schema.names).cast(arrow_schema)
+
+
 def _partition_arrow_type(values):
     """Arrow type for a hive partition column from its observed values
     (the same val_to_num posture as drill typing)."""
@@ -176,7 +265,7 @@ def paged_read(spark, in_dir: str, filters, columns=None,
     from pyspark.sql.types import StringType, StructField, StructType
 
     from fastparquet_spark.format.dataset import (
-        dataset_metadata, filter_row_groups,
+        filter_row_groups, load_dataset_metas,
     )
     from fastparquet_spark.format.reader import _arrow_type
     from fastparquet_spark.io import get_fs
@@ -185,33 +274,7 @@ def paged_read(spark, in_dir: str, filters, columns=None,
         filters = [filters]
 
     fs = get_fs(in_dir, fs)
-    if any(c in in_dir for c in "*?["):
-        # expand the glob OURSELVES: dataset_metadata's glob branch
-        # keys by basename, which cannot be re-joined into real
-        # executor paths (and collides across subdirectories)
-        import os as _os
-
-        from fastparquet_spark.format.dataset import _partition_values
-        from fastparquet_spark.format.reader import read_footer_tail
-        from fastparquet_spark.io import fetch_footers
-
-        files = sorted(p for p in fs.glob(in_dir)
-                       if p.endswith(".parquet"))
-        if not files:
-            raise ValueError(f"no parquet files under {in_dir}")
-        base = _os.path.commonpath([_os.path.dirname(p) for p in files]) \
-            if len(files) > 1 else _os.path.dirname(files[0])
-        tails = fetch_footers(files, fs)
-        metas = [{"file": _os.path.relpath(p, base),
-                  "fmd": read_footer_tail(t),
-                  "partitions": _partition_values(
-                      _os.path.relpath(p, base))}
-                 for p, t in zip(files, tails)]
-        in_dir = base
-    else:
-        metas = dataset_metadata(in_dir, fs=fs)
-    if not metas:
-        raise ValueError(f"no parquet files under {in_dir}")
+    in_dir, metas = load_dataset_metas(in_dir, fs=fs)
     # driver-side tier: stats + concurrent bloom pruning (partition
     # values participate as pseudo-stats, so a partition predicate
     # prunes whole files here).  An empty filter list means SCAN ALL
@@ -256,20 +319,10 @@ def paged_read(spark, in_dir: str, filters, columns=None,
     out_schema = from_arrow_schema(arrow_schema)
 
     root = in_dir.rstrip("/")
-    pres_by_file = {m["file"]: present[m["file"]] for m in metas}
-    units = []
-    for f, ris in sorted(by_file.items()):
-        absent = [c for c in file_cols if c not in pres_by_file[f]]
-        # a file lacking EVERY projected column still needs a present
-        # column decoded to carry row cardinality
-        fallback = ""
-        if len(absent) == len(file_cols):
-            mine = [c for c in names_all if c in pres_by_file[f]]
-            if mine:
-                fallback = mine[0]
-        units.append((f"{root}/{f}", ",".join(map(str, sorted(ris))),
-                      json.dumps(parts_by_file[f]),
-                      json.dumps(absent), fallback))
+    units = [(f"{root}/{f}", ",".join(map(str, ris)), json.dumps(pvals),
+              json.dumps(absent), fallback)
+             for f, ris, pvals, absent, fallback in build_scan_units(
+                 by_file, metas, file_cols, names_all, present, ptypes)]
     if not units:
         return spark.createDataFrame([], out_schema)
 
@@ -295,8 +348,6 @@ def paged_read(spark, in_dir: str, filters, columns=None,
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow as pa_w
 
-        from fastparquet_spark.format.dataset import read_pages
-
         pa_w.set_cpu_count(1)
         for b in batches:
             for path, rgs, pjson, absjson, fallback in zip(
@@ -305,46 +356,12 @@ def paged_read(spark, in_dir: str, filters, columns=None,
                     b.column("parts").to_pylist(),
                     b.column("absent").to_pylist(),
                     b.column("fallback").to_pylist()):
-                ris = {int(x) for x in rgs.split(",")} if rgs else None
-                pvals = json.loads(pjson)
-                absent = set(json.loads(absjson))
-                # decide partition terms against this file's constants;
-                # only residual file-column terms reach the page reader
-                fclauses = _file_clauses(clauses_, pvals)
-                if absent and fclauses:
-                    # schema evolution: terms on columns this file
-                    # predates evaluate as all-null
-                    fclauses = _absent_clauses(fclauses, absent)
-                if not fclauses:
-                    continue  # no DNF branch can match this file
-                cols_here = [c for c in file_cols_ if c not in absent]
-                drop_here = [c for c in drop_cols_ if c not in absent]
-                if not cols_here and fallback:
-                    cols_here, drop_here = [fallback], [fallback]
-                tbl = read_pages(path, fclauses, columns=cols_here,
-                                 exact=exact_, row_groups=ris)
-                if drop_here:
-                    tbl = tbl.drop_columns(drop_here)
-                for c in file_cols_:
-                    if c in absent and c not in drop_cols_:
-                        tbl = tbl.append_column(
-                            c, pa_w.nulls(tbl.num_rows,
-                                          arrow_schema_.field(c).type))
-                for name in part_cols_:
-                    ptype = arrow_schema_.field(name).type
-                    pval = pvals.get(name)
-                    # heterogeneous partition spellings (k=3 beside
-                    # k=abc) resolve the COLUMN type to string while
-                    # individual values stay int/float — stringify so
-                    # pa.array does not raise ArrowTypeError (r5
-                    # ADVICE #5)
-                    if pa.types.is_string(ptype) and pval is not None:
-                        pval = str(pval)
-                    tbl = tbl.append_column(
-                        name, pa.array([pval] * tbl.num_rows, type=ptype))
-                # null-filled evolution columns were appended out of
-                # order; select restores the schema's column order
-                tbl = tbl.select(arrow_schema_.names)
-                yield from tbl.cast(arrow_schema_).to_batches()
+                ris = [int(x) for x in rgs.split(",")] if rgs else []
+                tbl = scan_unit(path, ris, json.loads(pjson),
+                                json.loads(absjson), fallback, clauses_,
+                                file_cols_, drop_cols_, part_cols_,
+                                arrow_schema_, exact_)
+                if tbl is not None:
+                    yield from tbl.to_batches()
 
     return paths_df.mapInArrow(scan, out_schema)

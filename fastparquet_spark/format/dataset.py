@@ -227,6 +227,41 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
             for rel, t in zip(rels, tails)]
 
 
+def load_dataset_metas(path: str, fs=None) -> tuple[str, list[dict]]:
+    """(root, metas) for a dataset directory OR an explicit glob — the
+    ONE shared entry for scan planners (api.ParquetFile, paged_read,
+    the fps data source), so glob semantics cannot drift between them.
+
+    Glob mode trusts the user's pattern for file suffixes (the
+    reference opens whatever the glob matches, e.g. ``*.parq``) but
+    skips sidecar/hidden basenames and DIRECTORIES (a hive ``ds/*``
+    glob matches ``lang=py/`` — passing it to a footer fetch would
+    raise IsADirectoryError).  Glob metas are keyed RELATIVE to the
+    matched files' common root, so hive ``key=value`` segments inside
+    the glob still carry partition values; directory mode is exactly
+    :func:`dataset_metadata` (sidecar-aware)."""
+    fs = get_fs(path, fs)
+    if any(c in path for c in "*?["):
+        files = sorted(
+            p for p in fs.glob(path)
+            if not os.path.basename(p).startswith(("_", "."))
+            and not fs.isdir(p))
+        if not files:
+            raise ValueError(f"no parquet files match {path!r}")
+        base = os.path.commonpath([os.path.dirname(p) for p in files]) \
+            if len(files) > 1 else os.path.dirname(files[0])
+        tails = fetch_footers(files, fs)
+        metas = [{"file": os.path.relpath(p, base),
+                  "fmd": read_footer_tail(t),
+                  "partitions": _partition_values(os.path.relpath(p, base))}
+                 for p, t in zip(files, tails)]
+        return base or ".", metas
+    metas = dataset_metadata(path, fs=fs)
+    if not metas:
+        raise ValueError(f"no parquet files under {path!r}")
+    return path.rstrip("/"), metas
+
+
 def _join(out_dir: str, name: str) -> str:
     return out_dir.rstrip("/") + "/" + name
 

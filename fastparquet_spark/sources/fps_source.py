@@ -60,41 +60,10 @@ from pyspark.sql.types import StructType
 _MAX_TASKS = 4096  # ceiling on scheduler units for 100k-file datasets
 
 
-def _load_metas(path: str):
-    """(root, metas) for a dataset dir / glob — sidecar-aware, footer
-    tails only (one fetch when ``_metadata`` exists)."""
-    import os
-
-    from fastparquet_spark.format.dataset import (
-        _partition_values, dataset_metadata,
-    )
-    from fastparquet_spark.format.reader import read_footer_tail
-    from fastparquet_spark.io import fetch_footers, get_fs
-
-    fs = get_fs(path)
-    if any(c in path for c in "*?["):
-        files = sorted(p for p in fs.glob(path)
-                       if not os.path.basename(p).startswith(("_", ".")))
-        if not files:
-            raise ValueError(f"no parquet files match {path!r}")
-        base = os.path.commonpath([os.path.dirname(p) for p in files]) \
-            if len(files) > 1 else os.path.dirname(files[0])
-        tails = fetch_footers(files, fs)
-        metas = [{"file": os.path.relpath(p, base),
-                  "fmd": read_footer_tail(t),
-                  "partitions": _partition_values(os.path.relpath(p, base))}
-                 for p, t in zip(files, tails)]
-        return base, metas
-    metas = dataset_metadata(path, fs=fs)
-    if not metas:
-        raise ValueError(f"no parquet files under {path!r}")
-    return path.rstrip("/"), metas
-
-
 def _result_columns(metas, columns):
     """(file_cols, part_cols, drop_cols, arrow_schema, names_all,
-    present) — same contract as ``paged_read``: the UNION of the
-    per-file leaf schemas in first-seen order (schema-evolution-
+    present, ptypes) — same contract as ``paged_read``: the UNION of
+    the per-file leaf schemas in first-seen order (schema-evolution-
     tolerant, type conflicts error), partition columns (typed from
     observed values) appended last."""
     import pyarrow as pa
@@ -123,7 +92,8 @@ def _result_columns(metas, columns):
         [(n, _arrow_type(elems[n])) for n in file_cols
          if n not in drop_cols]
         + [(n, ptypes[n]) for n in part_cols])
-    return file_cols, part_cols, drop_cols, arrow_schema, names_all, present
+    return (file_cols, part_cols, drop_cols, arrow_schema, names_all,
+            present, ptypes)
 
 
 class FpsDataSource(DataSource):
@@ -136,15 +106,27 @@ class FpsDataSource(DataSource):
         return [c.strip() for c in cols.split(",") if c.strip()] \
             if cols else None
 
+    def _plan(self):
+        """(root, metas), computed once per DataSource instance —
+        schema() and reader() both need the footers; without the cache
+        every read plans with two full metadata sweeps (2x the
+        planning IO on a 100k-file dataset)."""
+        if getattr(self, "_plan_cache", None) is None:
+            from fastparquet_spark.format.dataset import load_dataset_metas
+
+            self._plan_cache = load_dataset_metas(self.options["path"])
+        return self._plan_cache
+
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        _root, metas = _load_metas(self.options["path"])
+        _root, metas = self._plan()
         arrow_schema = _result_columns(metas, self._columns_opt())[3]
         return from_arrow_schema(arrow_schema)
 
     def reader(self, schema: StructType):
-        return FpsReader(self.options["path"], self._columns_opt())
+        return FpsReader(self.options["path"], self._columns_opt(),
+                         plan=self._plan())
 
     def writer(self, schema: StructType, overwrite: bool):
         return FpsWriter(
@@ -155,10 +137,19 @@ class FpsDataSource(DataSource):
 
 
 class FpsReader(DataSourceReader):
-    def __init__(self, path: str, columns):
+    def __init__(self, path: str, columns, plan=None):
         self.path = path
         self.columns = columns
+        self._plan = plan  # (root, metas) from the DataSource, if any
         self._clauses: list[tuple] = []
+
+    def __getstate__(self):
+        # the executor pickle must NOT carry the driver's footer cache
+        # (100k files of metadata in every task closure); read() gets
+        # everything it needs from the InputPartition payload
+        state = dict(self.__dict__)
+        state["_plan"] = None
+        return state
 
     def pushFilters(self, filters):
         """Catalyst -> DNF translation.  Spark hands the conjunction of
@@ -189,11 +180,14 @@ class FpsReader(DataSourceReader):
         clauses / result schema header): Spark pickles the reader
         object before this runs, so executor-side ``read`` must not
         depend on driver-side mutations of ``self``."""
-        from fastparquet_spark.format.dataset import filter_row_groups
+        from fastparquet_spark.engine.scan_job import build_scan_units
+        from fastparquet_spark.format.dataset import (
+            filter_row_groups, load_dataset_metas,
+        )
 
-        root, metas = _load_metas(self.path)
-        file_cols, part_cols, drop_cols, aschema, names_all, present = \
-            _result_columns(metas, self.columns)
+        root, metas = self._plan or load_dataset_metas(self.path)
+        (file_cols, part_cols, drop_cols, aschema, names_all, present,
+         ptypes) = _result_columns(metas, self.columns)
         filters = [self._clauses] if self._clauses else None
         if filters:
             survivors = filter_row_groups(root, filters, metas=metas)
@@ -203,17 +197,10 @@ class FpsReader(DataSourceReader):
         by_file: dict[str, list[int]] = {}
         for f, ri in survivors:
             by_file.setdefault(f, []).append(ri)
-        pmap = {m["file"]: (m.get("partitions") or {}) for m in metas}
-        units = []
-        for f, ris in sorted(by_file.items()):
-            absent = [c for c in file_cols if c not in present[f]]
-            fallback = ""
-            if len(absent) == len(file_cols):
-                mine = [c for c in names_all if c in present[f]]
-                if mine:
-                    fallback = mine[0]
-            units.append((f"{root}/{f}", sorted(ris), pmap[f],
-                          absent, fallback))
+        units = [(f"{root}/{f}", ris, pvals, absent, fallback)
+                 for f, ris, pvals, absent, fallback in build_scan_units(
+                     by_file, metas, file_cols, names_all, present,
+                     ptypes)]
         header = {"file_cols": file_cols, "part_cols": part_cols,
                   "drop_cols": drop_cols,
                   "schema": aschema.serialize().to_pybytes(),
@@ -228,45 +215,19 @@ class FpsReader(DataSourceReader):
             return
         import pyarrow as pa
 
-        from fastparquet_spark.engine.scan_job import _file_clauses
-        from fastparquet_spark.format.dataset import read_pages
-
-        from fastparquet_spark.engine.scan_job import _absent_clauses
+        from fastparquet_spark.engine.scan_job import scan_unit
 
         pa.set_cpu_count(1)
         header, units = partition.value
         aschema = pa.ipc.read_schema(pa.py_buffer(header["schema"]))
         # [[]] is the match-all DNF (an empty list would mean NO branch)
         clauses = [list(header["clauses"])] if header["clauses"] else [[]]
-        file_cols, drop_cols = header["file_cols"], header["drop_cols"]
         for path, ris, pvals, absent, fallback in units:
-            fclauses = _file_clauses(clauses, pvals)
-            if absent and fclauses:
-                # schema evolution: terms on columns this file predates
-                # evaluate as all-null
-                fclauses = _absent_clauses(fclauses, set(absent))
-            if not fclauses:
-                continue  # partition/absent term rules this file out
-            cols_here = [c for c in file_cols if c not in absent]
-            drop_here = [c for c in drop_cols if c not in absent]
-            if not cols_here and fallback:
-                cols_here, drop_here = [fallback], [fallback]
-            tbl = read_pages(path, fclauses, columns=cols_here,
-                             exact=False, row_groups=set(ris))
-            if drop_here:
-                tbl = tbl.drop_columns(drop_here)
-            for c in file_cols:
-                if c in absent and c not in drop_cols:
-                    tbl = tbl.append_column(
-                        c, pa.nulls(tbl.num_rows, aschema.field(c).type))
-            for name in header["part_cols"]:
-                ptype = aschema.field(name).type
-                pval = pvals.get(name)
-                if pa.types.is_string(ptype) and pval is not None:
-                    pval = str(pval)
-                tbl = tbl.append_column(
-                    name, pa.array([pval] * tbl.num_rows, type=ptype))
-            yield from tbl.select(aschema.names).cast(aschema).to_batches()
+            tbl = scan_unit(path, ris, pvals, absent, fallback, clauses,
+                            header["file_cols"], header["drop_cols"],
+                            header["part_cols"], aschema, exact=False)
+            if tbl is not None:
+                yield from tbl.to_batches()
 
 
 @dataclass
@@ -297,7 +258,7 @@ class FpsWriter(DataSourceArrowWriter):
         import pyarrow as pa
         from pyspark import TaskContext
 
-        from fastparquet_spark.format.writer import write_file
+        from fastparquet_spark.format.writer import ParquetWriter
         from fastparquet_spark.io import get_fs
 
         pa.set_cpu_count(1)
@@ -305,24 +266,66 @@ class FpsWriter(DataSourceArrowWriter):
         fs.makedirs(self.path)
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
-        batches = list(iterator)
-        if not any(b.num_rows for b in batches):
-            return _Committed(())
-        tbl = pa.Table.from_batches([b for b in batches if b.num_rows])
         final = f"part-{self.job}-{pid:05d}.parquet"
         staged = f".{final}.stage-{attempt}"
-        write_file(self._full(staged), tbl, compression=self.compression,
-                   row_group_rows=self.row_group_rows)
+        # STREAM batches into row groups — memory is bounded by one row
+        # group, never the whole task partition (a multi-GB partition
+        # must not be buffered as a single Table before writing)
+        writer = None
+        out = None
+        buf: list = []
+        buffered = 0
+        try:
+            for b in iterator:
+                if b.num_rows == 0:
+                    continue
+                if writer is None:
+                    out = fs.open_write(self._full(staged))
+                    writer = ParquetWriter(out, b.schema,
+                                           compression=self.compression)
+                # slice incoming batches so row groups honor
+                # row_group_rows even when Spark hands one huge batch
+                while buffered + b.num_rows >= self.row_group_rows:
+                    take = self.row_group_rows - buffered
+                    buf.append(b.slice(0, take))
+                    writer.write_row_group(pa.Table.from_batches(buf))
+                    buf, buffered = [], 0
+                    b = b.slice(take)
+                if b.num_rows:
+                    buf.append(b)
+                    buffered += b.num_rows
+            if writer is None:
+                return _Committed(())  # empty partition: no file
+            if buf:
+                writer.write_row_group(pa.Table.from_batches(buf))
+            writer.close()
+            out.close()
+        except BaseException:
+            try:
+                if out is not None:
+                    out.close()
+                if fs.exists(self._full(staged)):
+                    fs.remove(self._full(staged))
+            except OSError:
+                pass
+            raise
         return _Committed(((staged, final),))
 
     def commit(self, messages):
         from fastparquet_spark.io import get_fs
 
+        import os as _os
+
         fs = get_fs(self.path)
         root = self.path.rstrip("/")
         if self.overwrite:
-            for p in fs.glob(f"{root}/*.parquet"):
-                fs.remove(p)
+            # walk, not a root-level glob: hive-layout data lives in
+            # key=value subdirectories and surviving files would be
+            # swept back into the new sidecar
+            for p in fs.walk_files(root):
+                base = _os.path.basename(p)
+                if p.endswith(".parquet") and not base.startswith("."):
+                    fs.remove(p)
             for name in ("_metadata", "_common_metadata"):
                 if fs.exists(f"{root}/{name}"):
                     fs.remove(f"{root}/{name}")

@@ -97,3 +97,60 @@ def test_paged_read_mixed_partition_spellings(spark, tmp_path):
     assert len(got) == 60
     assert set(got["k"]) == {"3", "abc"}
     assert got[got["k"] == "3"]["v"].min() == 0
+
+
+def test_mixed_partition_spellings_filter_and_facade(spark, tmp_path):
+    """(r6 review) string filters on a mixed-spelling partition column
+    must MATCH the int-spelled directories (plan-time values are
+    coerced to the resolved column type), numeric ordering filters
+    raise loudly, and the api facade concatenates the mixed files
+    without ArrowTypeError."""
+    from fastparquet_spark.api import ParquetFile
+    from fastparquet_spark.engine.scan_job import paged_read
+
+    root = tmp_path / "hv"
+    for key, lo in (("3", 0), ("abc", 30)):
+        sub = root / f"k={key}"
+        sub.mkdir(parents=True)
+        tbl = pa.table({"v": pa.array(range(lo, lo + 30), pa.int64())})
+        pq.write_table(tbl, str(sub / "part-0.parquet"))
+    # string equality selects EXACTLY the int-spelled directory
+    got = paged_read(spark, str(root), [("k", "==", "3")]).toPandas()
+    assert len(got) == 30
+    assert sorted(got["v"]) == list(range(30)) and set(got["k"]) == {"3"}
+    # numeric ordering against the string-resolved column raises
+    with pytest.raises(Exception, match="order-compare|string"):
+        paged_read(spark, str(root), [("k", "<", 5)]).collect()
+    # the fps source end to end with the same filter
+    from fastparquet_spark.sources import FpsDataSource
+
+    spark.dataSource.register(FpsDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ds = spark.read.format("fps").load(str(root)).filter("k = '3'")
+    assert sorted(r["v"] for r in ds.collect()) == list(range(30))
+    # facade: typed concat, no ArrowTypeError
+    pf = ParquetFile(str(root))
+    df = pf.to_pandas()
+    assert len(df) == 60 and set(df["k"]) == {"3", "abc"}
+
+
+def test_glob_skips_directories(tmp_path):
+    """(r6 review) 'ds/*' on a hive layout matches the key=value
+    DIRECTORIES — they must be skipped, not passed to the footer
+    fetch (IsADirectoryError)."""
+    from fastparquet_spark.api import ParquetFile
+
+    root = tmp_path / "ds"
+    for key in ("a", "b"):
+        sub = root / f"lang={key}"
+        sub.mkdir(parents=True)
+        pq.write_table(pa.table({"v": pa.array(range(10))}),
+                       str(sub / "part-0.parquet"))
+    # matches only directories at this level -> recurse pattern works
+    pf = ParquetFile(str(root / "lang=*" / "*.parquet"))
+    assert pf.count() == 20
+    # top-level glob over a dir containing ONLY subdirs + files
+    pq.write_table(pa.table({"v": pa.array(range(5))}),
+                   str(root / "loose.parquet"))
+    pf2 = ParquetFile(str(root / "*"))
+    assert pf2.count() == 5  # dirs skipped, loose file read

@@ -122,3 +122,65 @@ def test_facade_schema_evolution(tmp_path):
     frames = list(pf.iter_row_groups(columns=["k", "extra"]))
     assert sum(len(f) for f in frames) == 2000
     assert all(list(f.columns) == ["k", "extra"] for f in frames)
+
+
+def test_facade_iter_row_groups_and_head_cardinality(tmp_path):
+    """(r6 review) iter_row_groups/head must not lose rows when the
+    projection names only columns a file predates: footer counts carry
+    the cardinality, values are typed nulls."""
+    from fastparquet_spark.api import ParquetFile
+
+    path = _evolved_dataset(tmp_path)
+    pf = ParquetFile(path)
+    frames = list(pf.iter_row_groups(columns=["extra"]))
+    assert sum(len(f) for f in frames) == 2000
+    assert frames[0]["extra"].isna().all()  # old file: all nulls
+    # head over the evolved projection returns the DATASET's first rows
+    h = pf.head(5, columns=["extra"])
+    assert len(h) == 5 and h["extra"].isna().all()
+    # head with full projection still exact
+    h2 = pf.head(3)
+    assert list(h2["k"]) == [0, 1, 2]
+
+
+def test_fps_overwrite_clears_hive_subdirs(spark, tmp_path):
+    """(r6 review) mode('overwrite') must remove parquet files in
+    key=value SUBDIRECTORIES too, or the sidecar re-merge sweeps the
+    old hive rows back into the dataset."""
+    from fastparquet_spark.engine import encode_dataset, synthetic_source_table
+    from fastparquet_spark.sources import FpsDataSource
+
+    spark.dataSource.register(FpsDataSource)
+    out = str(tmp_path / "ow")
+    df = synthetic_source_table(spark, 900, partitions=2)
+    encode_dataset(spark, df, out, compression="SNAPPY",
+                   partition_cols=("lang",), layout="hive",
+                   num_partitions=2, resume=False).collect()
+    assert spark.read.parquet(out).count() == 900
+    small = spark.createDataFrame([(1, "x")], "id long, s string")
+    small.write.format("fps").mode("overwrite").save(out)
+    back = spark.read.format("fps").load(out)
+    assert back.count() == 1  # old hive rows gone
+    import glob as _g
+
+    assert not _g.glob(f"{out}/lang=*/part-*.parquet")
+
+
+def test_fps_writer_streams_row_groups(spark, tmp_path):
+    """The fps writer splits a task's stream into row groups of
+    row_group_rows (memory bounded by one group, not the partition)."""
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.sources import FpsDataSource
+
+    spark.dataSource.register(FpsDataSource)
+    out = str(tmp_path / "rg")
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v").coalesce(1)
+    (df.write.format("fps").option("row_group_rows", "2000")
+       .mode("append").save(out))
+    import glob as _g
+
+    files = _g.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1
+    md = pq.read_metadata(files[0])
+    assert md.num_rows == 10_000 and md.num_row_groups >= 5
