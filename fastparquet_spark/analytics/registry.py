@@ -425,6 +425,29 @@ SELECT doc_id, md5(t2) AS redacted_md5,
 FROM r2
 """
 
+ORACLES["text_contamination"] = f"""
+WITH {_shingles_cte()},
+bench AS (SELECT DISTINCT sh AS bsh FROM sh WHERE doc_id < 50)
+SELECT s.doc_id, count(*) AS n_shared
+FROM sh s JOIN bench b ON s.sh = b.bsh
+WHERE s.doc_id >= 50
+GROUP BY s.doc_id
+"""
+
+ORACLES["text_pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_WORDS_SQL.format(col='text')}) AS INT) AS n_tokens,
+         doc_id // 1000 AS shard
+  FROM documents)
+SELECT doc_id, lang, n_tokens, shard,
+       CAST(coalesce(sum(n_tokens) OVER (
+                PARTITION BY lang, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) // 256 AS BIGINT) AS bin
+FROM t
+"""
+
 ORACLES["sim_lsh_buckets"] = _lsh_buckets_sql()
 # gate threshold 0.45: the synthetic embeddings top out at cosine ~0.51,
 # so the semantic default (0.7) never exercises the pair-scoring math —
@@ -853,6 +876,8 @@ QUERIES = {
     "text_sample_stratified": text.text_sample_stratified,
     "text_chunk_tokens": text.text_chunk_tokens,
     "text_redact_pii": text.text_redact_pii,
+    "text_contamination": text.text_contamination,
+    "text_pack_sequences": text.text_pack_sequences,
     "sim_cosine_topk": similarity.sim_cosine_topk,
     "sim_lsh_buckets": similarity.sim_lsh_buckets,
     "sim_ann_ivf": similarity.sim_ann_ivf,

@@ -171,3 +171,55 @@ def text_redact_pii(spark, sf_dir):
         F.md5(F.col("t2").cast("binary")).alias("redacted_md5"),
         F.col("n_email").cast("long").alias("n_email"),
         F.col("n_num").cast("long").alias("n_num"))
+
+
+def text_contamination(spark, sf_dir, bench_max_doc: int = 50):
+    """Benchmark-contamination detection: corpus documents sharing any
+    word-shingle with a benchmark set (docs ``doc_id < bench_max_doc``
+    stand in for the eval set) are flagged with their overlap count —
+    the decontamination pass every training-corpus pipeline runs
+    before release.
+
+    Scale shape: the benchmark shingle set is SMALL by construction
+    (eval suites are thousands of docs, the corpus is billions), so
+    the membership join broadcasts it — corpus shingles stream
+    map-side against the broadcast hash set, no shuffle of the corpus.
+    The overlap count is one map-side-combinable groupBy(doc_id)."""
+    from fastparquet_spark.analytics.dedup import _shingles_df
+
+    sh = _shingles_df(spark, sf_dir, distinct=True)
+    bench = (sh.filter(F.col("doc_id") < bench_max_doc)
+             .select("sh").distinct())
+    corpus = sh.filter(F.col("doc_id") >= bench_max_doc)
+    return (corpus.join(F.broadcast(bench), "sh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared")))
+
+
+def text_pack_sequences(spark, sf_dir, capacity: int = 256,
+                        shard_docs: int = 1000):
+    """Sequence packing: assign documents to fixed-token-capacity
+    training bins, FIFO in doc_id order within (lang, shard) — the
+    deterministic spelling of the packing step that turns a document
+    corpus into fixed-length training sequences.
+
+    ``bin`` = exclusive-prefix-sum of token counts (whitespace
+    tokenizer, shared with text_token_count) integer-divided by
+    ``capacity``.  Sharding by ``doc_id // shard_docs`` bounds every
+    window partition (a real pipeline packs within shards; a single
+    per-lang running sum would serialize the corpus), so the window is
+    parallel across (lang, shard) and each partition is ~shard_docs
+    rows regardless of corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(_words()).alias("n_tokens"),
+        (F.col("doc_id") / shard_docs).cast("long").alias("shard"))
+    w = (Window.partitionBy("lang", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = toks.withColumn(
+        "bin", F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                       / capacity).cast("long"))
+    return packed.select("doc_id", "lang",
+                         F.col("n_tokens").cast("int").alias("n_tokens"),
+                         "shard", "bin")

@@ -187,3 +187,24 @@ def test_ann_ivf_centroids_no_generate(spark):
     amplification it caused was the stage hot spot at 10^9 vectors."""
     p = plan_of(similarity.sim_ann_ivf(spark, SF))
     assert "Generate" not in p
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set is small by construction — the
+    membership join must broadcast it (corpus stays map-side)."""
+    from fastparquet_spark.analytics import text
+
+    p = plan_of(text.text_contamination(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """Sequence packing's running sum is partitioned by (lang, shard)
+    — never a global single-task window."""
+    from fastparquet_spark.analytics import text
+
+    import re
+
+    p = plan_of(text.text_pack_sequences(spark, SF))
+    assert re.search(r"windowspecdefinition\(lang#\d+, shard#\d+", p)
