@@ -57,6 +57,39 @@ def _normalize_filters(filters):
     return [list(c) for c in filters]
 
 
+class _SchemaHelper:
+    """The reference's ``pf.schema`` convenience surface
+    (fastparquet/schema.py:76-105, reproduced from its documented
+    attributes): the raw element list, the root, a by-name map, lookup
+    by name or path, and a printable tree."""
+
+    def __init__(self, schema_elements: list[dict]):
+        self.schema_elements = schema_elements
+        self.root = schema_elements[0]
+        self.schema_elements_by_name = {
+            e["name"]: e for e in schema_elements}
+
+    def schema_element(self, name):
+        if isinstance(name, (list, tuple)):
+            name = name[-1]
+        return self.schema_elements_by_name[name]
+
+    @property
+    def text(self) -> str:
+        lines = [f"- {self.root.get('name', 'root')}:"]
+        for e in self.schema_elements[1:]:
+            rep = {0: "REQUIRED", 1: "OPTIONAL", 2: "REPEATED"}.get(
+                e.get("repetition_type", 1), "OPTIONAL")
+            typ = e.get("type")
+            conv = e.get("converted_type")
+            desc = f"{typ}" if conv is None else f"{typ} ({conv})"
+            lines.append(f"| - {e['name']}: {desc}, {rep}")
+        return "\n".join(lines)
+
+    def __repr__(self) -> str:
+        return self.text
+
+
 class ParquetFile:
     """Open a parquet file, directory, glob, or list of files — the
     reference's entry object (fastparquet/api.py:95-162)."""
@@ -132,6 +165,15 @@ class ParquetFile:
             for k in sorted(pnames)}
 
     # ---------------------------------------------------------- metadata --
+    @property
+    def schema(self):
+        """The reference's ``pf.schema`` helper (fastparquet/
+        schema.py:76 SchemaHelper): ``schema_elements``, ``root``,
+        ``schema_elements_by_name``, ``schema_element(name)``,
+        ``.text`` — over the first footer's element list (evolved
+        datasets expose the union through ``columns``/``dtypes``)."""
+        return _SchemaHelper(self._fmd0["schema"])
+
     @property
     def columns(self) -> list[str]:
         """Leaf column names (api.py:210), partition columns excluded."""

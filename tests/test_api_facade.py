@@ -284,3 +284,19 @@ def test_open_file_like_object(tmp_path):
     got = pf2.to_pandas(filters=[("k", "<", 150)], row_filter=True)
     assert list(got["k"]) == list(range(150))
     assert len(pf2.head(7)) == 7
+
+
+def test_schema_helper_surface(tmp_path):
+    """pf.schema mirrors the reference's SchemaHelper attributes
+    (fastparquet/schema.py:76): element list, root, by-name lookup,
+    printable tree."""
+    path = str(tmp_path / "s.parquet")
+    write(path, _df(50))
+    pf = ParquetFile(path)
+    sh = pf.schema
+    assert sh.root.get("num_children") == 4
+    assert [e["name"] for e in sh.schema_elements[1:]] == \
+        ["k", "lang", "score", "text"]
+    assert sh.schema_element("k")["type"] is not None
+    assert sh.schema_element(["x", "k"])["name"] == "k"
+    assert "lang" in sh.text and "- k" in sh.text
