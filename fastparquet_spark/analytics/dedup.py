@@ -187,6 +187,9 @@ def connected_components(edges, max_iters: int = 20,
 
     ``edges``: DataFrame with columns (src, dst), treated undirected.
     Returns (doc_id, cluster) where cluster is the component minimum."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
     # distinct hash-partitions by (src, dst); the per-round join keys on
     # dst alone, so without this explicit repartition EVERY round would
     # re-shuffle the (static) edge table — one shuffle here buys a

@@ -182,18 +182,23 @@ def text_contamination(spark, sf_dir, bench_max_doc: int = 50):
 
     Scale shape: the benchmark shingle set is SMALL by construction
     (eval suites are thousands of docs, the corpus is billions), so
-    the membership join broadcasts it — corpus shingles stream
-    map-side against the broadcast hash set, no shuffle of the corpus.
-    The overlap count is one map-side-combinable groupBy(doc_id)."""
+    the membership join broadcasts it and runs FIRST, over the
+    non-deduplicated corpus shingles — the corpus stays map-side end
+    to end and only the MATCHED shingles reach a shuffle (the
+    count_distinct groupBy), never the full corpus.  (A corpus-wide
+    distinct() before the join would shuffle every (doc, shingle)
+    pair; count_distinct after the broadcast filter gives the same
+    answer for shuffle volume proportional to contamination, not
+    corpus size.)"""
     from fastparquet_spark.analytics.dedup import _shingles_df
 
-    sh = _shingles_df(spark, sf_dir, distinct=True)
+    sh = _shingles_df(spark, sf_dir, distinct=False)
     bench = (sh.filter(F.col("doc_id") < bench_max_doc)
              .select("sh").distinct())
     corpus = sh.filter(F.col("doc_id") >= bench_max_doc)
     return (corpus.join(F.broadcast(bench), "sh")
             .groupBy("doc_id")
-            .agg(F.count("*").alias("n_shared")))
+            .agg(F.count_distinct("sh").alias("n_shared")))
 
 
 def text_pack_sequences(spark, sf_dir, capacity: int = 256,
@@ -214,7 +219,10 @@ def text_pack_sequences(spark, sf_dir, capacity: int = 256,
     toks = docs.select(
         "doc_id", "lang",
         F.size(_words()).alias("n_tokens"),
-        (F.col("doc_id") / shard_docs).cast("long").alias("shard"))
+        # integer `div`, NOT double-divide-then-cast: Spark's cast
+        # truncates where DuckDB's // floors (negatives diverge), and
+        # double quotients lose exactness past 2^52
+        F.expr(f"doc_id div {shard_docs}").alias("shard"))
     w = (Window.partitionBy("lang", "shard").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     packed = toks.withColumn(

@@ -66,13 +66,35 @@ class _SchemaHelper:
     def __init__(self, schema_elements: list[dict]):
         self.schema_elements = schema_elements
         self.root = schema_elements[0]
-        self.schema_elements_by_name = {
-            e["name"]: e for e in schema_elements}
+        self.schema_elements_by_name = {}
+        self._by_path: dict[tuple, dict] = {}
+        # footers list elements preorder with num_children: rebuild the
+        # full path of every element so nested schemas with repeated
+        # names ('list'/'element' appear once per LIST column) resolve
+        # unambiguously; by-name keeps the FIRST occurrence
+        stack: list[list] = [[self.root.get("num_children") or 0, []]]
+        for e in schema_elements[1:]:
+            while stack and stack[-1][0] == 0:
+                stack.pop()
+            if not stack:
+                break
+            stack[-1][0] -= 1
+            path = stack[-1][1] + [e["name"]]
+            self._by_path[tuple(path)] = e
+            self.schema_elements_by_name.setdefault(e["name"], e)
+            if e.get("num_children"):
+                stack.append([e["num_children"], path])
 
     def schema_element(self, name):
-        if isinstance(name, (list, tuple)):
-            name = name[-1]
-        return self.schema_elements_by_name[name]
+        """Lookup by name, dotted path, or path list — the reference's
+        SchemaHelper.schema_element contract (fastparquet/schema.py:
+        97-105).  Unknown names/paths raise KeyError."""
+        if isinstance(name, str):
+            name = name.split(".")
+        name = list(name)
+        if len(name) > 1:
+            return self._by_path[tuple(name)]
+        return self.schema_elements_by_name[name[0]]
 
     @property
     def text(self) -> str:
@@ -170,9 +192,18 @@ class ParquetFile:
         """The reference's ``pf.schema`` helper (fastparquet/
         schema.py:76 SchemaHelper): ``schema_elements``, ``root``,
         ``schema_elements_by_name``, ``schema_element(name)``,
-        ``.text`` — over the first footer's element list (evolved
-        datasets expose the union through ``columns``/``dtypes``)."""
-        return _SchemaHelper(self._fmd0["schema"])
+        ``.text``.  Evolved datasets see the first footer's structure
+        plus the union's extra leaves appended, so every name in
+        ``pf.columns`` resolves."""
+        elems = list(self._fmd0["schema"])
+        have = {e["name"] for e in elems[1:]}
+        extra = [self._elems[n] for n in self._names if n not in have]
+        if extra:
+            root = dict(elems[0])
+            root["num_children"] = (root.get("num_children") or 0) \
+                + len(extra)
+            elems = [root] + elems[1:] + extra
+        return _SchemaHelper(elems)
 
     @property
     def columns(self) -> list[str]:
@@ -197,8 +228,8 @@ class ParquetFile:
         for name in self._names:
             try:
                 out[name] = np.dtype(
-                    _arrow_type(self._elems[name]).to_pandas_dtype())
-            except (NotImplementedError, TypeError):
+                    self._atype(name).to_pandas_dtype())
+            except (KeyError, NotImplementedError, TypeError):
                 out[name] = np.dtype("object")
         return out
 
@@ -259,6 +290,14 @@ class ParquetFile:
                 "row_groups": len(self.row_groups)}
 
     # --------------------------------------------------------------- read --
+    def _atype(self, name):
+        """Arrow type for a union-schema column; nested roots (which
+        carry no physical type) degrade to null-typed fill."""
+        e = self._elems[name]
+        if e.get("num_children") is not None:
+            return pa.null()
+        return _arrow_type(e)
+
     def _pcol(self, k, v, n):
         """Typed partition-constant column (string-resolved columns
         stringify int-spelled values instead of raising
@@ -330,7 +369,7 @@ class ParquetFile:
                 for c in want:
                     if c in names and c not in present:
                         tbl = tbl.append_column(c, pa.nulls(
-                            tbl.num_rows, _arrow_type(self._elems[c])))
+                            tbl.num_rows, self._atype(c)))
                 for k, v in pmap.items():
                     if columns is None or k in want:
                         tbl = tbl.append_column(
@@ -343,7 +382,7 @@ class ParquetFile:
                 # fastparquet api.py:387-476; r5 ADVICE #2)
                 nrows = sum(m["fmd"]["row_groups"][ri]["num_rows"]
                             for ri in ris)
-                pcols = {c: pa.nulls(nrows, _arrow_type(self._elems[c]))
+                pcols = {c: pa.nulls(nrows, self._atype(c))
                          for c in want
                          if c in names and c not in present}
                 pcols.update({k: self._pcol(k, v, nrows)
@@ -373,7 +412,7 @@ class ParquetFile:
             names = [n for n in names
                      if n in self.columns or n in self.cats]
             empty = {n: pa.array(
-                [], type=_arrow_type(self._elems[n])
+                [], type=self._atype(n)
                 if n in self._elems else pa.string()) for n in names}
             df = pa.table(empty).to_pandas()
         else:
@@ -438,7 +477,7 @@ class ParquetFile:
                     # (evolved/partition-only): cardinality from the
                     # footer, projected file columns typed-null
                     nrows = m["fmd"]["row_groups"][ri]["num_rows"]
-                    data = {c: pa.nulls(nrows, _arrow_type(self._elems[c]))
+                    data = {c: pa.nulls(nrows, self._atype(c))
                             for c in columns if c in self._elems}
                     data.update({k: self._pcol(k, v, nrows)
                                  for k, v in pmap.items()})
@@ -452,7 +491,7 @@ class ParquetFile:
                     for c in columns:  # evolution: typed-null fill
                         if c in self._elems and c not in present:
                             tbl = tbl.append_column(c, pa.nulls(
-                                tbl.num_rows, _arrow_type(self._elems[c])))
+                                tbl.num_rows, self._atype(c)))
                 for k, v in pmap.items():
                     tbl = tbl.append_column(
                         k, self._pcol(k, v, tbl.num_rows))

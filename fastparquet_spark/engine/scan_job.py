@@ -95,38 +95,56 @@ def _file_clauses(clauses, pvals: dict):
 
 
 def union_leaf_elems(metas):
-    """Union of the per-file LEAF schemas, first-seen order — the
+    """Union of the per-file TOP-LEVEL schemas, first-seen order — the
     schema-evolution contract for scans (r5 VERDICT missing #1): a
     column added mid-life appears in the union and is read as typed
     nulls from the files that predate it.  Files must agree on the
-    physical/converted type of every column they share; a conflict is
+    physical/converted type of every element they share; a conflict is
     an error, not a coercion (the reference's merge assumes outright
     equality — fastparquet/util.py:115-213 — so this is strictly more
-    tolerant).  Returns (names_in_order, {name: schema_element},
-    {file: set(present_names)})."""
+    tolerant).
+
+    Elements are keyed by their DOTTED PATH, so two LIST columns whose
+    subtrees both contain an element named 'element' cannot
+    false-conflict; ``names`` lists top-level columns only (flat
+    leaves AND nested roots — scanners that are flat-only filter on
+    ``elems[n].get('num_children') is None``).  Returns
+    (names_in_order, {path_or_name: schema_element},
+    {file: set(top_level_names)})."""
     elems: dict[str, dict] = {}
     order: list[str] = []
     present: dict[str, set] = {}
     for m in metas:
         mine = set()
-        for e in m["fmd"]["schema"][1:]:
-            if e.get("num_children") is not None:
-                continue
-            name = e["name"]
-            mine.add(name)
+        sch = m["fmd"]["schema"]
+        stack: list[list] = [[sch[0].get("num_children") or 0, []]]
+        for e in sch[1:]:
+            while stack and stack[-1][0] == 0:
+                stack.pop()
+            if not stack:
+                break
+            stack[-1][0] -= 1
+            path = stack[-1][1] + [e["name"]]
+            if e.get("num_children"):
+                stack.append([e["num_children"], path])
+            key = ".".join(path)
+            if len(path) == 1:
+                mine.add(e["name"])
             sig = (e.get("type"), e.get("converted_type"),
-                   e.get("type_length"))
-            if name not in elems:
-                elems[name] = e
-                order.append(name)
+                   e.get("type_length"), e.get("num_children"))
+            if key not in elems:
+                elems[key] = e
+                if len(path) == 1:
+                    order.append(e["name"])
             else:
-                p = elems[name]
+                p = elems[key]
                 if (p.get("type"), p.get("converted_type"),
-                        p.get("type_length")) != sig:
+                        p.get("type_length"),
+                        p.get("num_children")) != sig:
                     raise ValueError(
                         f"schema evolution type conflict on column "
-                        f"{name!r}: {m['file']} has {sig}, earlier "
-                        f"files have {(p.get('type'), p.get('converted_type'), p.get('type_length'))}")
+                        f"{key!r}: {m['file']} has {sig}, earlier "
+                        f"files have {(p.get('type'), p.get('converted_type'), p.get('type_length'), p.get('num_children'))}")
         present[m["file"]] = mine
     return order, elems, present
 
@@ -293,8 +311,12 @@ def paged_read(spark, in_dir: str, filters, columns=None,
     # result schema = UNION of the per-file leaf schemas (metadata-
     # only; schema-evolution-tolerant — typed-null fill for files
     # predating a column); partition columns appended last, typed from
-    # observed values
+    # observed values.  FLAT leaves only: the page reader cannot
+    # decode nested subtrees (documented contract; use
+    # spark.read.parquet for nested datasets)
     names_all, elems, present = union_leaf_elems(metas)
+    names_all = [n for n in names_all
+                 if elems[n].get("num_children") is None]
     pnames = [k for k in (metas[0].get("partitions") or {})]
     ptypes = {k: _partition_arrow_type(
         [parts_by_file[m["file"]].get(k) for m in metas]) for k in pnames}

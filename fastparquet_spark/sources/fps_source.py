@@ -74,6 +74,9 @@ def _result_columns(metas, columns):
     from fastparquet_spark.format.reader import _arrow_type
 
     names_all, elems, present = union_leaf_elems(metas)
+    # flat leaves only (page-reader contract, same as paged_read)
+    names_all = [n for n in names_all
+                 if elems[n].get("num_children") is None]
     pnames = list(metas[0].get("partitions") or {})
     ptypes = {k: _partition_arrow_type(
         [(m.get("partitions") or {}).get(k) for m in metas])

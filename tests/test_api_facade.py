@@ -298,5 +298,29 @@ def test_schema_helper_surface(tmp_path):
     assert [e["name"] for e in sh.schema_elements[1:]] == \
         ["k", "lang", "score", "text"]
     assert sh.schema_element("k")["type"] is not None
-    assert sh.schema_element(["x", "k"])["name"] == "k"
+    assert sh.schema_element(["k"])["name"] == "k"
+    with pytest.raises(KeyError):
+        sh.schema_element("nope")
+    with pytest.raises(KeyError):
+        sh.schema_element(["x", "k"])  # bogus path must not resolve
     assert "lang" in sh.text and "- k" in sh.text
+
+
+def test_schema_helper_nested_path_disambiguation(tmp_path):
+    """Two LIST columns both emit elements named 'list'/'element' — the
+    path lookup must resolve each column's OWN element, not the last
+    one parsed (r6 review)."""
+    import pyarrow as pa
+
+    from fastparquet_spark.format.writer import write_file
+
+    path = str(tmp_path / "n.parquet")
+    write_file(path, pa.table({
+        "a": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
+        "b": pa.array([["x"], ["y", "z"]], pa.list_(pa.string())),
+    }))
+    sh = ParquetFile(path).schema
+    ea = sh.schema_element(["a", "list", "element"])
+    eb = sh.schema_element(["b", "list", "element"])
+    assert ea["type"] != eb["type"]  # int64 vs byte_array
+    assert sh.schema_element("a").get("num_children")
