@@ -51,8 +51,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_fingerprint", "sim_cosine_topk", "sim_lsh_buckets",
     "sim_neardup_lsh", "mm_binary_meta", "text_sample_stratified",
-    "text_chunk_tokens", "text_redact_pii", "engine_paged_scan",
-    "engine_fps_scan",
+    "text_chunk_tokens", "text_redact_pii", "text_contamination",
+    "text_pack_sequences", "engine_paged_scan", "engine_fps_scan",
 ]
 
 
