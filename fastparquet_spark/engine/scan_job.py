@@ -384,6 +384,6 @@ def paged_read(spark, in_dir: str, filters, columns=None,
                                 file_cols_, drop_cols_, part_cols_,
                                 arrow_schema_, exact_)
                 if tbl is not None:
-                    yield from tbl.to_batches()
+                    yield from tbl.to_batches(max_chunksize=65_536)
 
     return paths_df.mapInArrow(scan, out_schema)

@@ -141,7 +141,7 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
     dictionary = None
     all_defs: list[np.ndarray] = []
     all_reps: list[np.ndarray] = []
-    out_vals = None
+    pieces: list = []
     seen = 0
     while seen < n_total:
         ph, pos = thrift.read_struct("PageHeader", buf, pos, SPECS)
@@ -241,9 +241,21 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
             all_reps.append(np.asarray(
                 reps if reps is not None else np.zeros(n, np.uint64),
                 dtype=np.int64))
-        piece = _materialize(vals, dictionary, ptype)
-        out_vals = piece if out_vals is None else _concat(out_vals, piece, ptype)
+        # accumulate pieces; ONE concatenate after the loop — a
+        # per-page running _concat copies O(pages^2) bytes and made
+        # multi-page chunk reads quadratic (r6 profile: 0.9s of a
+        # 1.3s chunk read in np.concatenate at 80 pages)
+        pieces.append(_materialize(vals, dictionary, ptype))
         seen += n
+    if not pieces:
+        out_vals = None
+    elif len(pieces) == 1:
+        out_vals = pieces[0]
+    elif ptype == Type.BYTE_ARRAY:
+        out_vals = (np.concatenate([p[0] for p in pieces]),
+                    np.concatenate([p[1] for p in pieces]))
+    else:
+        out_vals = np.concatenate(pieces)
     defs = np.concatenate(all_defs) if all_defs else np.zeros(0, np.int64)
     reps_out = np.concatenate(all_reps) if (max_rep and all_reps) else None
     return defs, reps_out, out_vals
@@ -263,12 +275,6 @@ def _materialize(vals, dictionary, ptype):
             return out_lens, out
         return np.asarray(dictionary)[codes]
     return vals
-
-
-def _concat(a, b, ptype):
-    if ptype == Type.BYTE_ARRAY:
-        return np.concatenate([a[0], b[0]]), np.concatenate([a[1], b[1]])
-    return np.concatenate([a, b])
 
 
 def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:

@@ -230,7 +230,7 @@ class FpsReader(DataSourceReader):
                             header["file_cols"], header["drop_cols"],
                             header["part_cols"], aschema, exact=False)
             if tbl is not None:
-                yield from tbl.to_batches()
+                yield from tbl.to_batches(max_chunksize=65_536)
 
 
 @dataclass
