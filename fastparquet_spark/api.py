@@ -134,13 +134,13 @@ class ParquetFile:
             self._metas = [{"file": os.path.basename(str(self.fn)),
                             "fmd": read_footer(blob), "partitions": {}}]
         elif isinstance(fn, (tuple, list)):
-            base = os.path.commonpath([os.path.dirname(p) for p in fn]) \
-                if len(fn) > 1 else os.path.dirname(fn[0])
-            self._root = base or "."
+            from fastparquet_spark.io import common_root, relative_to
+
+            self._root = common_root(list(fn)) or "."
             self._fs = get_fs(fn[0], fs)
             tails = fetch_footers(list(fn), self._fs)
             self._metas = [
-                {"file": os.path.relpath(p, self._root),
+                {"file": relative_to(p, self._root),
                  "fmd": read_footer_tail(t), "partitions": {}}
                 for p, t in zip(fn, tails)]
         else:
@@ -650,8 +650,10 @@ def merge(file_list, verify_schema: bool = True) -> ParquetFile:
     paths = [f.fn if isinstance(f, ParquetFile) else f for f in file_list]
     if not paths:
         raise ValueError("merge needs at least one file")
-    root = os.path.commonpath([os.path.dirname(p) for p in paths])         if len(paths) > 1 else os.path.dirname(paths[0])
-    rels = [os.path.relpath(p, root) for p in paths]
+    from fastparquet_spark.io import common_root, relative_to
+
+    root = common_root(paths)
+    rels = [relative_to(p, root) for p in paths]
     # the reference allows files at the root or exactly one directory
     # level below it (writer.py:1165-1172); deeper nesting is rejected
     if any(r.count(os.sep) > 1 for r in rels):

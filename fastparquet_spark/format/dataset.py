@@ -39,16 +39,27 @@ OPS = ("==", "=", "!=", "<", "<=", ">", ">=", "in", "not in",
        "is_null", "is_not_null")
 
 
-def _decode_stat(raw: bytes | None, ptype: int, conv: int | None):
+def _decode_stat(raw: bytes | None, ptype: int, conv: int | None,
+                 scale: int = 0):
     if raw is None:
         return None
     if ptype == Type.INT32:
         # UINT_32 stats are stored as reinterpreted bits in UNSIGNED order
         fmt = "<I" if conv == ConvertedType.UINT_32 else "<i"
-        return struct.unpack(fmt, raw)[0]
+        v = struct.unpack(fmt, raw)[0]
+        if conv == ConvertedType.DECIMAL:
+            # LOGICAL value space, exactly (unscaled/10^scale as
+            # Decimal): filter values are logical, and comparing them
+            # against raw unscaled ints mis-prunes (r6 review #1)
+            import decimal
+            return decimal.Decimal(v).scaleb(-scale)
+        return v
     if ptype == Type.INT64:
         fmt = "<Q" if conv == ConvertedType.UINT_64 else "<q"
         v = struct.unpack(fmt, raw)[0]
+        if conv == ConvertedType.DECIMAL:
+            import decimal
+            return decimal.Decimal(v).scaleb(-scale)
         if conv == ConvertedType.TIMESTAMP_MICROS:
             return v  # compare in raw micros
         return v
@@ -170,7 +181,10 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
         # the dataset root is ambiguous here, so only hive key=value
         # segments (position-independent) are parsed — drill columns
         # need relative depths, i.e. a directory root
-        files = sorted(p for p in fs.glob(out_dir) if p.endswith(".parquet"))
+        files = sorted(p for p in fs.glob(out_dir)
+                       if p.endswith(".parquet")
+                       and not os.path.basename(p).startswith(("_", "."))
+                       and not fs.isdir(p))
         tails = fetch_footers(files, fs)
         # partition segments are parsed RELATIVE to the glob's static
         # prefix — a key=value directory ABOVE the dataset root (e.g.
@@ -240,6 +254,8 @@ def load_dataset_metas(path: str, fs=None) -> tuple[str, list[dict]]:
     matched files' common root, so hive ``key=value`` segments inside
     the glob still carry partition values; directory mode is exactly
     :func:`dataset_metadata` (sidecar-aware)."""
+    from fastparquet_spark.io import common_root, relative_to
+
     fs = get_fs(path, fs)
     if any(c in path for c in "*?["):
         files = sorted(
@@ -248,12 +264,11 @@ def load_dataset_metas(path: str, fs=None) -> tuple[str, list[dict]]:
             and not fs.isdir(p))
         if not files:
             raise ValueError(f"no parquet files match {path!r}")
-        base = os.path.commonpath([os.path.dirname(p) for p in files]) \
-            if len(files) > 1 else os.path.dirname(files[0])
+        base = common_root(files)
         tails = fetch_footers(files, fs)
-        metas = [{"file": os.path.relpath(p, base),
+        metas = [{"file": relative_to(p, base),
                   "fmd": read_footer_tail(t),
-                  "partitions": _partition_values(os.path.relpath(p, base))}
+                  "partitions": _partition_values(relative_to(p, base))}
                  for p, t in zip(files, tails)]
         return base or ".", metas
     metas = dataset_metadata(path, fs=fs)
@@ -492,9 +507,11 @@ def _iter_chunks(metas):
                     continue  # leaf the schema walk couldn't place
                 st = cmd.get("statistics") or {}
                 lo = _decode_stat(st.get("min_value") or st.get("min"),
-                                  elem["type"], elem.get("converted_type"))
+                                  elem["type"], elem.get("converted_type"),
+                                  elem.get("scale") or 0)
                 hi = _decode_stat(st.get("max_value") or st.get("max"),
-                                  elem["type"], elem.get("converted_type"))
+                                  elem["type"], elem.get("converted_type"),
+                                  elem.get("scale") or 0)
                 cols[name] = (lo, hi, st.get("null_count"), cmd["num_values"])
             for name, v in (m.get("partitions") or {}).items():
                 nvals = rg["num_rows"]
@@ -511,10 +528,16 @@ def dataset_statistics(out_dir: str, fs=None) -> dict[str, dict[str, Any]]:
         for name, (lo, hi, nulls, nvals) in cols.items():
             a = agg.setdefault(name, {"min": None, "max": None,
                                       "null_count": 0, "num_values": 0})
-            if lo is not None and (a["min"] is None or lo < a["min"]):
-                a["min"] = lo
-            if hi is not None and (a["max"] is None or hi > a["max"]):
-                a["max"] = hi
+            # incomparable cross-chunk stat types (bytes vs str from a
+            # mixed-validity BYTE_ARRAY decode, heterogeneous hive
+            # spellings) must not crash the aggregate; keep the first
+            try:
+                if lo is not None and (a["min"] is None or lo < a["min"]):
+                    a["min"] = lo
+                if hi is not None and (a["max"] is None or hi > a["max"]):
+                    a["max"] = hi
+            except TypeError:
+                pass
             if nulls is not None:
                 a["null_count"] += nulls
             a["num_values"] += nvals
@@ -530,11 +553,17 @@ def sorted_columns(out_dir: str, fs=None) -> list[str]:
         for name, (lo, hi, nulls, _nv) in cols.items():
             if name not in ok:
                 ok[name] = True
-            if lo is None or hi is None or (nulls or 0) > 0 or lo > hi:
+            try:
+                if lo is None or hi is None or (nulls or 0) > 0 \
+                        or lo > hi:
+                    ok[name] = False
+                    continue
+                if name in last and lo < last[name]:
+                    ok[name] = False
+            except TypeError:
+                # incomparable stat types -> cannot prove sortedness
                 ok[name] = False
                 continue
-            if name in last and lo < last[name]:
-                ok[name] = False
             last[name] = hi
     return sorted(n for n, good in ok.items() if good)
 
@@ -635,6 +664,8 @@ def filter_pages(path: str, filters, fs=None) -> list[tuple[int, int, int]]:
     index keep all their pages (conservative)."""
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
+    if not filters:
+        filters = [[]]  # match-all (None/[] must not crash or drop rows)
     fs = get_fs(path, fs)
     from fastparquet_spark.io import fetch_footers
 
@@ -708,9 +739,11 @@ def _page_keep_mask(fmd: dict, idx, ri: int, clause):
                 mask.append(True)
                 continue
             lo = _decode_stat(ci["min_values"][pi], elem["type"],
-                              elem.get("converted_type"))
+                              elem.get("converted_type"),
+                              elem.get("scale") or 0)
             hi = _decode_stat(ci["max_values"][pi], elem["type"],
-                              elem.get("converted_type"))
+                              elem.get("converted_type"),
+                              elem.get("scale") or 0)
             nulls = (ci.get("null_counts") or [None] * len(locs))[pi]
             cols = {col: (lo, hi, nulls, None)}
             mask.append(_chunk_may_match(cols, [(col, op, val)]))
@@ -755,6 +788,8 @@ def read_pages(path: str, filters, columns=None, fs=None,
 
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
+    if not filters:
+        filters = [[]]  # match-all (None/[] must not crash or drop rows)
     clauses = filters
     fs = get_fs(path, fs)
     src = _ByteSource(path, fs=fs)
@@ -762,10 +797,13 @@ def read_pages(path: str, filters, columns=None, fs=None,
         fmd = src.footer()
         idx = read_page_index(path, fs=fs, fmd=fmd)
         bounds = _chunk_bounds(fmd, src.data_end)
-        elems = {e["name"]: e for e in fmd["schema"][1:]
-                 if e.get("num_children") is None}
-        names_all = [e["name"] for e in fmd["schema"][1:]
-                     if e.get("num_children") is None]
+        # TOP-LEVEL FLAT leaves only (dotted-path walk): this reader is
+        # flat-only by contract, and bare-name keying both crashed on
+        # nested files (by_path keys are dotted) and let a struct field
+        # shadow a same-named top-level column (r6 review #7)
+        elems = {name: e for name, e in _leaf_elems(fmd["schema"]).items()
+                 if "." not in name}
+        names_all = list(elems)
         want = list(columns) if columns is not None else names_all
         project = list(want)
         if exact:  # predicate columns must be decoded to filter rows
@@ -962,6 +1000,22 @@ def _bloom_value_bytes(value, elem: dict) -> bytes | None:
         return value if ptype == Type.BYTE_ARRAY else None
     if isinstance(value, bool) or value is None:
         return None
+    if elem.get("converted_type") == ConvertedType.DECIMAL \
+            and ptype in (Type.INT32, Type.INT64):
+        # the writer hashed UNSCALED ints; scale the LOGICAL probe into
+        # that space exactly (r6 review #1 — hashing the logical value
+        # false-negatives every decimal point lookup)
+        import decimal
+        try:
+            d = value if isinstance(value, decimal.Decimal) \
+                else decimal.Decimal(str(value))
+            scaled = d.scaleb(elem.get("scale") or 0)
+            if scaled != scaled.to_integral_value():
+                return None  # no stored value can match; keep chunk
+            width = 4 if ptype == Type.INT32 else 8
+            return int(scaled).to_bytes(width, "little", signed=True)
+        except (decimal.InvalidOperation, ValueError, OverflowError):
+            return None
     if isinstance(value, float):
         if ptype in (Type.FLOAT, Type.DOUBLE):
             return struct.pack("<f" if ptype == Type.FLOAT else "<d", value)
@@ -1107,9 +1161,12 @@ def filter_row_groups(out_dir: str, filters, fs=None, metas=None,
     # filters, not the whole dataset's (100k chunks x ~100 KB blooms
     # would otherwise pin ~10 GB on the driver).
     ctx = []
+    elems_cache: dict[str, dict] = {}  # one schema walk per FILE
     for f, ri, clauses in survivors:
         m = by_file[f]
-        elems = _leaf_elems(m["fmd"]["schema"])
+        elems = elems_cache.get(f)
+        if elems is None:
+            elems = elems_cache[f] = _leaf_elems(m["fmd"]["schema"])
         rg = m["fmd"]["row_groups"][ri]
         ctx.append((f"{root}/{f}", rg, elems))
     keep = []
@@ -1182,6 +1239,10 @@ def filtered_read(spark, out_dir: str, filters):
 
     metas = dataset_metadata(out_dir)
     drill = bool(metas and "dir0" in (metas[0].get("partitions") or {}))
+    if not filters:
+        # no filters = FULL scan; an empty list must not read as an
+        # empty DNF (zero branches -> zero rows — r6 review #4)
+        filters = [[]]
     keep_files = sorted({f for f, _ri in
                          filter_row_groups(out_dir, filters, metas=metas)})
     if not keep_files:
@@ -1197,6 +1258,8 @@ def filtered_read(spark, out_dir: str, filters):
         df = _attach_drill_columns(df, metas)
     if filters and isinstance(filters[0], tuple):
         filters = [filters]
+    if any(not clause for clause in filters):
+        return df  # a match-all DNF branch makes the whole OR true
     ors = None
     for clause in filters:
         ands = None

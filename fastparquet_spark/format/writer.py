@@ -1218,9 +1218,13 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
     if n_dict:
         st["distinct_count"] = n_dict
     try:
-        if ptype in (Type.FIXED_LEN_BYTE_ARRAY, Type.INT96) \
-                or pa.types.is_decimal(arr.type):
-            return st  # unsupported/deprecated stat shapes: null_count only
+        if ptype in (Type.FIXED_LEN_BYTE_ARRAY, Type.INT96):
+            # FIXED-backed (incl. decimal38) and INT96: deprecated/
+            # byte-order-fraught stat shapes — null_count only.
+            # INT32/INT64-backed DECIMALs fall through: their unscaled
+            # ints are valid spec stats (signed sort order) and enable
+            # logical-space pruning (r6 review #1)
+            return st
         if ptype in (Type.FLOAT, Type.DOUBLE) and len(arr) - null_count > 0 \
                 and bool(np.isnan(values).any()):
             # NaN poisons min/max ordering (NaN compares false everywhere),

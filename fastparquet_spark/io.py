@@ -32,6 +32,30 @@ def _is_uri(path: str) -> bool:
     return "://" in path
 
 
+def common_root(paths: list[str]) -> str:
+    """Deepest common DIRECTORY of the given file paths, URI-safe:
+    ``os.path.commonpath`` normalizes ``s3://b/x`` to ``s3:/b/x``
+    (collapsing the scheme's double slash), after which ``get_fs``
+    routes every downstream read to LocalFS — so the scheme prefix is
+    split off before commonpath and re-attached (r6 review #2)."""
+    dirs = [p.rsplit("/", 1)[0] for p in paths]
+    scheme = ""
+    if _is_uri(dirs[0]):
+        scheme = dirs[0][:dirs[0].index("://") + 3]
+        if not all(d.startswith(scheme) for d in dirs):
+            raise ValueError(f"mixed URI schemes in {dirs[:2]}...")
+        dirs = [d[len(scheme):] for d in dirs]
+    base = os.path.commonpath(dirs) if len(dirs) > 1 else dirs[0]
+    return scheme + base
+
+
+def relative_to(path: str, base: str) -> str:
+    """Path of ``path`` relative to directory ``base`` by prefix strip
+    (``os.path.relpath`` normalizes URI schemes into garbage)."""
+    b = base.rstrip("/") + "/"
+    return path[len(b):] if path.startswith(b) else os.path.basename(path)
+
+
 class LocalFS:
     """Plain-local FS: zero overhead over os/open, atomic os.replace."""
 

@@ -1,0 +1,137 @@
+"""Regression tests for the round-6 dataset.py review findings:
+
+1. DECIMAL pruning compares in LOGICAL value space on both tiers
+   (stats decode unscaled->Decimal; bloom probes scale the logical
+   value into the unscaled layout the writer hashed);
+2. common_root keeps URI schemes (os.path.commonpath collapses
+   's3://b' to 's3:/b', silently rerouting reads to LocalFS);
+3. dataset_statistics / sorted_columns survive incomparable
+   cross-chunk stat types;
+4. filtered_read with empty/None filters is a FULL scan, not an
+   empty DNF;
+5. read_pages / filter_pages accept None/[] filters and flat-read
+   files that also contain nested columns;
+6. a glob matching a directory named *.parquet is skipped by
+   dataset_metadata (not crashed on).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fastparquet_spark.format.dataset import (
+    dataset_statistics,
+    filter_pages,
+    filter_row_groups,
+    read_pages,
+    sorted_columns,
+)
+from fastparquet_spark.format.writer import write_file
+from fastparquet_spark.io import common_root, relative_to
+
+
+def test_decimal_pruning_in_logical_space(tmp_path):
+    d = tmp_path / "dec"
+    d.mkdir()
+    prices = [Decimal(f"{v}.00") for v in range(100, 200)]
+    t = pa.table({"price": pa.array(prices, pa.decimal128(10, 2)),
+                  "k": pa.array(range(100))})
+    write_file(str(d / "p.parquet"), t, bloom_filters={"price": 0.01})
+    # stats tier: logical range is 100.00..199.00 — a logical probe
+    # inside it must keep the chunk (pre-fix: compared against the
+    # unscaled 10000..19900 and pruned)
+    assert filter_row_groups(str(d), [("price", "==", 150)],
+                             use_bloom=False)
+    assert filter_row_groups(str(d), [("price", ">=", Decimal("199.00"))],
+                             use_bloom=False)
+    assert not filter_row_groups(str(d), [("price", "<", 100)],
+                                 use_bloom=False)
+    # bloom tier: present logical value survives the probe...
+    assert filter_row_groups(str(d), [("price", "==", Decimal("150.00"))])
+    assert filter_row_groups(str(d), [("price", "==", 150)])
+    # ...an in-range absent value is ruled OUT by the bloom...
+    assert filter_row_groups(str(d), [("price", "==", Decimal("150.50"))],
+                             use_bloom=False)  # stats keep it
+    assert not filter_row_groups(str(d),
+                                 [("price", "==", Decimal("150.50"))])
+    # a sub-cent probe cannot be encoded in the scale-2 layout: the
+    # bloom answers "can't rule out" (conservative keep; the residual
+    # filter provides exactness)
+    assert filter_row_groups(str(d),
+                             [("price", "==", Decimal("150.005"))])
+    # stats agg surfaces logical Decimals
+    st = dataset_statistics(str(d))
+    assert st["price"]["min"] == Decimal("100.00")
+    assert st["price"]["max"] == Decimal("199.00")
+
+
+def test_common_root_keeps_uri_scheme():
+    assert common_root(["s3://b/ds/a.parquet", "s3://b/ds/x/b.parquet"]) \
+        == "s3://b/ds"
+    assert common_root(["s3://b/ds/a.parquet"]) == "s3://b/ds"
+    assert relative_to("s3://b/ds/x/b.parquet", "s3://b/ds") \
+        == "x/b.parquet"
+    assert common_root(["/data/a/f1.parquet", "/data/b/f2.parquet"]) \
+        == "/data"
+    with pytest.raises(ValueError, match="schemes"):
+        common_root(["s3://b/a.parquet", "gs://b/b.parquet"])
+
+
+def test_mixed_type_stats_do_not_crash(tmp_path):
+    d = tmp_path / "mx"
+    d.mkdir()
+    # one file's binary stats decode to str, the other's to bytes
+    write_file(str(d / "a.parquet"),
+               pa.table({"b": pa.array([b"hello", b"world"], pa.binary())}))
+    write_file(str(d / "b.parquet"),
+               pa.table({"b": pa.array([b"\xff\xfe", b"\xff\xff"],
+                                       pa.binary())}))
+    st = dataset_statistics(str(d))  # must not raise TypeError
+    assert st["b"]["num_values"] == 4
+    assert sorted_columns(str(d)) == []  # unsortable, not a crash
+
+
+def test_filtered_read_empty_filters_full_scan(spark, tmp_path):
+    from fastparquet_spark.format.dataset import filtered_read
+
+    d = tmp_path / "fr"
+    d.mkdir()
+    write_file(str(d / "p.parquet"), pa.table({"k": pa.array(range(50))}))
+    assert filtered_read(spark, str(d), []).count() == 50
+    assert filtered_read(spark, str(d), None).count() == 50
+    assert filtered_read(spark, str(d), [("k", "<", 10)]).count() == 10
+
+
+def test_read_pages_none_filters_and_nested_file(tmp_path):
+    path = str(tmp_path / "n.parquet")
+    write_file(path, pa.table({
+        "flat": pa.array(range(20)),
+        "tags": pa.array([[i, i + 1] for i in range(20)],
+                         pa.list_(pa.int64())),
+    }))
+    # None/[] filters: full table of the FLAT leaves, no crash
+    for f in (None, []):
+        t = read_pages(path, f, exact=True)
+        assert t.column("flat").to_pylist() == list(range(20))
+        assert "tags" not in t.column_names  # flat-only contract
+    assert len(filter_pages(path, None)) >= 1
+    # a filter on the flat column works despite the nested sibling
+    t2 = read_pages(path, [("flat", ">=", 15)], exact=True)
+    assert t2.column("flat").to_pylist() == list(range(15, 20))
+
+
+def test_glob_dataset_metadata_skips_directories(tmp_path):
+    from fastparquet_spark.format.dataset import dataset_metadata
+
+    d = tmp_path / "g"
+    (d / "out.parquet").mkdir(parents=True)  # Spark-style dir dataset
+    pq.write_table(pa.table({"v": pa.array(range(7))}),
+                   str(d / "out.parquet" / "part-0.parquet"))
+    pq.write_table(pa.table({"v": pa.array(range(3))}),
+                   str(d / "loose.parquet"))
+    metas = dataset_metadata(str(d / "*.parquet"))
+    assert [m["file"] for m in metas] == ["loose.parquet"]
