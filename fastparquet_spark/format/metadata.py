@@ -148,7 +148,14 @@ SPECS = {
         (4, "row_groups", ("list", ("struct", "RowGroup"))),
         (5, "key_value_metadata", ("list", ("struct", "KeyValue"))),
         (6, "created_by", "str"),
+        # one TYPE_ORDER entry per leaf column: parquet-cpp/-mr only
+        # TRUST the modern min_value/max_value stats when the footer
+        # declares the column order (r6: unsigned/BYTE_ARRAY stats are
+        # modern-only, so without this readers ignore them)
+        (7, "column_orders", ("list", ("struct", "ColumnOrder"))),
     ],
+    # union, one field set — like LogicalType/BloomFilterAlgorithm
+    "ColumnOrder": [(1, "TYPE_ORDER", ("struct", "Empty"))],
     "DataPageHeader": [
         (1, "num_values", "i32"), (2, "encoding", "i32"),
         (3, "definition_level_encoding", "i32"),

@@ -129,6 +129,12 @@ def _map_type(t: pa.DataType):
         # (fastparquet/writer.py:203-205); readers see time64[us]/timedelta
         return Type.INT64, ConvertedType.TIME_MICROS, pa.duration("us")
     if pa.types.is_decimal(t):
+        if pa.types.is_decimal256(t):
+            # 32-byte storage would silently truncate through the
+            # 16-byte extract paths (r6 review #1) — fail loudly
+            raise NotImplementedError(
+                "decimal256 columns are not supported; cast to "
+                "decimal128 (precision <= 38) first")
         if t.precision <= 18:
             # int64-backed DECIMAL, like the reference's decimal map
             # (fastparquet/writer.py:114-154 object-encoding 'decimal')
@@ -364,6 +370,18 @@ class ParquetWriter:
             raise ValueError("times must be 'int64' or 'int96'")
         if compat not in ("reference", "modern"):
             raise ValueError("compat must be 'reference' or 'modern'")
+        if page_rows and data_page_version == 2:
+            # the PageIndex/page-splitting path is v1-only; silently
+            # writing single-page chunks would defeat the page pruning
+            # the caller asked for (r6 review #8)
+            raise ValueError(
+                "page_rows requires data_page_version=1 (the paged "
+                "PageIndex path is v1-only)")
+        for col, enc in (encodings or {}).items():
+            if enc not in _ENC_BY_NAME:
+                raise ValueError(
+                    f"unknown encoding {enc!r} for column {col!r}; "
+                    f"allowed: {sorted(_ENC_BY_NAME)}")
         # 'reference': auto-selection stays inside the encoding set the
         # reference's own reader decodes (PLAIN/dict/RLE/DELTA —
         # fastparquet/core.py:130-165), preserving the round-trip
@@ -429,16 +447,31 @@ class ParquetWriter:
                     {"name": "key_value",
                      "repetition_type": Repetition.REPEATED,
                      "num_children": 2})
-                kelem = {"name": "key", "type": kptype,
-                         "repetition_type": Repetition.REQUIRED}
-                if kconv is not None:
-                    kelem["converted_type"] = kconv
-                velem = {"name": "value", "type": vptype,
-                         "repetition_type": Repetition.OPTIONAL}
-                if vconv is not None:
-                    velem["converted_type"] = vconv
-                self.schema_elems.append(kelem)
-                self.schema_elems.append(velem)
+                def _leaf_elem(name, rep, t, ptype_, conv_):
+                    # same annotation set as the LIST path: omitting
+                    # type_length/scale/precision/logicalType made
+                    # decimal or fixed-size-binary map entries
+                    # unreadable (r6 review #2)
+                    e = {"name": name, "type": ptype_,
+                         "repetition_type": rep}
+                    if conv_ is not None:
+                        e["converted_type"] = conv_
+                    if ptype_ == Type.FIXED_LEN_BYTE_ARRAY:
+                        e["type_length"] = t.byte_width
+                    if conv_ == ConvertedType.DECIMAL:
+                        e["scale"] = t.scale
+                        e["precision"] = t.precision
+                    lt_ = _logical_type(t)
+                    if lt_ is not None:
+                        e["logicalType"] = lt_
+                    return e
+
+                self.schema_elems.append(_leaf_elem(
+                    "key", Repetition.REQUIRED, fld.type.key_type,
+                    kptype, kconv))
+                self.schema_elems.append(_leaf_elem(
+                    "value", Repetition.OPTIONAL, fld.type.item_type,
+                    vptype, vconv))
                 self.col_meta.append(
                     ("map", ((kptype, kcast), (vptype, vcast)), fld.name))
                 continue
@@ -818,7 +851,7 @@ class ParquetWriter:
         data_off = None
         uncomp_total = written - (0 if dict_page_bytes is None
                                   else len(comp_dict)) + \
-            (len(dict_page_bytes) if dict_page_bytes else 0)
+            (len(dict_page_bytes) if dict_page_bytes is not None else 0)
         total_nulls = 0
         nn_seen = 0
         for start in range(0, n, self.page_rows):
@@ -881,7 +914,8 @@ class ParquetWriter:
         st = _make_stats(arr, values, ptype, total_nulls, n_dict) \
             if self.want_stats and n else None
         enc_list = sorted({Encoding.RLE, encoding} |
-                          ({Encoding.PLAIN} if dict_page_bytes else set()))
+                          ({Encoding.PLAIN}
+                           if dict_page_bytes is not None else set()))
         cmd = {"type": ptype, "encodings": enc_list,
                "path_in_schema": [name], "codec": codec,
                "num_values": n,
@@ -906,6 +940,10 @@ class ParquetWriter:
 
     def write_row_group(self, chunk: pa.Table) -> None:
         """Encode one row group from an Arrow table/batch slice."""
+        if self._closed:
+            # appending past the footer+magic silently corrupts the
+            # whole file for every footer-seeking reader (r6 review #4)
+            raise RuntimeError("write_row_group after close()")
         if isinstance(chunk, pa.RecordBatch):
             chunk = pa.Table.from_batches([chunk])
         if chunk.num_rows == 0:
@@ -957,10 +995,15 @@ class ParquetWriter:
         # SPLIT etc.) unless FileMetaData.version is 2, so files that
         # used one advertise 2; everything else stays at the reference's
         # version 1 (fastparquet/writer.py footer)
+        n_leaves = sum(1 for e in self.schema_elems[1:]
+                       if e.get("num_children") is None)
         fmd = {"version": 2 if self._modern_used else 1,
                "schema": self.schema_elems,
                "num_rows": self.result.rows,
-               "row_groups": self.row_groups, "created_by": CREATED_BY}
+               "row_groups": self.row_groups, "created_by": CREATED_BY,
+               # TYPE_ORDER per leaf: without it parquet-cpp/-mr ignore
+               # the modern min_value/max_value stats entirely
+               "column_orders": [{"TYPE_ORDER": {}}] * n_leaves}
         if self.custom_metadata:
             fmd["key_value_metadata"] = [
                 {"key": str(k), "value": str(v)}
@@ -1142,11 +1185,14 @@ class ParquetWriter:
             pos += len(ph) + len(comp_body)
             rg_bytes += written
 
-            uncomp_pages = len(body) + (len(dict_page_bytes) if dict_page_bytes else 0)
-            headers_len = written - len(comp_body) - (len(comp_dict) if dict_page_bytes else 0)
+            uncomp_pages = len(body) + (len(dict_page_bytes)
+                                        if dict_page_bytes is not None else 0)
+            headers_len = written - len(comp_body) - (
+                len(comp_dict) if dict_page_bytes is not None else 0)
             uncomp_total = uncomp_pages + headers_len  # incl. page headers, per spec
             enc_list = sorted({Encoding.RLE, encoding} |
-                              ({Encoding.PLAIN} if dict_page_bytes else set()))
+                              ({Encoding.PLAIN}
+                               if dict_page_bytes is not None else set()))
             cmd = {"type": ptype, "encodings": enc_list,
                    "path_in_schema": [name], "codec": codec,
                    "num_values": n,
@@ -1174,7 +1220,13 @@ class ParquetWriter:
                 name=name, encoding=_ENC_NAMES[encoding], num_values=n,
                 null_count=null_count, uncompressed_size=uncomp_total,
                 compressed_size=written, dict_entries=n_dict))
-        rg = {"columns": chunks_cols, "total_byte_size": rg_bytes,
+        # spec: total_byte_size is the UNCOMPRESSED column data total
+        # (planners size splits/memory from it); rg_bytes tracks the
+        # compressed bytes physically written (r6 review #5)
+        rg = {"columns": chunks_cols,
+              "total_byte_size": sum(
+                  cc["meta_data"]["total_uncompressed_size"]
+                  for cc in chunks_cols),
               "num_rows": chunk.num_rows}
         if self._sorting_req:
             paths = [cc["meta_data"]["path_in_schema"]
@@ -1265,19 +1317,27 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
                     return st
             elif pa.types.is_unsigned_integer(arr.type):
                 # values are the signed bit-reinterpretation; min/max must
-                # use UNSIGNED order, stored as the same reinterpreted bits
+                # use UNSIGNED order, stored as the same reinterpreted bits.
+                # Only the MODERN fields: the deprecated min/max pair is
+                # defined as signed order, so legacy readers would decode
+                # 2**63+5 as negative and mis-prune (parquet-mr omits the
+                # pair for non-signed sort orders — r6 review #3)
                 u = values.view(np.uint32 if ptype == Type.INT32 else np.uint64)
                 fmt = "<I" if ptype == Type.INT32 else "<Q"
                 lob = struct.pack(fmt, int(u.min()))
                 hib = struct.pack(fmt, int(u.max()))
-                st.update(min=lob, max=hib, min_value=lob, max_value=hib)
+                st.update(min_value=lob, max_value=hib)
                 return st
             else:
                 v = values
                 lo, hi = v.min(), v.max()
             lob, hib = _stat_bytes(lo, ptype), _stat_bytes(hi, ptype)
             if lob is not None and hib is not None:
-                st.update(min=lob, max=hib, min_value=lob, max_value=hib)
+                st.update(min_value=lob, max_value=hib)
+                if ptype != Type.BYTE_ARRAY:
+                    # legacy pair is signed/ill-defined order for byte
+                    # arrays (parquet-mr omits it there — r6 review #3)
+                    st.update(min=lob, max=hib)
     except (pa.ArrowNotImplementedError, TypeError, ValueError,
             AttributeError):
         pass

@@ -135,3 +135,67 @@ def test_glob_dataset_metadata_skips_directories(tmp_path):
                    str(d / "loose.parquet"))
     metas = dataset_metadata(str(d / "*.parquet"))
     assert [m["file"] for m in metas] == ["loose.parquet"]
+
+
+def test_writer_review_fixes(tmp_path):
+    """Round-6 writer review findings: decimal256 rejected loudly; MAP
+    decimal/fixed entries carry full type annotations; write after
+    close raises; unknown encoding overrides fail fast; page_rows
+    with v2 pages fails fast; total_byte_size is the UNCOMPRESSED
+    total; unsigned columns omit the (signed-order) legacy min/max."""
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.format.writer import ParquetWriter
+
+    # decimal256: loud, not silent corruption
+    with pytest.raises(NotImplementedError, match="decimal256"):
+        write_file(str(tmp_path / "x.parquet"),
+                   pa.table({"d": pa.array([Decimal("1.23")],
+                                           pa.decimal256(41, 2))}))
+    # MAP with decimal values round-trips through pyarrow
+    mp = str(tmp_path / "m.parquet")
+    write_file(mp, pa.table({
+        "m": pa.array([[("a", Decimal("1.25")), ("b", Decimal("2.50"))]],
+                      pa.map_(pa.string(), pa.decimal128(10, 2)))}))
+    back = pq.read_table(mp)
+    assert back.column("m").to_pylist() == \
+        [[("a", Decimal("1.25")), ("b", Decimal("2.50"))]]
+    # write after close raises instead of corrupting the file
+    p2 = str(tmp_path / "c.parquet")
+    t = pa.table({"k": pa.array(range(10))})
+    with open(p2, "wb") as fh:
+        w = ParquetWriter(fh, t.schema)
+        w.write_row_group(t)
+        w.close()
+        with pytest.raises(RuntimeError, match="close"):
+            w.write_row_group(t)
+    assert pq.read_table(p2).num_rows == 10  # file intact
+    # fail-fast validations
+    with pytest.raises(ValueError, match="unknown encoding"):
+        write_file(str(tmp_path / "e.parquet"), t, encodings={"k": "rle"})
+    with pytest.raises(ValueError, match="v1"):
+        write_file(str(tmp_path / "v.parquet"), t, page_rows=5,
+                   data_page_version=2)
+    # total_byte_size: the UNCOMPRESSED encoded total (spec), not the
+    # compressed bytes written
+    p3 = str(tmp_path / "tb.parquet")
+    big = pa.table({"s": pa.array([f"row {i} " + "ab" * 90
+                                   for i in range(2000)])})
+    write_file(p3, big, compression="ZSTD")
+    rg = pq.read_metadata(p3).row_group(0)
+    assert rg.total_byte_size == sum(
+        rg.column(i).total_uncompressed_size for i in range(rg.num_columns))
+    assert rg.total_byte_size > sum(
+        rg.column(i).total_compressed_size for i in range(rg.num_columns))
+    # unsigned column: modern bounds only, no signed-order legacy pair
+    p4 = str(tmp_path / "u.parquet")
+    write_file(p4, pa.table({"u": pa.array([1, 2**63 + 5], pa.uint64())}))
+    from fastparquet_spark.format.reader import read_footer_tail
+    from fastparquet_spark.io import fetch_footers
+
+    fmd = read_footer_tail(fetch_footers([p4])[0])
+    st = fmd["row_groups"][0]["columns"][0]["meta_data"]["statistics"]
+    assert "min_value" in st and "min" not in st
+    # pyarrow still reads the unsigned bounds correctly
+    pst = pq.read_metadata(p4).row_group(0).column(0).statistics
+    assert pst.max == 2**63 + 5
