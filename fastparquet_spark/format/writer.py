@@ -810,6 +810,43 @@ class ParquetWriter:
                 best, best_sz = enc, sz
         return best
 
+    def _maybe_build_bloom(self, cmd, values, name: str, ptype: int,
+                           n_nonnull: int) -> None:
+        """Chunk bloom shared by the paged and single-page paths (the
+        two inline copies drifted once already — r6 review #7): sized
+        from the chunk's ACTUAL ndv; skipped for BOOLEAN/all-null/
+        unconfigured columns."""
+        if name not in self.bloom_cols or n_nonnull <= 0 \
+                or ptype == Type.BOOLEAN:
+            return
+        from fastparquet_spark.codecs.bloom import (
+            SplitBlockBloom, hash_values,
+        )
+
+        h = hash_values(values, ptype)
+        bf = SplitBlockBloom(SplitBlockBloom.optimal_bytes(
+            len(np.unique(h)), self.bloom_cols[name]))
+        bf.insert(h)
+        self._blooms.append((cmd, bf))
+
+    def _emit_dict_page(self, dict_page_bytes: bytes,
+                        n_dict: int) -> tuple[int, int]:
+        """Compress and write one PLAIN dictionary page; returns
+        (total_bytes_written, compressed_body_len)."""
+        comp_dict = comp.compress(dict_page_bytes, self.codec, self.level)
+        ph = thrift.write_struct("PageHeader", {
+            "type": PageType.DICTIONARY_PAGE,
+            "uncompressed_page_size": len(dict_page_bytes),
+            "compressed_page_size": len(comp_dict),
+            "crc": _crc(comp_dict),
+            "dictionary_page_header": {
+                "num_values": n_dict,
+                "encoding": Encoding.PLAIN_DICTIONARY},
+        }, SPECS)
+        self.f.write(ph)
+        self.f.write(comp_dict)
+        return len(ph) + len(comp_dict), len(comp_dict)
+
     def _write_flat_pages(self, arr, name: str, ptype: int, encoding: int,
                           pos: int, values):
         """Multi-page emission of one flat column chunk (v1 pages) plus
@@ -831,26 +868,16 @@ class ParquetWriter:
             n_dict = len(labels)
             dict_page_bytes = encode_plain(_extract_labels(labels, ptype),
                                            ptype)
-            comp_dict = comp.compress(dict_page_bytes, codec, level)
-            ph = thrift.write_struct("PageHeader", {
-                "type": PageType.DICTIONARY_PAGE,
-                "uncompressed_page_size": len(dict_page_bytes),
-                "compressed_page_size": len(comp_dict),
-                "crc": _crc(comp_dict),
-                "dictionary_page_header": {
-                    "num_values": n_dict,
-                    "encoding": Encoding.PLAIN_DICTIONARY},
-            }, SPECS)
             dict_off = pos
-            f.write(ph); f.write(comp_dict)
-            written += len(ph) + len(comp_dict)
-            pos += len(ph) + len(comp_dict)
+            w, comp_dict_len = self._emit_dict_page(dict_page_bytes, n_dict)
+            written += w
+            pos += w
 
         locs, null_pages, mins, maxs, null_counts = [], [], [], [], []
         index_ok = True
         data_off = None
         uncomp_total = written - (0 if dict_page_bytes is None
-                                  else len(comp_dict)) + \
+                                  else comp_dict_len) + \
             (len(dict_page_bytes) if dict_page_bytes is not None else 0)
         total_nulls = 0
         nn_seen = 0
@@ -1092,17 +1119,8 @@ class ParquetWriter:
                 (written, chunk_offset, cmd, idx, colres, values,
                  null_count) = self._write_flat_pages(
                     arr, name, ptype, encoding, pos, values)
-                if name in self.bloom_cols and n - null_count > 0 \
-                        and ptype != Type.BOOLEAN:
-                    from fastparquet_spark.codecs.bloom import (
-                        SplitBlockBloom, hash_values,
-                    )
-
-                    h = hash_values(values, ptype)
-                    bf = SplitBlockBloom(SplitBlockBloom.optimal_bytes(
-                        len(np.unique(h)), self.bloom_cols[name]))
-                    bf.insert(h)
-                    self._blooms.append((cmd, bf))
+                self._maybe_build_bloom(cmd, values, name, ptype,
+                                        n - null_count)
                 entry = {"file_offset": chunk_offset, "meta_data": cmd}
                 self._page_index.append((entry, idx))
                 chunks_cols.append(entry)
@@ -1130,21 +1148,13 @@ class ParquetWriter:
             chunk_offset = pos
             dict_off = None
             written = 0
+            comp_dict_len = 0
             if dict_page_bytes is not None:
-                comp_dict = comp.compress(dict_page_bytes, codec, level)
-                ph = thrift.write_struct("PageHeader", {
-                    "type": PageType.DICTIONARY_PAGE,
-                    "uncompressed_page_size": len(dict_page_bytes),
-                    "compressed_page_size": len(comp_dict),
-                    "crc": _crc(comp_dict),
-                    "dictionary_page_header": {
-                        "num_values": n_dict,
-                        "encoding": Encoding.PLAIN_DICTIONARY},
-                }, SPECS)
                 dict_off = pos
-                f.write(ph); f.write(comp_dict)
-                written += len(ph) + len(comp_dict)
-                pos += len(ph) + len(comp_dict)
+                w, comp_dict_len = self._emit_dict_page(
+                    dict_page_bytes, n_dict)
+                written += w
+                pos += w
             if page_version == 1:
                 comp_body = comp.compress(body, codec, level)
                 dph = {"num_values": n,
@@ -1187,8 +1197,7 @@ class ParquetWriter:
 
             uncomp_pages = len(body) + (len(dict_page_bytes)
                                         if dict_page_bytes is not None else 0)
-            headers_len = written - len(comp_body) - (
-                len(comp_dict) if dict_page_bytes is not None else 0)
+            headers_len = written - len(comp_body) - comp_dict_len
             uncomp_total = uncomp_pages + headers_len  # incl. page headers, per spec
             enc_list = sorted({Encoding.RLE, encoding} |
                               ({Encoding.PLAIN}
@@ -1203,18 +1212,8 @@ class ParquetWriter:
                 cmd["dictionary_page_offset"] = dict_off
             if st:
                 cmd["statistics"] = st
-            if name in self.bloom_cols and n - null_count > 0 \
-                    and ptype != Type.BOOLEAN:
-                from fastparquet_spark.codecs.bloom import (
-                    SplitBlockBloom, hash_values,
-                )
-
-                h = hash_values(values, ptype)
-                ndv = len(np.unique(h))
-                bf = SplitBlockBloom(SplitBlockBloom.optimal_bytes(
-                    ndv, self.bloom_cols[name]))
-                bf.insert(h)
-                self._blooms.append((cmd, bf))
+            self._maybe_build_bloom(cmd, values, name, ptype,
+                                    n - null_count)
             chunks_cols.append({"file_offset": chunk_offset, "meta_data": cmd})
             self.result.columns.append(ColumnResult(
                 name=name, encoding=_ENC_NAMES[encoding], num_values=n,
