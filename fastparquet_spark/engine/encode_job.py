@@ -52,6 +52,7 @@ MANIFEST_SCHEMA_JSON = {
     "partition": "int", "file": "string", "rows": "long",
     "input_bytes": "long", "output_bytes": "long", "encode_secs": "double",
     "skipped": "boolean", "columns": "string",  # json {name: encoding}
+    "kernel_secs": "double",
 }
 
 
@@ -127,7 +128,17 @@ def _salted(df, partition_cols, salt_rows: int, num_partitions: int):
         return df.repartition(num_partitions, salt)
     counts = (df.groupBy(*cols).agg(F.count("*").alias("__key_rows"))
               .filter(F.col("__key_rows") > salt_rows))
-    df = df.join(F.broadcast(counts), on=cols, how="left")
+    # eqNullSafe, NOT on=cols: a skewed NULL partition key (common in
+    # scraped corpora) never matches its count row under plain equality
+    # and would land unsalted on one task (r6 review #4)
+    counts = counts.select(
+        *[F.col(c).alias(f"__k_{c}") for c in cols], "__key_rows")
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+        cond = e if cond is None else (cond & e)
+    df = (df.join(F.broadcast(counts), on=cond, how="left")
+          .drop(*[f"__k_{c}" for c in cols]))
     buckets = F.when(
         F.col("__key_rows").isNull(), F.lit(1)
     ).otherwise(F.ceil(F.col("__key_rows") / F.lit(salt_rows)))
@@ -198,6 +209,27 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
 
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 1)
+    # resume identity is the PARTITION ID: a re-run with a different
+    # num_partitions (e.g. resuming on a different-sized cluster with
+    # the defaultParallelism default) assigns DIFFERENT rows to the
+    # pids whose manifests exist — silent data loss.  The first run
+    # records its plan; resumes must match it (r6 review #7).
+    plan_marker = _u_join(out_dir, f"{MANIFEST_DIR}/_plan_{file_prefix}.json")
+    if resume and drv_fs.exists(plan_marker):
+        with drv_fs.open_read(plan_marker) as fh:
+            prev = json.loads(fh.read())
+        if prev.get("num_partitions") != num_partitions:
+            raise ValueError(
+                f"resume with num_partitions={num_partitions} but the "
+                f"interrupted run used {prev.get('num_partitions')} — "
+                f"pass num_partitions={prev.get('num_partitions')} "
+                f"explicitly, or resume=False to start over")
+    else:
+        tmp = f"{plan_marker}.tmp"
+        with drv_fs.open_write(tmp) as fh:
+            fh.write(json.dumps(
+                {"num_partitions": num_partitions}).encode())
+        drv_fs.replace(tmp, plan_marker)
     work = _salted(df, partition_cols, salt_rows, num_partitions)
     sort_cols = [c for c in (sort_within or ()) if c in df.columns]
     if layout == "hive":
@@ -357,8 +389,16 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                 for combo in combos.to_pylist():
                     mask = None
                     for c in pcols_:
-                        m = (pc.is_null(tbl.column(c)) if combo[c] is None
-                             else pc.equal(tbl.column(c), combo[c]))
+                        col = tbl.column(c)
+                        if combo[c] is None:
+                            m = pc.is_null(col)
+                        elif isinstance(combo[c], float) and \
+                                combo[c] != combo[c]:
+                            # NaN combo: NaN != NaN, plain equality
+                            # silently dropped every NaN row (r6 #3)
+                            m = pc.is_nan(col)
+                        else:
+                            m = pc.equal(col, combo[c])
                         mask = m if mask is None else pc.and_kleene(mask, m)
                     part = tbl.filter(mask).drop_columns(pcols_)
                     key = tuple(combo[c] for c in pcols_)
@@ -486,9 +526,13 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
         arrow_schema = pa_s.schema(
             [f for f in arrow_schema if f.name not in pcols])
     probe = ParquetWriter(_io.BytesIO(), arrow_schema)
+    # LEAVES only, matching schema_signature(): group elements (LIST/
+    # MAP/STRUCT roots) have no physical type and made every nested
+    # append a spurious mismatch (r6 review #1)
     new_sig = [(e["name"], e.get("type"), e.get("converted_type"),
                 e.get("type_length"))
-               for e in probe.schema_elems[1:]]
+               for e in probe.schema_elems[1:]
+               if e.get("num_children") is None]
     old_sig = schema_signature(existing[0]["fmd"])
     # order-insensitive: the salting repartition fronts the partition
     # columns, so physical column order is an artifact, not the contract
@@ -509,6 +553,18 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     # and decrementing onto the earlier COMPLETED generation would make
     # every partition skip and silently drop the new rows — r5 ADVICE
     # #1.)
+    from fastparquet_spark.io import get_fs
+
+    fs = get_fs(out_dir)
+    if old_sidecar is not None:
+        # a valid sidecar proves the last append COMPLETED: any marker
+        # still on disk is stale (removal raced/failed) and must not
+        # trigger a resume-decrement in a later crash chain (r6 #6)
+        for p in fs.glob(_u_join(out_dir, "_g*_INPROGRESS")):
+            try:
+                fs.remove(p)
+            except OSError:
+                pass
     gens = [0]
     for m in existing:
         base = os.path.basename(m["file"])
@@ -521,9 +577,6 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
             gens.append(1)
     gen = max(gens)
     resume = kwargs.get("resume", True)
-    from fastparquet_spark.io import get_fs
-
-    fs = get_fs(out_dir)
     if (resume and gen > 1 and old_sidecar is None
             and fs.exists(_u_join(out_dir, f"_g{gen - 1:03d}_INPROGRESS"))):
         gen -= 1  # resume the provably interrupted generation
@@ -532,7 +585,13 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
         fh.write(b"")
     rows = encode_dataset(spark, df, out_dir,
                           file_prefix=f"part-g{gen:03d}", **kwargs).collect()
-    new_files = sorted({r["file"] for r in rows if not r["skipped"]})
+    # ALL manifest files not already in the base sidecar — not just
+    # freshly-written ones: a task re-run after its manifest commit
+    # reports skipped=True, but its files may still be missing from
+    # the sidecar (r6 review #2)
+    have = {rg["columns"][0].get("file_path")
+            for rg in old_sidecar["row_groups"]} if old_sidecar else set()
+    new_files = sorted({r["file"] for r in rows if r["file"]} - have)
     if old_sidecar is not None and new_files:
         write_metadata_sidecar(out_dir, base=old_sidecar,
                                add_files=new_files)

@@ -199,3 +199,88 @@ def test_writer_review_fixes(tmp_path):
     # pyarrow still reads the unsigned bounds correctly
     pst = pq.read_metadata(p4).row_group(0).column(0).statistics
     assert pst.max == 2**63 + 5
+
+
+def test_append_nested_schema_not_spurious_mismatch(spark, tmp_path):
+    """(r6 engine review #1) append to a dataset with a LIST column:
+    group schema elements must not poison the signature compare."""
+    from fastparquet_spark.engine import append_dataset, encode_dataset
+    from fastparquet_spark.format.dataset import write_metadata_sidecar
+
+    out = str(tmp_path / "nested")
+    df = spark.createDataFrame(
+        [(i, f"d{i}", [float(i), float(i + 1)]) for i in range(300)],
+        "vec_id long, name string, embedding array<double>")
+    encode_dataset(spark, df, out, partition_cols=(), num_partitions=2,
+                   resume=False).collect()
+    write_metadata_sidecar(out)
+    df2 = spark.createDataFrame(
+        [(i, f"d{i}", [float(i)]) for i in range(300, 400)],
+        "vec_id long, name string, embedding array<double>")
+    rows = append_dataset(spark, df2, out, partition_cols=(),
+                          num_partitions=2, resume=False)
+    assert sum(r.rows for r in rows) == 100
+    assert spark.read.parquet(out).count() == 400
+
+
+def test_salting_covers_null_partition_key(spark):
+    """(r6 engine review #4) a skewed NULL key must be salted across
+    tasks, not funneled to one (eqNullSafe join)."""
+    from pyspark.sql import functions as F
+
+    from fastparquet_spark.engine.encode_job import _salted
+
+    rows = [(None, f"p{i}", i) for i in range(2000)] + \
+           [("small", f"q{i}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "repo string, path string, v long")
+    out = _salted(df, ["repo"], salt_rows=100, num_partitions=8)
+    sizes = [len(p) for p in out.rdd.glom().collect()]
+    # the 2000 NULL-key rows spread over >1 partition
+    assert max(sizes) < 2000
+    assert sum(sizes) == 2020
+
+
+def test_hive_nan_partition_value_rows_survive(spark, tmp_path):
+    """(r6 engine review #3) NaN in a float partition column: rows must
+    be written (NaN != NaN broke the combo mask silently)."""
+    import math
+
+    from fastparquet_spark.engine import encode_dataset
+
+    rows = [(float("nan") if i % 3 == 0 else float(i % 2), i)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "score double, k long")
+    out = str(tmp_path / "nanhive")
+    man = encode_dataset(spark, df, out, partition_cols=("score",),
+                         layout="hive", num_partitions=1,
+                         salt_rows=10**9, resume=False).collect()
+    assert sum(r.rows for r in man) == 300
+    import glob as _g
+
+    import pyarrow.parquet as _pq
+
+    total = sum(_pq.read_table(p).num_rows
+                for p in _g.glob(f"{out}/score=*/part-*.parquet"))
+    assert total == 300  # the 100 NaN rows did not vanish
+
+
+def test_resume_rejects_changed_num_partitions(spark, tmp_path):
+    """(r6 engine review #7) resume with a different num_partitions
+    would skip pids now holding different rows — must raise."""
+    from fastparquet_spark.engine import encode_dataset
+
+    out = str(tmp_path / "np")
+    df = spark.range(500).selectExpr("id", "concat('x', id) AS content")
+    encode_dataset(spark, df, out, partition_cols=(), num_partitions=2,
+                   resume=True).collect()
+    with pytest.raises(ValueError, match="num_partitions"):
+        encode_dataset(spark, df, out, partition_cols=(),
+                       num_partitions=3, resume=True).collect()
+    # same value resumes fine (all partitions skip)
+    rows = encode_dataset(spark, df, out, partition_cols=(),
+                          num_partitions=2, resume=True).collect()
+    assert all(r.skipped for r in rows)
+    # resume=False starts over regardless
+    encode_dataset(spark, df, out, partition_cols=(), num_partitions=3,
+                   resume=False).collect()
+    assert spark.read.parquet(out).count() == 500
