@@ -28,7 +28,66 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 
-from fastparquet_spark.engine.encode_job import MANIFEST_DIR, _arrow_manifest_batch, _manifest_struct
+from fastparquet_spark.engine.encode_job import (
+    MANIFEST_DIR,
+    _arrow_manifest_batch,
+    _manifest_struct,
+    _u_join,
+)
+
+
+def _prepare_split_job(spark, input_dir: str, out_dir: str,
+                       rows_per_task: int, resume: bool):
+    """Shared driver scaffold for both split encoders: output dirs,
+    stale-sidecar invalidation, split planning, and the PLAN-IDENTITY
+    guard — resume keys on split ids, and split ids shift if the input
+    file set or rows_per_task changes between runs, so a resume against
+    a different plan would skip splits now holding different rows
+    (r6 review; the same guard encode_dataset carries).  Returns
+    (splits, sdf) — sdf None when there is nothing to do."""
+    import hashlib
+
+    from fastparquet_spark.io import get_fs
+
+    drv_fs = get_fs(out_dir)
+    drv_fs.makedirs(out_dir)
+    drv_fs.makedirs(_u_join(out_dir, MANIFEST_DIR))
+    # a pre-existing sidecar cannot see the files this job adds —
+    # sidecar-preferring readers would silently miss them
+    for name in ("_metadata", "_common_metadata"):
+        sidecar = _u_join(out_dir, name)
+        if drv_fs.exists(sidecar):
+            drv_fs.remove(sidecar)
+    splits = plan_splits(input_dir, rows_per_task)
+    if not splits:
+        return splits, None
+    fingerprint = hashlib.sha256(json.dumps(
+        [(s["file"], s["row_groups"]) for s in splits],
+        sort_keys=True).encode()).hexdigest()
+    plan_marker = _u_join(out_dir, f"{MANIFEST_DIR}/_plan_files.json")
+    if resume and drv_fs.exists(plan_marker):
+        with drv_fs.open_read(plan_marker) as fh:
+            prev = json.loads(fh.read())
+        if prev.get("fingerprint") != fingerprint:
+            raise ValueError(
+                "resume against a DIFFERENT split plan (input files or "
+                "rows_per_task changed since the interrupted run) — "
+                "split ids no longer map to the same row groups; pass "
+                "resume=False to start over")
+    else:
+        tmp = f"{plan_marker}.tmp"
+        with drv_fs.open_write(tmp) as fh:
+            fh.write(json.dumps({"fingerprint": fingerprint,
+                                 "n_splits": len(splits)}).encode())
+        drv_fs.replace(tmp, plan_marker)
+    split_rows = [(s["split"], s["file"], json.dumps(s["row_groups"]))
+                  for s in splits]
+    # exactly one split per partition: hash repartition would collide
+    # splits into shared partitions and leave others empty, putting 2-3
+    # tasks on the critical path
+    rdd = spark.sparkContext.parallelize(split_rows, len(splits))
+    sdf = spark.createDataFrame(rdd, "split int, file string, rgs string")
+    return splits, sdf
 
 
 def plan_splits(input_dir: str, rows_per_task: int = 2_000_000,
@@ -124,8 +183,30 @@ def _publish(fs, body_writer, opath: str, attempt) -> None:
         try:
             fs.replace(tmp, opath)
         except OSError:
-            if not fs.exists(opath):
-                raise  # no twin published: a real failure
+            # two legitimate twin outcomes: (a) our stage was SWEPT by
+            # a twin — sweeps run only after that twin published a
+            # complete final; (b) the rename failed with our stage
+            # intact — then the final must BYTE-MATCH our staged size
+            # (the writer is deterministic, so twins' outputs are
+            # identical; a stale file from an earlier run is not) —
+            # blessing ANY existing file masked real rename failures
+            # (r6 review #3)
+            ok = False
+            try:
+                if fs.exists(opath):
+                    if not fs.exists(tmp):
+                        ok = True  # swept by a published twin
+                    else:
+                        ok = fs.size(opath) == fs.size(tmp)
+            except OSError:
+                pass
+            if not ok:
+                raise  # no twin final: a real failure
+            try:  # our stage, if left, was not consumed (r6 #4)
+                if fs.exists(tmp):
+                    fs.remove(tmp)
+            except OSError:
+                pass
         _sweep_stale_stages(fs, opath, keep=tmp)
     except BaseException:
         try:
@@ -151,21 +232,10 @@ def encode_files(spark, input_dir: str, out_dir: str, *,
     hive ``key=value`` partitions) under ``out_dir``, so a partitioned
     input re-encodes into an equally partition-prunable output without
     any shuffle — the plan moves, the clustering stays."""
-    from fastparquet_spark.io import get_fs
-
-    drv_fs = get_fs(out_dir)
-    drv_fs.makedirs(out_dir)
-    drv_fs.makedirs(out_dir.rstrip("/") + "/" + MANIFEST_DIR)
-    splits = plan_splits(input_dir, rows_per_task)
-    if not splits:
+    splits, sdf = _prepare_split_job(spark, input_dir, out_dir,
+                                     rows_per_task, resume)
+    if sdf is None:
         return spark.createDataFrame([], _manifest_struct())
-    n_tasks = len(splits)
-    split_rows = [(s["split"], s["file"], json.dumps(s["row_groups"])) for s in splits]
-    # exactly one split per partition: hash repartition would collide
-    # splits into shared partitions and leave others empty, putting 2-3
-    # tasks on the critical path
-    rdd = spark.sparkContext.parallelize(split_rows, n_tasks)
-    sdf = spark.createDataFrame(rdd, "split int, file string, rgs string")
 
     out_dir_ = out_dir
     input_dir_ = input_dir
@@ -255,18 +325,10 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
     a small pyarrow sample and shipped through the closure, so tasks
     never pay the training cost (fpsc_job.encode_dataset_fpsc has the
     same option for the shuffle path)."""
-    from fastparquet_spark.io import get_fs
-
-    drv_fs = get_fs(out_dir)
-    drv_fs.makedirs(out_dir)
-    drv_fs.makedirs(out_dir.rstrip("/") + "/" + MANIFEST_DIR)
-    splits = plan_splits(input_dir, rows_per_task)
-    if not splits:
+    splits, sdf = _prepare_split_job(spark, input_dir, out_dir,
+                                     rows_per_task, resume)
+    if sdf is None:
         return spark.createDataFrame([], _manifest_struct())
-    split_rows = [(s["split"], s["file"], json.dumps(s["row_groups"]))
-                  for s in splits]
-    rdd = spark.sparkContext.parallelize(split_rows, len(splits))
-    sdf = spark.createDataFrame(rdd, "split int, file string, rgs string")
 
     pretrained: dict = {}
     decisions: dict = {}
@@ -275,9 +337,14 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
 
         from fastparquet_spark.format.container import decide_string_codecs
 
-        head = pq_d.ParquetFile(splits[0]["file"]).read_row_group(
-            splits[0]["row_groups"][0], columns=columns,
-            use_threads=False).slice(0, pretrain_rows)
+        # stream only ~pretrain_rows rows — read_row_group would
+        # materialize up to rows_per_task rows on the DRIVER just to
+        # slice 2000 (r6 review #5)
+        first = pq_d.ParquetFile(splits[0]["file"])
+        batch = next(first.iter_batches(batch_size=pretrain_rows,
+                                        columns=columns,
+                                        use_threads=False))
+        head = pa.Table.from_batches([batch])
         # one driver pass trains the FSST tables AND fixes the
         # fsst-vs-plain choice per string column from the same sample,
         # so tasks run only the winning codec (no per-task dual trial)

@@ -284,3 +284,38 @@ def test_resume_rejects_changed_num_partitions(spark, tmp_path):
     encode_dataset(spark, df, out, partition_cols=(), num_partitions=3,
                    resume=False).collect()
     assert spark.read.parquet(out).count() == 500
+
+
+def test_encode_files_plan_guard_and_sidecar_drop(spark, tmp_path):
+    """(r6 file_job review #1/#2) resume against a changed split plan
+    raises; a stale _metadata sidecar is invalidated at plan time."""
+    import pyarrow.parquet as _pq
+
+    from fastparquet_spark.engine import encode_files
+    from fastparquet_spark.format.dataset import write_metadata_sidecar
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        _pq.write_table(pa.table({"k": pa.array(range(i * 100, (i + 1) * 100)),
+                                  "s": pa.array([f"v{j}" for j in range(100)])}),
+                        str(src / f"in-{i}.parquet"))
+    out = str(tmp_path / "out")
+    encode_files(spark, str(src), out, rows_per_task=150).collect()
+    write_metadata_sidecar(out)
+    import os as _os
+
+    # a NEW input file changes the split plan -> resume refuses
+    _pq.write_table(pa.table({"k": pa.array(range(300, 400)),
+                              "s": pa.array([f"v{j}" for j in range(100)])}),
+                    str(src / "in-3.parquet"))
+    with pytest.raises(ValueError, match="split plan"):
+        encode_files(spark, str(src), out, rows_per_task=150).collect()
+    # resume=False re-plans (and drops the stale sidecar at plan time)
+    encode_files(spark, str(src), out, rows_per_task=150,
+                 resume=False).collect()
+    assert not _os.path.exists(_os.path.join(out, "_metadata"))
+    total = sum(_pq.read_table(_os.path.join(out, f)).num_rows
+                for f in _os.listdir(out)
+                if f.endswith(".parquet"))
+    assert total == 400
