@@ -44,9 +44,6 @@ from fastparquet_spark.format.writer import _binary_parts, _map_type
 
 MAGIC = b"FPSC"
 
-_NP_OF = {Type.BOOLEAN: np.bool_, Type.INT32: np.int32, Type.INT64: np.int64,
-          Type.FLOAT: np.float32, Type.DOUBLE: np.float64}
-
 
 @dataclass
 class ColumnBlock:
@@ -180,6 +177,13 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
             # fail fast: anything the read path can't restore is rejected at
             # write time instead of producing an unreadable container
             _type_from_name(_arrow_type_name(field.type))
+            if pa.types.is_list(field.type) and (
+                    pa.types.is_list(field.type.value_type)
+                    or pa.types.is_struct(field.type.value_type)
+                    or pa.types.is_map(field.type.value_type)):
+                raise ValueError(
+                    f"unsupported container type {field.type}: lists of "
+                    f"primitives only (r6 review #2)")
             n = len(arr)
             null_count = arr.null_count
             validity_b = b""
@@ -270,9 +274,16 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 elif vals.dtype == np.uint64:
                     vals = vals.view(np.int64)
                 raw_bytes = vals.nbytes
-                st = column_stats(vals, ptype)
-                if ptype in (Type.INT32, Type.INT64) and (
-                        st.sorted_frac > 0.95 or st.delta_bits < st.plain_bits * 0.6):
+                # stats only where they are consulted: the sampling
+                # pass (unique sort + run probe) was paid for float/
+                # bool columns whose result was discarded (r6 #4)
+                if ptype in (Type.INT32, Type.INT64):
+                    st = column_stats(vals, ptype)
+                    use_delta = (st.sorted_frac > 0.95
+                                 or st.delta_bits < st.plain_bits * 0.6)
+                else:
+                    use_delta = False
+                if use_delta:
                     codec_name = "delta"
                     raw = delta_encode(vals, bit_width=32 if ptype == Type.INT32 else 64)
                 else:
@@ -347,7 +358,12 @@ def _write_list_block(arr_nn: pa.Array, validity_b: bytes,
     else:
         flat_nn = flat
     eptype, _, ecast = _map_type(flat_nn.type)
-    if ecast is not None and flat_nn.type != ecast:
+    if ecast is not None and flat_nn.type != ecast \
+            and not pa.types.is_timestamp(flat_nn.type):
+        # same exemption as the top-level path: timestamps keep their
+        # NATIVE unit (int64 either way) — the parquet-style cast to µs
+        # re-labeled list<timestamp[ms|ns]> values 1000x off on read
+        # (r6 review #1, confirmed corruption)
         flat_nn = flat_nn.cast(ecast)
     raw = encode_plain(_extract(flat_nn, eptype), eptype)
     body = comp.compress(raw, codec)
@@ -391,7 +407,11 @@ def read_container_footer(source, fs=None) -> dict:
     """Footer-only read of an FPSC container (tail fetch, no data)."""
     if isinstance(source, (bytes, bytearray)):
         buf = bytes(source)
+        if len(buf) < 8 or buf[-4:] != MAGIC:
+            raise ValueError("not an FPSC container (missing magic)")
         flen = int.from_bytes(buf[-8:-4], "little")
+        if flen > len(buf) - 8:
+            raise ValueError("not an FPSC container (bad footer length)")
         return json.loads(buf[len(buf) - 8 - flen:len(buf) - 8])
     from fastparquet_spark.io import get_fs
 

@@ -364,3 +364,39 @@ def hashlib_md5_hex(i: int) -> str:
     import hashlib
 
     return hashlib.md5(str(i).encode()).hexdigest()
+
+
+def test_list_timestamp_units_roundtrip(tmp_path):
+    """(r6 review #1 — confirmed corruption) list<timestamp[ms|ns]>
+    children keep their NATIVE unit; the µs cast re-labeled values
+    1000x off on read."""
+    import pyarrow as pa
+
+    from fastparquet_spark.format.container import read_container, write_container
+
+    t = pa.table({
+        "ms": pa.array([[1_700_000_000_000], None, []],
+                       pa.list_(pa.timestamp("ms"))),
+        "ns": pa.array([[1_700_000_000_000_000_123], [1, 2], None],
+                       pa.list_(pa.timestamp("ns"))),
+    })
+    p = str(tmp_path / "ts.fpsc")
+    write_container(p, t)
+    back = read_container(p)
+    assert back.column("ms").to_pylist() == t.column("ms").to_pylist()
+    assert back.column("ns").to_pylist() == t.column("ns").to_pylist()
+
+
+def test_container_rejects_nested_lists_and_bad_bytes(tmp_path):
+    import pyarrow as pa
+    import pytest as _pt
+
+    from fastparquet_spark.format.container import (
+        read_container_footer, write_container,
+    )
+
+    with _pt.raises(ValueError, match="lists of primitives"):
+        write_container(str(tmp_path / "x.fpsc"), pa.table({
+            "ll": pa.array([[[1]]], pa.list_(pa.list_(pa.int64())))}))
+    with _pt.raises(ValueError, match="FPSC"):
+        read_container_footer(b"PAR1 not a container PAR1")
