@@ -37,21 +37,36 @@ def common_root(paths: list[str]) -> str:
     ``os.path.commonpath`` normalizes ``s3://b/x`` to ``s3:/b/x``
     (collapsing the scheme's double slash), after which ``get_fs``
     routes every downstream read to LocalFS — so the scheme prefix is
-    split off before commonpath and re-attached (r6 review #2)."""
-    dirs = [p.rsplit("/", 1)[0] for p in paths]
+    split off before commonpath and re-attached (r6 review #2).
+
+    cwd-relative inputs resolve to ``"."`` (a bare ``a.parquet`` has
+    the working directory as its root, NOT itself; r6 review)."""
+    uri = [_is_uri(p) for p in paths]
+    if any(uri) and not all(uri):
+        raise ValueError(
+            f"mixed URI and local paths: {sorted(paths)[:2]}...")
+    # dirname semantics: a slash-less path lives in the cwd
+    dirs = [p.rsplit("/", 1)[0] if "/" in p else "" for p in paths]
     scheme = ""
-    if _is_uri(dirs[0]):
+    if any(uri):
         scheme = dirs[0][:dirs[0].index("://") + 3]
         if not all(d.startswith(scheme) for d in dirs):
             raise ValueError(f"mixed URI schemes in {dirs[:2]}...")
         dirs = [d[len(scheme):] for d in dirs]
+    if any(d == "" for d in dirs):
+        return "."  # at least one file sits directly in the cwd
     base = os.path.commonpath(dirs) if len(dirs) > 1 else dirs[0]
-    return scheme + base
+    return (scheme + base) or "."
 
 
 def relative_to(path: str, base: str) -> str:
     """Path of ``path`` relative to directory ``base`` by prefix strip
-    (``os.path.relpath`` normalizes URI schemes into garbage)."""
+    (``os.path.relpath`` normalizes URI schemes into garbage).  A
+    cwd root ("." or "") leaves relative paths untouched — collapsing
+    them to basenames read the WRONG files for multi-directory lists
+    (r6 review)."""
+    if base in ("", "."):
+        return path if not path.startswith("./") else path[2:]
     b = base.rstrip("/") + "/"
     return path[len(b):] if path.startswith(b) else os.path.basename(path)
 
@@ -120,7 +135,12 @@ class ArrowFS:
         return self._fs.open_output_stream(self._strip(path))
 
     def size(self, path: str) -> int:
-        return self._fs.get_file_info(self._strip(path)).size
+        info = self._fs.get_file_info(self._strip(path))
+        if info.size is None:
+            # NotFound infos carry size=None — surfacing it produced a
+            # TypeError downstream instead of the real error (r6 review)
+            raise FileNotFoundError(path)
+        return info.size
 
     def listdir(self, path: str) -> list[str]:
         from pyarrow.fs import FileSelector
@@ -155,8 +175,17 @@ class ArrowFS:
         # ds/lang=*/part-*.pq swallow files in deeper subdirectories
         def _seg_match(path: str) -> bool:
             ps = path.split("/")
-            return len(ps) == len(segs) and all(
-                fnmatch.fnmatch(p, s) for p, s in zip(ps, segs))
+            if len(ps) != len(segs):
+                return False
+            for p, sgm in zip(ps, segs):
+                # glob.glob parity: a wildcard segment never matches a
+                # dot-hidden name (in-flight .stage files must not be
+                # swept into object-store input sets — r6 review)
+                if p.startswith(".") and not sgm.startswith("."):
+                    return False
+                if not fnmatch.fnmatch(p, sgm):
+                    return False
+            return True
 
         return sorted(p for p in cands if _seg_match(p))
 
@@ -247,8 +276,17 @@ def get_fs(path: str, fs=None):
         # stripping only the scheme handed HadoopFileSystem a relative
         # 'nn:8020/x' path (r5 review).  s3/gs keep their bucket in the
         # inner path, so their prefix stays just 'scheme://'.
-        if inner and path.endswith(inner):
-            prefix = path[:len(path) - len(inner)]
+        if inner and path.rstrip("/").endswith(inner.rstrip("/")):
+            p2, i2 = path.rstrip("/"), inner.rstrip("/")
+            prefix = p2[:len(p2) - len(i2)]
+        elif inner.startswith("/"):
+            # from_uri NORMALIZED the inner path (e.g. trailing slash),
+            # so suffix-matching failed; an absolute inner means the
+            # authority was consumed — scheme://authority is the prefix
+            # (scheme-only would hand HadoopFS a relative 'nn:8020/x'
+            # path, the r5 authority bug — r6 review #1)
+            scheme_, rest = path.split("://", 1)
+            prefix = scheme_ + "://" + rest.split("/", 1)[0]
         else:
             prefix = path.split("://", 1)[0] + "://"
         return ArrowFS(arrow_fs, prefix)

@@ -1,6 +1,6 @@
 from __future__ import annotations
 
-import os
+from fastparquet_spark.engine.encode_job import _u_join
 
 
 def encode_stream(spark, stream_df, out_dir: str, checkpoint_dir: str, *,
@@ -23,12 +23,16 @@ def encode_stream(spark, stream_df, out_dir: str, checkpoint_dir: str, *,
 
     if fmt not in ("parquet", "fpsc"):
         raise ValueError("fmt must be 'parquet' or 'fpsc'")
+    if fmt == "fpsc" and layout != "flat":
+        raise ValueError(
+            "layout is parquet-only; the fpsc epoch sink writes flat "
+            "containers (silently ignoring layout hid the mismatch)")
     from fastparquet_spark.io import get_fs
 
     get_fs(out_dir).makedirs(out_dir)  # fs seam: URI sinks work too
 
     def handle(batch_df, epoch_id: int):
-        epoch_dir = os.path.join(out_dir, f"epoch={epoch_id:08d}")
+        epoch_dir = _u_join(out_dir, f"epoch={epoch_id:08d}")
         if fmt == "fpsc":
             encode_dataset_fpsc(batch_df.sparkSession, batch_df, epoch_dir,
                                 compression=compression,
@@ -56,16 +60,32 @@ def windowed_event_counts(spark, stream_df, *, window: str = "1 hour",
     older than the watermark are finalized and dropped)."""
     from pyspark.sql import functions as F
 
-    # watermarks require TIMESTAMP (not NTZ); a fixed session-tz shift is
-    # irrelevant to windowing arithmetic
-    if dict(stream_df.dtypes).get("ts") == "timestamp_ntz":
-        stream_df = stream_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Watermarks REQUIRE TIMESTAMP (Spark rejects NTZ event time).  A
+    # bare cast interprets the wall clock in the SESSION timezone, so
+    # hourly buckets land at :30 under a +05:30 offset and shift across
+    # DST transitions.  Composing the cast with to_utc_timestamp maps
+    # the NTZ wall clock onto UTC instants exactly (any fixed offset),
+    # so buckets align with the input wall clock — matching Spark's own
+    # batch window() over NTZ; the inherently ambiguous DST-transition
+    # hour is the one residual (r6 review).
+    ntz = dict(stream_df.dtypes).get("ts") == "timestamp_ntz"
+    if ntz:
+        stream_df = stream_df.withColumn(
+            "ts", F.to_utc_timestamp(F.col("ts").cast("timestamp"),
+                                     F.expr("current_timezone()")))
+    start = F.col("w.start")
+    if ntz:
+        # render the UTC instant's UTC wall clock back as NTZ, so the
+        # output type matches the input column's
+        start = F.convert_timezone(
+            F.expr("current_timezone()"), F.lit("UTC"),
+            F.col("w.start").cast("timestamp_ntz"))
     return (stream_df
             .withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.sum("value").alias("total_value"))
-            .select(F.col("w.start").alias("window_start"),
+            .select(start.alias("window_start"),
                     "event_type", "n_events", "total_value"))
 
 

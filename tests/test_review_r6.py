@@ -319,3 +319,39 @@ def test_encode_files_plan_guard_and_sidecar_drop(spark, tmp_path):
                 for f in _os.listdir(out)
                 if f.endswith(".parquet"))
     assert total == 400
+
+
+def test_io_path_resolution_fixes(tmp_path):
+    """(r6 io review) cwd-relative roots, trailing-slash URI prefixes,
+    mixed-scheme validation, glob dotfile parity."""
+    import os
+
+    from fastparquet_spark.api import ParquetFile
+    from fastparquet_spark.io import common_root, get_fs, relative_to
+
+    assert common_root(["a.parquet"]) == "."
+    assert common_root(["a/x.pq", "b/y.pq"]) == "."
+    assert relative_to("a/x.pq", ".") == "a/x.pq"
+    assert relative_to("./a/x.pq", ".") == "a/x.pq"
+    with pytest.raises(ValueError, match="mixed"):
+        common_root(["/t/a.pq", "s3://b/x.pq"])
+    # a bare-filename open works end to end (root '.' + untouched rel)
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        write_file("bare.parquet", pa.table({"k": pa.array(range(9))}))
+        assert ParquetFile(["bare.parquet"]).to_pandas()["k"].sum() == 36
+    finally:
+        os.chdir(cwd)
+    # file:// URI with trailing slash resolves reads correctly
+    sub = tmp_path / "u"
+    sub.mkdir()
+    (sub / "x.bin").write_bytes(b"hello")
+    fs = get_fs(f"file://{sub}/")
+    with fs.open_read(f"file://{sub}/x.bin") as f:
+        assert f.read() == b"hello"
+    # ArrowFS glob skips dot-hidden names like glob.glob does
+    (sub / ".part-0.parquet.stage-1").write_bytes(b"x")
+    (sub / "part-0.parquet").write_bytes(b"x")
+    got = get_fs(f"file://{sub}").glob(f"file://{sub}/*.parquet*")
+    assert [os.path.basename(p) for p in got] == ["part-0.parquet"]
