@@ -17,6 +17,8 @@ read plus ONE ranged fetch per column chunk through the fs seam
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -76,6 +78,22 @@ def _arrow_type(elem: dict) -> pa.DataType:
     if "TIME" in lt:
         unit = _lt_unit(lt["TIME"])
         return pa.time32("ms") if unit == "ms" else pa.time64(unit)
+    # modern logical-only annotations (parquet-format 2.4+ writers may
+    # omit the legacy converted type entirely — r6 review #4)
+    if conv is None:
+        if "STRING" in lt or "ENUM" in lt or "JSON" in lt:
+            return pa.string()
+        if "DECIMAL" in lt:
+            d = lt["DECIMAL"]
+            return pa.decimal128(d.get("precision", 18), d.get("scale", 0))
+        if "INTEGER" in lt:
+            i = lt["INTEGER"]
+            bw, signed = i.get("bitWidth", 32), i.get("isSigned", True)
+            return {(8, True): pa.int8(), (16, True): pa.int16(),
+                    (32, True): pa.int32(), (64, True): pa.int64(),
+                    (8, False): pa.uint8(), (16, False): pa.uint16(),
+                    (32, False): pa.uint32(),
+                    (64, False): pa.uint64()}[(bw, signed)]
     if conv == ConvertedType.DECIMAL:
         return pa.decimal128(elem.get("precision", 18), elem.get("scale", 0))
     if conv == ConvertedType.INTERVAL:
@@ -155,6 +173,19 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
         if ph["type"] == PageType.DATA_PAGE:
             raw = comp.decompress(page, codec, ph["uncompressed_page_size"])
             dph = ph["data_page_header"]
+            # validate only the level streams actually PRESENT (writers
+            # stamp BIT_PACKED on absent streams of flat columns):
+            # legacy BIT_PACKED levels have no length prefix — decoding
+            # them as length-prefixed hybrid produces silent garbage
+            for lvl_key, present in (
+                    ("definition_level_encoding", max_def > 0),
+                    ("repetition_level_encoding", max_rep > 0)):
+                enc_lvl = dph.get(lvl_key, Encoding.RLE)
+                if present and enc_lvl not in (Encoding.RLE,
+                                               Encoding.PLAIN):
+                    raise NotImplementedError(
+                        f"{lvl_key}={enc_lvl} (only RLE levels are "
+                        f"supported)")
             n = dph["num_values"]
             off = 0
             reps = None
@@ -295,6 +326,25 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
             storage[validity] = full16
             return pa.Array.from_buffers(
                 at, n, [vbuf_, pa.py_buffer(storage.tobytes())], null_count=nc_)
+        if isinstance(vals, tuple) and len(vals) == 2:
+            # variable-length BINARY decimal (parquet-avro/-java emit
+            # these): big-endian two's complement unscaled bytes per
+            # value — rare foreign path, decoded per value (r6 review)
+            import decimal as _dec
+
+            lengths, data = vals
+            scale = elem.get("scale", 0)
+            cum = np.concatenate(([0], np.cumsum(lengths)))
+            dbytes = data.tobytes()
+            out = [None] * n
+            vi = 0
+            for i in range(n):
+                if validity[i]:
+                    u = int.from_bytes(
+                        dbytes[cum[vi]:cum[vi + 1]], "big", signed=True)
+                    out[i] = _dec.Decimal(u).scaleb(-scale)
+                    vi += 1
+            return pa.array(out, type=at)
         # int64 unscaled -> decimal128 storage (low word + sign extension)
         low = np.zeros(n, dtype=np.int64)
         if vals is not None:
@@ -349,11 +399,11 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
         else:
             btype = pa.utf8() if at == pa.string() else pa.binary()
             offsets = offs64.astype(np.int32)
-        vbuf = pa.py_buffer(np.packbits(validity, bitorder="little").tobytes()) if nulls else None
         arr = pa.Array.from_buffers(
             btype, n,
-            [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
-            null_count=int((~validity).sum()) if nulls else 0)
+            [vbuf_, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(data.tobytes())],
+            null_count=nc_)
         return arr
     np_dtype = {pa.bool_(): np.bool_, pa.int32(): np.int32, pa.int64(): np.int64,
                 pa.float32(): np.float32, pa.float64(): np.float64}.get(at)
@@ -385,9 +435,10 @@ class _ByteSource:
         if isinstance(source, (bytes, bytearray, memoryview)):
             self._buf = bytes(source)
             self._f = None
-        elif isinstance(source, str):
+        elif isinstance(source, (str, os.PathLike)):
             from fastparquet_spark.io import get_fs
 
+            source = os.fspath(source)
             self._buf = None
             self._f = get_fs(source, fs).open_read(source)
         else:  # file-like: must support seek/read
@@ -421,8 +472,13 @@ class _ByteSource:
 
 
 def _chunk_start(cmd: dict) -> int:
-    return min(p for p in (cmd.get("dictionary_page_offset"),
-                           cmd["data_page_offset"]) if p is not None)
+    # dictionary_page_offset == 0 is a NO-DICTIONARY sentinel some
+    # writers emit (parquet-mr guards with > 0); trusting it put the
+    # chunk start at byte 0 and parsed the PAR1 magic as a PageHeader
+    dpo = cmd.get("dictionary_page_offset")
+    if dpo is not None and dpo > 0:
+        return min(dpo, cmd["data_page_offset"])
+    return cmd["data_page_offset"]
 
 
 def _chunk_bounds(fmd: dict, data_end: int) -> dict[int, int]:
@@ -444,8 +500,11 @@ def _fetch_chunk(src: _ByteSource, cmd: dict,
     start = _chunk_start(cmd)
     blob = src.range(start, bounds[start] - start)
     cmd2 = dict(cmd, data_page_offset=cmd["data_page_offset"] - start)
-    if cmd.get("dictionary_page_offset") is not None:
-        cmd2["dictionary_page_offset"] = cmd["dictionary_page_offset"] - start
+    dpo = cmd.get("dictionary_page_offset")
+    if dpo is not None and dpo > 0:
+        cmd2["dictionary_page_offset"] = dpo - start
+    else:
+        cmd2.pop("dictionary_page_offset", None)  # drop the 0 sentinel
     return blob, cmd2
 
 
@@ -553,7 +612,9 @@ def read_file(source, columns=None) -> pa.Table:
         src.close()
     if not parts:
         return _empty_table(tree, columns)
-    return pa.concat_tables(parts)
+    # permissive: a string column can promote to large_utf8 in only the
+    # row groups whose byte total crosses 2 GiB (r6 review #1)
+    return pa.concat_tables(parts, promote_options="permissive")
 
 
 def read_row_groups(source, indices, columns=None) -> pa.Table:
@@ -574,7 +635,9 @@ def read_row_groups(source, indices, columns=None) -> pa.Table:
         src.close()
     if not parts:
         return _empty_table(tree, columns)
-    return pa.concat_tables(parts)
+    # permissive: a string column can promote to large_utf8 in only the
+    # row groups whose byte total crosses 2 GiB (r6 review #1)
+    return pa.concat_tables(parts, promote_options="permissive")
 
 
 def head(source, n: int = 5, columns=None) -> pa.Table:
@@ -589,4 +652,4 @@ def head(source, n: int = 5, columns=None) -> pa.Table:
             break
     if not got:
         return read_file(source, columns).slice(0, 0)
-    return pa.concat_tables(got)
+    return pa.concat_tables(got, promote_options="permissive")

@@ -355,3 +355,35 @@ def test_io_path_resolution_fixes(tmp_path):
     (sub / "part-0.parquet").write_bytes(b"x")
     got = get_fs(f"file://{sub}").glob(f"file://{sub}/*.parquet*")
     assert [os.path.basename(p) for p in got] == ["part-0.parquet"]
+
+
+def test_reader_review_fixes(tmp_path):
+    """(r6 reader review) pathlib sources; BYTE_ARRAY-backed DECIMAL;
+    logical-only STRING/DECIMAL/INTEGER annotations; mixed
+    utf8/large_utf8 row groups concat permissively (type check)."""
+    import pathlib
+
+    import numpy as np
+
+    from fastparquet_spark.format.reader import (
+        _arrow_type, _to_arrow, read_file,
+    )
+
+    path = tmp_path / "p.parquet"
+    write_file(str(path), pa.table({"k": pa.array(range(5))}))
+    assert read_file(pathlib.Path(path)).num_rows == 5  # PathLike ok
+    # BYTE_ARRAY decimal: big-endian unscaled bytes -> logical Decimals
+    elem = {"name": "d", "type": 6, "converted_type": 5,
+            "precision": 10, "scale": 2}
+    lengths = np.array([2, 1], np.int64)
+    data = np.frombuffer((300).to_bytes(2, "big") + (5).to_bytes(1, "big"),
+                         np.uint8)
+    arr = _to_arrow(np.array([True, True]), (lengths, data), elem)
+    assert arr.to_pylist() == [Decimal("3.00"), Decimal("0.05")]
+    # logical-only annotations resolve without a converted type
+    assert _arrow_type({"type": 6, "logicalType": {"STRING": {}}}) \
+        == pa.string()
+    assert _arrow_type({"type": 2, "logicalType": {
+        "DECIMAL": {"precision": 12, "scale": 3}}}) == pa.decimal128(12, 3)
+    assert _arrow_type({"type": 1, "logicalType": {
+        "INTEGER": {"bitWidth": 16, "isSigned": False}}}) == pa.uint16()
