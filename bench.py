@@ -213,9 +213,16 @@ def main():
     # pass hitting a busy window reads as a phantom regression (r2's
     # text_fingerprint 4x swing).  max/min per query is recorded so the
     # judge can see the noise envelope.
+    # the two engine scan entries are sub-second and include a fresh
+    # encode_dataset each pass — min-of-3 left 4.8-5.3x noise envelopes
+    # in r6; give them an untimed warm-up plus min-of-5
+    SCAN_QUERIES = {"engine_paged_scan", "engine_fps_scan"}
     for name in BENCH_QUERIES:
+        passes = 5 if name in SCAN_QUERIES else 3
+        if name in SCAN_QUERIES:
+            queries[name](spark, SF_DIR).collect()  # warm-up, untimed
         times = []
-        for _ in range(3):
+        for _ in range(passes):
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).collect()
             times.append(time.perf_counter() - t0)
@@ -238,7 +245,30 @@ def main():
     noisy = sorted(n for n, v in qvar.items() if v > 3.0)
     result["noise_alert"] = noisy or None
     spark.stop()
-    print(json.dumps(result))
+    # Full record to a file (the driver keeps only a ~2000-char stdout
+    # tail; r6's JSON line outgrew it and BENCH_r06 recorded
+    # "parsed": null).  stdout gets a COMPACT line, guaranteed to fit:
+    # headline numbers + per-query seconds, detail dicts elided.
+    with open(os.path.join(REPO, "bench_result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        "metric": result["metric"], "value": result["value"],
+        "unit": "sec", "sf": result["sf"],
+        "encode_gbps": hi["gbps"],
+        "encode_ratio": hi["compression_ratio"],
+        "fpsc_gbps": result["encode_fpsc"]["gbps"],
+        "fpsc_ratio": result["encode_fpsc"]["compression_ratio"],
+        "queries": qsecs,
+        "noise_alert": result["noise_alert"],
+        "full": "bench_result.json",
+    }
+    if "scaling" in result:
+        compact["scaling_eff"] = result["scaling"]["efficiency"]
+        compact["gbps_n1"] = result["scaling"]["gbps_n"]
+        compact["gbps_n4"] = result["scaling"]["gbps_4n"]
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, len(line)  # must fit the driver's tail
+    print(line)
 
 
 if __name__ == "__main__":

@@ -116,10 +116,6 @@ FROM lineitem
 SELECT count(*) AS n_rows FROM orders
 WHERE o_orderstatus = 'F' AND o_totalprice > 1000
 """,
-    "q_head": """
-SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
-ORDER BY o_orderkey LIMIT 5
-""",
     "q_partition_values": """
 SELECT lang, source, count(*) AS n_rows FROM documents GROUP BY lang, source
 """,
@@ -855,7 +851,6 @@ QUERIES = {
     "q_join_agg_nation": relational.q_join_agg_nation,
     "q_column_stats": relational.q_column_stats,
     "q_count_filters": relational.q_count_filters,
-    "q_head": relational.q_head,
     "q_partition_values": relational.q_partition_values,
     "q_rollup_pricing": relational.q_rollup_pricing,
     "q_cube_volumes": relational.q_cube_volumes,
@@ -948,3 +943,43 @@ QUERIES["sim_neardup_pairs"] = \
     lambda spark, sf: similarity.sim_neardup_pairs(spark, sf, threshold=0.4)
 QUERIES["sim_neardup_lsh"] = \
     lambda spark, sf: similarity.sim_neardup_lsh(spark, sf, threshold=0.45)
+
+
+# ---------------------------------------------------------------------
+# Driver-gate ordering.  The correctness driver records at most 50 query
+# rows per round (r6: 51 registry keys -> 50 rows, silently dropping the
+# LAST key).  Two defenses: (a) the registry stays at exactly <=50 keys
+# (q_head folded into q_sort_topk coverage), and (b) the dict is
+# re-ordered so the operators most likely to regress — engine encode/
+# scan paths and the LSH/ANN analytics — sit FIRST, and only trivial
+# always-green relational queries occupy the truncatable tail.
+_GATE_ORDER = [
+    # engine write/read paths (the north-star surface — never truncate)
+    "engine_roundtrip_hashes", "engine_roundtrip_agg",
+    "engine_fps_scan", "engine_paged_scan", "engine_page_read",
+    "engine_bloom_prune", "engine_hive_prune", "engine_manifest",
+    "engine_snapshot_travel", "engine_dataset_stats",
+    "engine_decimal38_roundtrip", "engine_embeddings_roundtrip",
+    # LLM-pipeline analytics: dedup / similarity (bucketed paths)
+    "sim_neardup_lsh", "sim_neardup_pairs", "sim_ann_ivf",
+    "sim_cosine_topk", "sim_lsh_buckets",
+    "dedup_minhash_lsh_pairs", "dedup_clusters",
+    "dedup_minhash_signatures", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_exact",
+    # text / multimodal pipeline
+    "text_contamination", "text_pack_sequences", "text_chunk_tokens",
+    "text_sample_stratified", "text_redact_pii", "text_langid",
+    "text_quality", "text_token_count", "text_fingerprint",
+    "mm_binary_meta", "mm_decode_features", "mm_frame_sample",
+    # encoding-shape queries
+    "q_dict_codes", "q_rle_runs", "q_delta_stats", "q_cardinality_stats",
+    # relational (pure-Spark, least likely to regress)
+    "q1_pricing_summary", "q3_shipping_topk", "q_join_agg_nation",
+    "q_window_rank", "q_rollup_pricing", "q_cube_volumes",
+    "q_sort_topk", "q_filter_project", "q_column_stats",
+    "q_count_filters", "q_partition_values",
+]
+assert set(_GATE_ORDER) == set(QUERIES), (
+    set(_GATE_ORDER) ^ set(QUERIES))
+assert len(_GATE_ORDER) <= 50, len(_GATE_ORDER)
+QUERIES = {k: QUERIES[k] for k in _GATE_ORDER}

@@ -161,7 +161,7 @@ def q_rle_runs(spark, sf_dir, chunk_rows: int = 65536):
     # the chunk-boundary substitution applies ONLY to each chunk's
     # first row: coalesce(prev, ...) would also fire when the previous
     # ROW EXISTS but its value is NULL, miscounting run starts on
-    # null-bearing columns (r5 review)
+    # null-bearing columns
     runs = runs.withColumn("rn", F.row_number().over(w))
     boundary_prev = F.when(F.col("rn") == 1,
                            F.col("prev_chunk_last")).otherwise(F.col("prev"))

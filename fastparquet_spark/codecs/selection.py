@@ -150,7 +150,7 @@ def column_stats(values, ptype: int) -> ColumnStats:
         # deltas must come from CONTIGUOUS slices: a strided sample
         # inflates every delta ~stride-fold (log2(stride) extra bits),
         # biasing selection away from DELTA_BINARY_PACKED exactly on
-        # the large columns where it pays (r5 review #10).  Four evenly
+        # the large columns where it pays.  Four evenly
         # placed blocks keep the probe deterministic and O(SAMPLE).
         k = min(n, SAMPLE)
         nb = 4 if n > SAMPLE else 1

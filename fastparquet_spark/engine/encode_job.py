@@ -130,7 +130,7 @@ def _salted(df, partition_cols, salt_rows: int, num_partitions: int):
               .filter(F.col("__key_rows") > salt_rows))
     # eqNullSafe, NOT on=cols: a skewed NULL partition key (common in
     # scraped corpora) never matches its count row under plain equality
-    # and would land unsalted on one task (r6 review #4)
+    # and would land unsalted on one task
     counts = counts.select(
         *[F.col(c).alias(f"__k_{c}") for c in cols], "__key_rows")
     cond = None
@@ -213,7 +213,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
     # num_partitions (e.g. resuming on a different-sized cluster with
     # the defaultParallelism default) assigns DIFFERENT rows to the
     # pids whose manifests exist — silent data loss.  The first run
-    # records its plan; resumes must match it (r6 review #7).
+    # records its plan; resumes must match it.
     plan_marker = _u_join(out_dir, f"{MANIFEST_DIR}/_plan_{file_prefix}.json")
     if resume and drv_fs.exists(plan_marker):
         with drv_fs.open_read(plan_marker) as fh:
@@ -434,7 +434,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
             # left in any touched hive dir from a dead attempt (batch
             # boundaries after a shuffle are not deterministic, so the
             # old attempt's -rN split may not be reproduced), (3) write
-            # the manifest marker.  Publish-FIRST ordering (r5 review):
+            # the manifest marker.  Publish-FIRST ordering:
             # sweeping before publishing let two simultaneous twins
             # delete each other's in-flight stages and leave ZERO
             # finals, and a zombie's sweep could remove a committed
@@ -528,7 +528,7 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     probe = ParquetWriter(_io.BytesIO(), arrow_schema)
     # LEAVES only, matching schema_signature(): group elements (LIST/
     # MAP/STRUCT roots) have no physical type and made every nested
-    # append a spurious mismatch (r6 review #1)
+    # append a spurious mismatch
     new_sig = [(e["name"], e.get("type"), e.get("converted_type"),
                 e.get("type_length"))
                for e in probe.schema_elems[1:]
@@ -543,8 +543,8 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     # the highest generation came from an INTERRUPTED append, in which
     # case re-running must RESUME it (same prefix; committed partitions
     # skip via their manifests) rather than re-encode the whole df under
-    # a fresh prefix, duplicating the partial generation's rows (r5
-    # review #4).  The proof of interruption is a POSITIVE signal: every
+    # a fresh prefix, duplicating the partial generation's rows.
+    # The proof of interruption is a POSITIVE signal: every
     # append writes `_g{N}_INPROGRESS` before any task runs and removes
     # it only after the final sidecar re-merge, so marker present =>
     # that generation never finished.  ("sidecar absent" alone is NOT
@@ -588,7 +588,7 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     # ALL manifest files not already in the base sidecar — not just
     # freshly-written ones: a task re-run after its manifest commit
     # reports skipped=True, but its files may still be missing from
-    # the sidecar (r6 review #2)
+    # the sidecar
     have = {rg["columns"][0].get("file_path")
             for rg in old_sidecar["row_groups"]} if old_sidecar else set()
     new_files = sorted({r["file"] for r in rows if r["file"]} - have)

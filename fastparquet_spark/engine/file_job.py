@@ -42,8 +42,7 @@ def _prepare_split_job(spark, input_dir: str, out_dir: str,
     stale-sidecar invalidation, split planning, and the PLAN-IDENTITY
     guard — resume keys on split ids, and split ids shift if the input
     file set or rows_per_task changes between runs, so a resume against
-    a different plan would skip splits now holding different rows
-    (r6 review; the same guard encode_dataset carries).  Returns
+    a different plan would skip splits now holding different rows.  Returns
     (splits, sdf) — sdf None when there is nothing to do."""
     import hashlib
 
@@ -190,7 +189,7 @@ def _publish(fs, body_writer, opath: str, attempt) -> None:
             # (the writer is deterministic, so twins' outputs are
             # identical; a stale file from an earlier run is not) —
             # blessing ANY existing file masked real rename failures
-            # (r6 review #3)
+            #
             ok = False
             try:
                 if fs.exists(opath):
@@ -339,7 +338,7 @@ def encode_files_fpsc(spark, input_dir: str, out_dir: str, *,
 
         # stream only ~pretrain_rows rows — read_row_group would
         # materialize up to rows_per_task rows on the DRIVER just to
-        # slice 2000 (r6 review #5)
+        # slice 2000
         first = pq_d.ParquetFile(splits[0]["file"])
         batch = next(first.iter_batches(batch_size=pretrain_rows,
                                         columns=columns,

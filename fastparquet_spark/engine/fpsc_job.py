@@ -110,7 +110,7 @@ def encode_dataset_fpsc(spark, df, out_dir: str, *, compression: str = "ZSTD",
             # STAGE only — all containers publish together at task
             # commit, so a failed/racing attempt never leaves a partial
             # final-named set that read_fpsc (which lists *.fpsc,
-            # manifest-blind) would read (r5 review #2)
+            # manifest-blind) would read
             k = len(done_rows)
             fname = f"part-{pid:05d}-{k:03d}.fpsc"
             fpath = _u_join(out_dir_, fname)

@@ -94,6 +94,11 @@ def _file_clauses(clauses, pvals: dict):
     return out
 
 
+def _logical_sig(lt):
+    """Deterministic comparable form of a (nested-dict) LogicalType."""
+    return json.dumps(lt, sort_keys=True, default=str) if lt else None
+
+
 def union_leaf_elems(metas):
     """Union of the per-file TOP-LEVEL schemas, first-seen order — the
     schema-evolution contract for scans (r5 VERDICT missing #1): a
@@ -130,21 +135,29 @@ def union_leaf_elems(metas):
             key = ".".join(path)
             if len(path) == 1:
                 mine.add(e["name"])
+            # scale/precision/logicalType must participate: files whose
+            # shared column differs only in decimal scale or logical-only
+            # timestamp unit must fail at PLAN time with the evolution
+            # message, not mid-scan in an executor Arrow cast
             sig = (e.get("type"), e.get("converted_type"),
-                   e.get("type_length"), e.get("num_children"))
+                   e.get("type_length"), e.get("num_children"),
+                   e.get("scale"), e.get("precision"),
+                   _logical_sig(e.get("logicalType")))
             if key not in elems:
                 elems[key] = e
                 if len(path) == 1:
                     order.append(e["name"])
             else:
                 p = elems[key]
-                if (p.get("type"), p.get("converted_type"),
-                        p.get("type_length"),
-                        p.get("num_children")) != sig:
+                psig = (p.get("type"), p.get("converted_type"),
+                        p.get("type_length"), p.get("num_children"),
+                        p.get("scale"), p.get("precision"),
+                        _logical_sig(p.get("logicalType")))
+                if psig != sig:
                     raise ValueError(
                         f"schema evolution type conflict on column "
                         f"{key!r}: {m['file']} has {sig}, earlier "
-                        f"files have {(p.get('type'), p.get('converted_type'), p.get('type_length'), p.get('num_children'))}")
+                        f"files have {psig}")
         present[m["file"]] = mine
     return order, elems, present
 

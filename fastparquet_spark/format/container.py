@@ -183,7 +183,7 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                     or pa.types.is_map(field.type.value_type)):
                 raise ValueError(
                     f"unsupported container type {field.type}: lists of "
-                    f"primitives only (r6 review #2)")
+                    f"primitives only")
             n = len(arr)
             null_count = arr.null_count
             validity_b = b""
@@ -276,7 +276,7 @@ def write_container(sink, table: pa.Table, compression: str = "ZSTD",
                 raw_bytes = vals.nbytes
                 # stats only where they are consulted: the sampling
                 # pass (unique sort + run probe) was paid for float/
-                # bool columns whose result was discarded (r6 #4)
+                # bool columns whose result was discarded
                 if ptype in (Type.INT32, Type.INT64):
                     st = column_stats(vals, ptype)
                     use_delta = (st.sorted_frac > 0.95
@@ -363,7 +363,7 @@ def _write_list_block(arr_nn: pa.Array, validity_b: bytes,
         # same exemption as the top-level path: timestamps keep their
         # NATIVE unit (int64 either way) — the parquet-style cast to µs
         # re-labeled list<timestamp[ms|ns]> values 1000x off on read
-        # (r6 review #1, confirmed corruption)
+        #
         flat_nn = flat_nn.cast(ecast)
     raw = encode_plain(_extract(flat_nn, eptype), eptype)
     body = comp.compress(raw, codec)
@@ -621,7 +621,7 @@ def container_bloom_rules_out(path: str, meta: dict, clauses,
             # probe encoding shared with the parquet path: UINT columns
             # hash the unsigned byte layout (the writer bit-reinterprets
             # before hashing), and an out-of-range value means "cannot
-            # rule out", never an OverflowError crash (r5 review #4)
+            # rule out", never an OverflowError crash
             from fastparquet_spark.format.dataset import _bloom_value_bytes
             from fastparquet_spark.format.metadata import ConvertedType
 

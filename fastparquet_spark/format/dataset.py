@@ -50,7 +50,7 @@ def _decode_stat(raw: bytes | None, ptype: int, conv: int | None,
         if conv == ConvertedType.DECIMAL:
             # LOGICAL value space, exactly (unscaled/10^scale as
             # Decimal): filter values are logical, and comparing them
-            # against raw unscaled ints mis-prunes (r6 review #1)
+            # against raw unscaled ints mis-prunes
             import decimal
             return decimal.Decimal(v).scaleb(-scale)
         return v
@@ -143,7 +143,7 @@ def _leaf_elems(schema: list) -> dict:
     mis-decodes stats when leaf names collide across nesting levels
     (two lists' 'element' leaves, a struct field shadowing a top-level
     column): the wrong type crashes struct.unpack or silently decodes
-    garbage bounds that mis-prune (r5 review #1)."""
+    garbage bounds that mis-prune."""
     out: dict[str, dict] = {}
     pos = 1
 
@@ -189,7 +189,7 @@ def dataset_metadata(out_dir: str, fs=None, use_sidecar: bool = True) -> list[di
         # partition segments are parsed RELATIVE to the glob's static
         # prefix — a key=value directory ABOVE the dataset root (e.g.
         # /data/run=3/out/*.parquet) must not become a phantom
-        # partition column whose pseudo-stats mis-prune (r5 review #7)
+        # partition column whose pseudo-stats mis-prune
         for w in "*?[":
             out_dir = out_dir.split(w)[0]
         static = out_dir.rsplit("/", 1)[0] if "/" in out_dir else ""
@@ -800,7 +800,7 @@ def read_pages(path: str, filters, columns=None, fs=None,
         # TOP-LEVEL FLAT leaves only (dotted-path walk): this reader is
         # flat-only by contract, and bare-name keying both crashed on
         # nested files (by_path keys are dotted) and let a struct field
-        # shadow a same-named top-level column (r6 review #7)
+        # shadow a same-named top-level column
         elems = {name: e for name, e in _leaf_elems(fmd["schema"]).items()
                  if "." not in name}
         names_all = list(elems)
@@ -1003,8 +1003,7 @@ def _bloom_value_bytes(value, elem: dict) -> bytes | None:
     if elem.get("converted_type") == ConvertedType.DECIMAL \
             and ptype in (Type.INT32, Type.INT64):
         # the writer hashed UNSCALED ints; scale the LOGICAL probe into
-        # that space exactly (r6 review #1 — hashing the logical value
-        # false-negatives every decimal point lookup)
+        # that space exactly
         import decimal
         try:
             d = value if isinstance(value, decimal.Decimal) \
@@ -1241,7 +1240,7 @@ def filtered_read(spark, out_dir: str, filters):
     drill = bool(metas and "dir0" in (metas[0].get("partitions") or {}))
     if not filters:
         # no filters = FULL scan; an empty list must not read as an
-        # empty DNF (zero branches -> zero rows — r6 review #4)
+        # empty DNF (zero branches -> zero rows)
         filters = [[]]
     keep_files = sorted({f for f, _ri in
                          filter_row_groups(out_dir, filters, metas=metas)})

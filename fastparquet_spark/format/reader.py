@@ -79,7 +79,7 @@ def _arrow_type(elem: dict) -> pa.DataType:
         unit = _lt_unit(lt["TIME"])
         return pa.time32("ms") if unit == "ms" else pa.time64(unit)
     # modern logical-only annotations (parquet-format 2.4+ writers may
-    # omit the legacy converted type entirely — r6 review #4)
+    # omit the legacy converted type entirely)
     if conv is None:
         if "STRING" in lt or "ENUM" in lt or "JSON" in lt:
             return pa.string()
@@ -181,8 +181,7 @@ def _read_column_chunk(buf: bytes, cmd: dict, type_length: int = 0,
                     ("definition_level_encoding", max_def > 0),
                     ("repetition_level_encoding", max_rep > 0)):
                 enc_lvl = dph.get(lvl_key, Encoding.RLE)
-                if present and enc_lvl not in (Encoding.RLE,
-                                               Encoding.PLAIN):
+                if present and enc_lvl != Encoding.RLE:
                     raise NotImplementedError(
                         f"{lvl_key}={enc_lvl} (only RLE levels are "
                         f"supported)")
@@ -329,7 +328,7 @@ def _to_arrow(validity: np.ndarray, vals, elem: dict) -> pa.Array:
         if isinstance(vals, tuple) and len(vals) == 2:
             # variable-length BINARY decimal (parquet-avro/-java emit
             # these): big-endian two's complement unscaled bytes per
-            # value — rare foreign path, decoded per value (r6 review)
+            # value — rare foreign path, decoded per value
             import decimal as _dec
 
             lengths, data = vals
@@ -548,7 +547,7 @@ def _read_row_group(src: _ByteSource, rg, tree, columns=None,
 def _empty_table(tree, columns=None) -> pa.Table:
     """Zero-row table with the footer schema's REAL Arrow types — a
     zero-row-group file must not degrade to null-typed columns (they
-    fail pa.concat_tables against populated parts, r5 review #2)."""
+    fail pa.concat_tables against populated parts)."""
     from fastparquet_spark.format.assembly import assemble_column, leaves
 
     lvs = leaves(tree)
@@ -613,7 +612,7 @@ def read_file(source, columns=None) -> pa.Table:
     if not parts:
         return _empty_table(tree, columns)
     # permissive: a string column can promote to large_utf8 in only the
-    # row groups whose byte total crosses 2 GiB (r6 review #1)
+    # row groups whose byte total crosses 2 GiB
     return pa.concat_tables(parts, promote_options="permissive")
 
 
@@ -636,7 +635,7 @@ def read_row_groups(source, indices, columns=None) -> pa.Table:
     if not parts:
         return _empty_table(tree, columns)
     # permissive: a string column can promote to large_utf8 in only the
-    # row groups whose byte total crosses 2 GiB (r6 review #1)
+    # row groups whose byte total crosses 2 GiB
     return pa.concat_tables(parts, promote_options="permissive")
 
 

@@ -131,7 +131,7 @@ def _map_type(t: pa.DataType):
     if pa.types.is_decimal(t):
         if pa.types.is_decimal256(t):
             # 32-byte storage would silently truncate through the
-            # 16-byte extract paths (r6 review #1) — fail loudly
+            # 16-byte extract paths — fail loudly
             raise NotImplementedError(
                 "decimal256 columns are not supported; cast to "
                 "decimal128 (precision <= 38) first")
@@ -373,7 +373,7 @@ class ParquetWriter:
         if page_rows and data_page_version == 2:
             # the PageIndex/page-splitting path is v1-only; silently
             # writing single-page chunks would defeat the page pruning
-            # the caller asked for (r6 review #8)
+            # the caller asked for
             raise ValueError(
                 "page_rows requires data_page_version=1 (the paged "
                 "PageIndex path is v1-only)")
@@ -451,7 +451,7 @@ class ParquetWriter:
                     # same annotation set as the LIST path: omitting
                     # type_length/scale/precision/logicalType made
                     # decimal or fixed-size-binary map entries
-                    # unreadable (r6 review #2)
+                    # unreadable
                     e = {"name": name, "type": ptype_,
                          "repetition_type": rep}
                     if conv_ is not None:
@@ -573,7 +573,7 @@ class ParquetWriter:
         # SortingColumn.column_idx indexes the row group's chunks, and a
         # struct/map column ahead of the sort column contributes several
         # chunks — a col_meta (top-level) index would name the wrong
-        # leaf (r5 review #3)
+        # leaf
         self._sorting_req = []
         for s in (sorting_columns or []):
             name, desc, nf = (s, False, False) if isinstance(s, str) else s
@@ -813,7 +813,7 @@ class ParquetWriter:
     def _maybe_build_bloom(self, cmd, values, name: str, ptype: int,
                            n_nonnull: int) -> None:
         """Chunk bloom shared by the paged and single-page paths (the
-        two inline copies drifted once already — r6 review #7): sized
+        two inline copies drifted once already): sized
         from the chunk's ACTUAL ndv; skipped for BOOLEAN/all-null/
         unconfigured columns."""
         if name not in self.bloom_cols or n_nonnull <= 0 \
@@ -969,7 +969,7 @@ class ParquetWriter:
         """Encode one row group from an Arrow table/batch slice."""
         if self._closed:
             # appending past the footer+magic silently corrupts the
-            # whole file for every footer-seeking reader (r6 review #4)
+            # whole file for every footer-seeking reader
             raise RuntimeError("write_row_group after close()")
         if isinstance(chunk, pa.RecordBatch):
             chunk = pa.Table.from_batches([chunk])
@@ -1086,7 +1086,7 @@ class ParquetWriter:
             # values feed encoding choice / stats / blooms either way;
             # the full-column def-level RLE is only the SINGLE-page
             # path's — the paged branch regenerates levels per page and
-            # would throw this away (r5 review #6: pure O(n) waste on
+            # would throw this away waste on
             # the throughput path)
             values = _extract(arr, ptype)
             if not (self.page_rows and page_version == 1):
@@ -1221,7 +1221,7 @@ class ParquetWriter:
                 compressed_size=written, dict_entries=n_dict))
         # spec: total_byte_size is the UNCOMPRESSED column data total
         # (planners size splits/memory from it); rg_bytes tracks the
-        # compressed bytes physically written (r6 review #5)
+        # compressed bytes physically written
         rg = {"columns": chunks_cols,
               "total_byte_size": sum(
                   cc["meta_data"]["total_uncompressed_size"]
@@ -1274,7 +1274,7 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
             # byte-order-fraught stat shapes — null_count only.
             # INT32/INT64-backed DECIMALs fall through: their unscaled
             # ints are valid spec stats (signed sort order) and enable
-            # logical-space pruning (r6 review #1)
+            # logical-space pruning
             return st
         if ptype in (Type.FLOAT, Type.DOUBLE) and len(arr) - null_count > 0 \
                 and bool(np.isnan(values).any()):
@@ -1320,7 +1320,7 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
                 # Only the MODERN fields: the deprecated min/max pair is
                 # defined as signed order, so legacy readers would decode
                 # 2**63+5 as negative and mis-prune (parquet-mr omits the
-                # pair for non-signed sort orders — r6 review #3)
+                # pair for non-signed sort orders)
                 u = values.view(np.uint32 if ptype == Type.INT32 else np.uint64)
                 fmt = "<I" if ptype == Type.INT32 else "<Q"
                 lob = struct.pack(fmt, int(u.min()))
@@ -1335,7 +1335,7 @@ def _make_stats(arr: pa.Array, values, ptype: int, null_count: int, n_dict: int)
                 st.update(min_value=lob, max_value=hib)
                 if ptype != Type.BYTE_ARRAY:
                     # legacy pair is signed/ill-defined order for byte
-                    # arrays (parquet-mr omits it there — r6 review #3)
+                    # arrays (parquet-mr omits it there)
                     st.update(min=lob, max=hib)
     except (pa.ArrowNotImplementedError, TypeError, ValueError,
             AttributeError):

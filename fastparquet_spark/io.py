@@ -37,10 +37,10 @@ def common_root(paths: list[str]) -> str:
     ``os.path.commonpath`` normalizes ``s3://b/x`` to ``s3:/b/x``
     (collapsing the scheme's double slash), after which ``get_fs``
     routes every downstream read to LocalFS — so the scheme prefix is
-    split off before commonpath and re-attached (r6 review #2).
+    split off before commonpath and re-attached.
 
     cwd-relative inputs resolve to ``"."`` (a bare ``a.parquet`` has
-    the working directory as its root, NOT itself; r6 review)."""
+    the working directory as its root, NOT itself)."""
     uri = [_is_uri(p) for p in paths]
     if any(uri) and not all(uri):
         raise ValueError(
@@ -56,6 +56,13 @@ def common_root(paths: list[str]) -> str:
     if any(d == "" for d in dirs):
         return "."  # at least one file sits directly in the cwd
     base = os.path.commonpath(dirs) if len(dirs) > 1 else dirs[0]
+    if scheme and not base:
+        # files in different buckets (s3://a/x vs s3://b/y): a bare
+        # "s3://" root would make relative paths start with "/", which
+        # _partition_values and sidecar keys would read as an extra
+        # empty path segment — require a common bucket instead
+        raise ValueError(
+            f"URI inputs share no common bucket/authority: {dirs[:2]}...")
     return (scheme + base) or "."
 
 
@@ -63,8 +70,7 @@ def relative_to(path: str, base: str) -> str:
     """Path of ``path`` relative to directory ``base`` by prefix strip
     (``os.path.relpath`` normalizes URI schemes into garbage).  A
     cwd root ("." or "") leaves relative paths untouched — collapsing
-    them to basenames read the WRONG files for multi-directory lists
-    (r6 review)."""
+    them to basenames read the WRONG files for multi-directory lists."""
     if base in ("", "."):
         return path if not path.startswith("./") else path[2:]
     b = base.rstrip("/") + "/"
@@ -138,7 +144,7 @@ class ArrowFS:
         info = self._fs.get_file_info(self._strip(path))
         if info.size is None:
             # NotFound infos carry size=None — surfacing it produced a
-            # TypeError downstream instead of the real error (r6 review)
+            # TypeError downstream instead of the real error
             raise FileNotFoundError(path)
         return info.size
 
@@ -180,7 +186,7 @@ class ArrowFS:
             for p, sgm in zip(ps, segs):
                 # glob.glob parity: a wildcard segment never matches a
                 # dot-hidden name (in-flight .stage files must not be
-                # swept into object-store input sets — r6 review)
+                # swept into object-store input sets)
                 if p.startswith(".") and not sgm.startswith("."):
                     return False
                 if not fnmatch.fnmatch(p, sgm):
@@ -274,7 +280,7 @@ def get_fs(path: str, fs=None):
         # prefix = everything from_uri consumed BEYOND the inner path —
         # for hdfs://nn:8020/x this includes the authority (nn:8020);
         # stripping only the scheme handed HadoopFileSystem a relative
-        # 'nn:8020/x' path (r5 review).  s3/gs keep their bucket in the
+        # 'nn:8020/x' path.  s3/gs keep their bucket in the
         # inner path, so their prefix stays just 'scheme://'.
         if inner and path.rstrip("/").endswith(inner.rstrip("/")):
             p2, i2 = path.rstrip("/"), inner.rstrip("/")
@@ -284,7 +290,7 @@ def get_fs(path: str, fs=None):
             # so suffix-matching failed; an absolute inner means the
             # authority was consumed — scheme://authority is the prefix
             # (scheme-only would hand HadoopFS a relative 'nn:8020/x'
-            # path, the r5 authority bug — r6 review #1)
+            # path, the r5 authority bug)
             scheme_, rest = path.split("://", 1)
             prefix = scheme_ + "://" + rest.split("/", 1)[0]
         else:

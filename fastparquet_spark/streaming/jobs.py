@@ -67,7 +67,7 @@ def windowed_event_counts(spark, stream_df, *, window: str = "1 hour",
     # the NTZ wall clock onto UTC instants exactly (any fixed offset),
     # so buckets align with the input wall clock — matching Spark's own
     # batch window() over NTZ; the inherently ambiguous DST-transition
-    # hour is the one residual (r6 review).
+    # hour is the one residual.
     ntz = dict(stream_df.dtypes).get("ts") == "timestamp_ntz"
     if ntz:
         stream_df = stream_df.withColumn(
