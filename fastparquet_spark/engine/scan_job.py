@@ -216,15 +216,11 @@ def build_scan_units(by_file, metas, file_cols, names_all, present,
     return units
 
 
-def scan_unit(path, ris, pvals, absent, fallback, clauses, file_cols,
-              drop_cols, part_cols, arrow_schema, exact):
-    """Executor-side scan of ONE (file, row-groups) unit — the shared
-    body of paged_read's mapInArrow fn and FpsReader.read, so the
-    per-file clause/evolution/partition logic cannot drift between the
-    two consumers.  Returns a Table cast to ``arrow_schema``, or None
-    when no DNF branch can match this file."""
-    from fastparquet_spark.format.dataset import read_pages
-
+def _unit_plan(pvals, absent, fallback, clauses, file_cols, drop_cols):
+    """Shared head of the unit scanners: per-file DNF rewrite
+    (partition substitution + absent-column 3VL) and the projection for
+    THIS file.  Returns (fclauses, cols_here, drop_here) or None when
+    no DNF branch can match the file."""
     fclauses = _file_clauses(clauses, pvals)
     if absent and fclauses:
         # schema evolution: terms on columns this file predates
@@ -236,8 +232,14 @@ def scan_unit(path, ris, pvals, absent, fallback, clauses, file_cols,
     drop_here = [c for c in drop_cols if c not in absent]
     if not cols_here and fallback:
         cols_here, drop_here = [fallback], [fallback]
-    tbl = read_pages(path, fclauses, columns=cols_here, exact=exact,
-                     row_groups=set(ris))
+    return fclauses, cols_here, drop_here
+
+
+def _finish_unit(tbl, drop_here, file_cols, absent, drop_cols,
+                 part_cols, pvals, arrow_schema):
+    """Shared tail of the unit scanners: projection drop, typed-null
+    fill for evolution columns, partition constants, schema-order cast.
+    Works per-Table OR per-batch (wrapped as a Table, zero-copy)."""
     if drop_here:
         tbl = tbl.drop_columns(drop_here)
     for c in file_cols:
@@ -253,6 +255,72 @@ def scan_unit(path, ris, pvals, absent, fallback, clauses, file_cols,
             name, pa.array([pval] * tbl.num_rows, type=ptype))
     # evolution columns were appended out of order; restore schema order
     return tbl.select(arrow_schema.names).cast(arrow_schema)
+
+
+def scan_unit(path, ris, pvals, absent, fallback, clauses, file_cols,
+              drop_cols, part_cols, arrow_schema, exact):
+    """Executor-side scan of ONE (file, row-groups) unit — the shared
+    body of paged_read's mapInArrow fn and FpsReader.read, so the
+    per-file clause/evolution/partition logic cannot drift between the
+    two consumers.  Returns a Table cast to ``arrow_schema``, or None
+    when no DNF branch can match this file."""
+    from fastparquet_spark.format.dataset import read_pages
+
+    plan = _unit_plan(pvals, absent, fallback, clauses, file_cols,
+                      drop_cols)
+    if plan is None:
+        return None
+    fclauses, cols_here, drop_here = plan
+    if any(not cl for cl in fclauses):
+        # match-all DNF for this file (no filter survived partition
+        # substitution): ColumnIndex page skipping has nothing to skip,
+        # so the pure-Python page reader only adds decode tax — read
+        # the surviving row groups through pyarrow's C++ parquet reader
+        # instead (~2.7x on full scans, BENCH.md r6 scan probe).  The
+        # selective path below is unchanged and byte-proof-tested.
+        import pyarrow.parquet as pq
+
+        tbl = pq.ParquetFile(path).read_row_groups(
+            sorted(ris), columns=cols_here, use_threads=False)
+    else:
+        tbl = read_pages(path, fclauses, columns=cols_here, exact=exact,
+                         row_groups=set(ris))
+    return _finish_unit(tbl, drop_here, file_cols, absent, drop_cols,
+                        part_cols, pvals, arrow_schema)
+
+
+def scan_unit_batches(path, ris, pvals, absent, fallback, clauses,
+                      file_cols, drop_cols, part_cols, arrow_schema,
+                      exact, batch_rows=131_072):
+    """Streaming variant of ``scan_unit`` — yields RecordBatches.
+
+    Match-all units stream through ``pyarrow.parquet.iter_batches`` so
+    C++ decode OVERLAPS the Arrow-IPC write back to the JVM (the
+    consumer yields each batch before the next is decoded) instead of
+    materializing the whole unit table first; peak memory is one batch,
+    not one file.  Selective units delegate to ``scan_unit`` (the
+    byte-proof page-skipping path needs whole-chunk assembly anyway)."""
+    plan = _unit_plan(pvals, absent, fallback, clauses, file_cols,
+                      drop_cols)
+    if plan is None:
+        return
+    fclauses, cols_here, drop_here = plan
+    if any(not cl for cl in fclauses):
+        import pyarrow.parquet as pq
+
+        for b in pq.ParquetFile(path).iter_batches(
+                batch_size=batch_rows, row_groups=sorted(ris),
+                columns=cols_here, use_threads=False):
+            yield from _finish_unit(
+                pa.Table.from_batches([b]), drop_here, file_cols,
+                absent, drop_cols, part_cols, pvals,
+                arrow_schema).to_batches(max_chunksize=batch_rows)
+    else:
+        tbl = scan_unit(path, ris, pvals, absent, fallback, clauses,
+                        file_cols, drop_cols, part_cols, arrow_schema,
+                        exact)
+        if tbl is not None:
+            yield from tbl.to_batches(max_chunksize=65_536)
 
 
 def _partition_arrow_type(values):
@@ -392,11 +460,9 @@ def paged_read(spark, in_dir: str, filters, columns=None,
                     b.column("absent").to_pylist(),
                     b.column("fallback").to_pylist()):
                 ris = [int(x) for x in rgs.split(",")] if rgs else []
-                tbl = scan_unit(path, ris, json.loads(pjson),
-                                json.loads(absjson), fallback, clauses_,
-                                file_cols_, drop_cols_, part_cols_,
-                                arrow_schema_, exact_)
-                if tbl is not None:
-                    yield from tbl.to_batches(max_chunksize=65_536)
+                yield from scan_unit_batches(
+                    path, ris, json.loads(pjson), json.loads(absjson),
+                    fallback, clauses_, file_cols_, drop_cols_,
+                    part_cols_, arrow_schema_, exact_)
 
     return paths_df.mapInArrow(scan, out_schema)

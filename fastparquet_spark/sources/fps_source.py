@@ -218,7 +218,7 @@ class FpsReader(DataSourceReader):
             return
         import pyarrow as pa
 
-        from fastparquet_spark.engine.scan_job import scan_unit
+        from fastparquet_spark.engine.scan_job import scan_unit_batches
 
         pa.set_cpu_count(1)
         header, units = partition.value
@@ -226,11 +226,14 @@ class FpsReader(DataSourceReader):
         # [[]] is the match-all DNF (an empty list would mean NO branch)
         clauses = [list(header["clauses"])] if header["clauses"] else [[]]
         for path, ris, pvals, absent, fallback in units:
-            tbl = scan_unit(path, ris, pvals, absent, fallback, clauses,
-                            header["file_cols"], header["drop_cols"],
-                            header["part_cols"], aschema, exact=False)
-            if tbl is not None:
-                yield from tbl.to_batches(max_chunksize=65_536)
+            # streaming: match-all units decode batch-by-batch through
+            # pyarrow's C++ reader, overlapping decode with the Arrow
+            # IPC write back to the JVM (the r6 full-scan tax); 256k
+            # rows of a ~100B content column is ~26 MB per batch
+            yield from scan_unit_batches(
+                path, ris, pvals, absent, fallback, clauses,
+                header["file_cols"], header["drop_cols"],
+                header["part_cols"], aschema, exact=False)
 
 
 @dataclass

@@ -202,3 +202,61 @@ def test_write_staged_commit_and_sidecars(registered, tmp_path):
     # overwrite replaces
     df.limit(100).write.format("fps").mode("overwrite").save(out)
     assert spark.read.format("fps").load(out).count() == 100
+
+
+def test_matchall_fast_path_uses_arrow_reader(tmp_path):
+    """A no-filter (match-all) scan_unit must dispatch to pyarrow's C++
+    row-group reader, NOT the pure-Python page reader (r6 verdict #3:
+    full scans paid a 2.7x decode tax); a filtered unit still goes
+    through read_pages (the byte-proof selective path)."""
+    import pyarrow.parquet as pq
+    from unittest import mock
+
+    from fastparquet_spark.engine import scan_job
+
+    p = str(tmp_path / "x.parquet")
+    t = pa.table({"k": pa.array(range(100)),
+                  "s": pa.array([f"v{i}" for i in range(100)])})
+    write_file(p, t, row_group_rows=50)
+    schema = pa.schema([("k", pa.int64()), ("s", pa.string())])
+
+    with mock.patch.object(scan_job, "pa", pa), \
+         mock.patch("fastparquet_spark.format.dataset.read_pages",
+                    side_effect=AssertionError("page reader on match-all")):
+        tbl = scan_job.scan_unit(p, [0, 1], {}, [], None, [[]],
+                                 ["k", "s"], [], [], schema, exact=False)
+    assert tbl.column("k").to_pylist() == list(range(100))
+
+    # filtered: read_pages IS the path
+    called = {}
+    real = pq.ParquetFile
+    def spy(path, clauses, columns=None, exact=False, row_groups=None):
+        called["yes"] = True
+        return t.select(columns)
+    with mock.patch("fastparquet_spark.format.dataset.read_pages", spy):
+        scan_job.scan_unit(p, [0, 1], {}, [], None, [[("k", ">=", 10)]],
+                           ["k", "s"], [], [], schema, exact=False)
+    assert called.get("yes")
+
+
+def test_full_scan_fast_path_with_hive_and_evolution(registered, spark,
+                                                     tmp_path):
+    """The match-all fast path must compose with hive partition-value
+    columns and schema-evolution null fill exactly like the page-reader
+    path: full fps scan == native spark.read on a hive dataset whose
+    newest partition adds a column."""
+    d = tmp_path / "hive"
+    (d / "lang=py").mkdir(parents=True)
+    (d / "lang=rs").mkdir(parents=True)
+    write_file(str(d / "lang=py" / "a.parquet"),
+               pa.table({"k": pa.array(range(10))}))
+    write_file(str(d / "lang=rs" / "b.parquet"),
+               pa.table({"k": pa.array(range(10, 20)),
+                         "extra": pa.array([f"e{i}" for i in range(10)])}))
+    got = spark.read.format("fps").load(str(d)) \
+        .orderBy("k").toPandas()
+    ref = spark.read.option("mergeSchema", "true").parquet(str(d)) \
+        .select(list(got.columns)).orderBy("k").toPandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, ref)
