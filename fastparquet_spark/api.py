@@ -49,6 +49,16 @@ class ParquetException(Exception):
     """The reference's top-level error type (fastparquet/util.py:22)."""
 
 
+def _real_ris(m, ris):
+    """Translate row-group positions in a (possibly ``pf[i]``-sliced)
+    meta to positions in the file's REAL footer — ``read_row_groups``
+    indexes the on-disk footer positionally, while a sliced meta's
+    ``row_groups`` list is a subset (``rg_map`` records the original
+    indices)."""
+    rg_map = m.get("rg_map")
+    return ris if rg_map is None else [rg_map[ri] for ri in ris]
+
+
 def _normalize_filters(filters):
     if not filters:
         return None
@@ -364,7 +374,8 @@ class ParquetFile:
                          if c in names and c in present]
             pmap = m.get("partitions") or {}
             if file_cols:
-                tbl = read_row_groups(self._path(m["file"]), ris,
+                tbl = read_row_groups(self._path(m["file"]),
+                                      _real_ris(m, ris),
                                       columns=file_cols)
                 for c in want:
                     if c in names and c not in present:
@@ -485,7 +496,8 @@ class ParquetFile:
                         continue
                     yield pa.table(data).to_pandas()
                     continue
-                tbl = read_row_groups(self._path(m["file"]), [ri],
+                tbl = read_row_groups(self._path(m["file"]),
+                                      _real_ris(m, [ri]),
                                       columns=cols_here)
                 if columns is not None:
                     for c in columns:  # evolution: typed-null fill
@@ -516,6 +528,75 @@ class ParquetFile:
 
     def __len__(self) -> int:
         return self.count_total
+
+    def __getitem__(self, item):
+        """Row-group selection by integer or slice (reference
+        api.py:251-263): ``pf[2]`` / ``pf[1:3]`` return a ParquetFile
+        over exactly those row groups (global row-group order = file
+        order, groups in file order within each file).  The copy shares
+        footers with the parent — no IO."""
+        import copy
+
+        idx = range(len(self.row_groups))[item]
+        chosen = {idx} if isinstance(idx, int) else set(idx)
+        new = copy.copy(self)
+        new._metas = []
+        g = 0
+        for m in self._metas:
+            rgs = m["fmd"]["row_groups"]
+            base_map = m.get("rg_map") or list(range(len(rgs)))
+            sel = [j for j in range(len(rgs)) if (g + j) in chosen]
+            g += len(rgs)
+            if sel:
+                fmd = dict(m["fmd"])
+                fmd["row_groups"] = [rgs[j] for j in sel]
+                fmd["num_rows"] = sum(rgs[j]["num_rows"] for j in sel)
+                # positions in the REAL footer (slices compose)
+                new._metas.append({**m, "fmd": fmd,
+                                   "rg_map": [base_map[j] for j in sel]})
+        if not new._metas:
+            # empty selection keeps the schema (reference: fmd with
+            # zero row groups) so to_pandas() yields an empty frame
+            fmd = dict(self._metas[0]["fmd"])
+            fmd["row_groups"], fmd["num_rows"] = [], 0
+            new._metas = [{**self._metas[0], "fmd": fmd}]
+        new._fmd0 = new._metas[0]["fmd"]
+        return new
+
+    @property
+    def sorted_partitioned_columns(self) -> dict:
+        """Columns whose row groups are strictly ordered — every
+        chunk's values all greater than every previous chunk's
+        (reference api.py:905-945 sorted_partitioned_columns):
+        ``{col: {'min': [per-rg], 'max': [per-rg]}}``.  A column with
+        any missing stat, or any overlap between consecutive groups,
+        is excluded."""
+        s = self.statistics
+        out: dict[str, dict] = {}
+        for c in self.columns:
+            mins, maxs = s["min"].get(c, []), s["max"].get(c, [])
+            if not mins or any(x is None for x in mins + maxs):
+                continue
+            try:
+                if (sorted(mins) == mins and sorted(maxs) == maxs
+                        and all(hi < lo for hi, lo
+                                in zip(maxs[:-1], mins[1:]))):
+                    out[c] = {"min": mins, "max": maxs}
+            except TypeError:
+                continue  # incomparable stat types (e.g. mixed)
+        return out
+
+    def __getstate__(self):
+        """Picklable state (reference api.py:661-667): the filesystem
+        handle is dropped and rebuilt on unpickle, so an open dataset
+        can ship into multiprocessing / Dask workers."""
+        state = dict(self.__dict__)
+        state["_fs"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._fs = get_fs("." if self._blob is not None else self._root)
 
     def __str__(self) -> str:
         return f"<ParquetFile {self.fn} ({self.count_total} rows)>"

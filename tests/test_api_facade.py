@@ -324,3 +324,76 @@ def test_schema_helper_nested_path_disambiguation(tmp_path):
     eb = sh.schema_element(["b", "list", "element"])
     assert ea["type"] != eb["type"]  # int64 vs byte_array
     assert sh.schema_element("a").get("num_children")
+
+
+def test_getitem_row_group_slicing(tmp_path):
+    """Reference api.py:251-263: pf[i] / pf[a:b] select row groups;
+    the result is a ParquetFile whose reads cover exactly those
+    groups.  Spans files: 2 files x 3 row groups of 500."""
+    a, b = _df(1_500), _df(3_000).iloc[1_500:].reset_index(drop=True)
+    write(str(tmp_path / "p1.parquet"), a, row_group_offsets=500)
+    write(str(tmp_path / "p2.parquet"), b, row_group_offsets=500)
+    pf = ParquetFile([str(tmp_path / "p1.parquet"),
+                      str(tmp_path / "p2.parquet")])
+    assert len(pf.row_groups) == 6
+
+    one = pf[2]
+    assert isinstance(one, ParquetFile)
+    assert len(one.row_groups) == 1 and len(one) == 500
+    assert one.to_pandas()["k"].tolist() == list(range(1_000, 1_500))
+
+    # slice crossing the file boundary
+    mid = pf[1:4]
+    assert len(mid.row_groups) == 3
+    assert mid.to_pandas()["k"].tolist() == list(range(500, 2_000))
+    # negative index = last group
+    assert pf[-1].to_pandas()["k"].tolist() == list(range(2_500, 3_000))
+    # empty selection keeps the schema
+    empty = pf[4:4]
+    assert len(empty) == 0 and list(empty.to_pandas().columns) \
+        == list(pf.to_pandas().columns)
+    # the parent is untouched
+    assert len(pf.row_groups) == 6 and len(pf) == 3_000
+    with pytest.raises(IndexError):
+        pf[6]
+
+
+def test_sorted_partitioned_columns_property(tmp_path):
+    """Reference api.py:905-945: columns strictly ordered ACROSS row
+    groups report their per-group min/max; overlapping or stat-less
+    columns are excluded."""
+    df = _df(2_000)  # k strictly increasing; score/text not ordered
+    path = str(tmp_path / "s.parquet")
+    write(path, df, row_group_offsets=500)
+    pf = ParquetFile(path)
+    out = pf.sorted_partitioned_columns
+    assert "k" in out
+    assert out["k"]["min"] == [0, 500, 1000, 1500]
+    assert out["k"]["max"] == [499, 999, 1499, 1999]
+    assert "score" not in out  # random — groups overlap
+    # slicing composes: a single group is trivially sorted for every
+    # stat-bearing column
+    assert pf[1].sorted_partitioned_columns["k"]["min"] == [500]
+
+
+def test_parquetfile_pickling_roundtrip(tmp_path):
+    """Reference api.py:661-667 __getstate__: a ParquetFile must ship
+    through pickle (Dask/multiprocessing) and read identically after."""
+    import pickle
+
+    out = str(tmp_path / "hive")
+    df = _df(1_200)
+    write(out, df, file_scheme="hive", partition_on=["lang"],
+          row_group_offsets=400)
+    pf = ParquetFile(out)
+    pf2 = pickle.loads(pickle.dumps(pf))
+    assert pf2.columns == pf.columns and len(pf2) == len(pf)
+    got = pf2.to_pandas().sort_values("k").reset_index(drop=True)
+    ref = pf.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    # count(filters) exercises the rebuilt filesystem handle
+    assert pf2.count([("lang", "==", "py")]) \
+        == pf.count([("lang", "==", "py")])
+    # a sliced view pickles too
+    pf3 = pickle.loads(pickle.dumps(pf[0]))
+    assert len(pf3.row_groups) == 1
