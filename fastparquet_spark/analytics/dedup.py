@@ -55,37 +55,52 @@ def dedup_exact(spark, sf_dir):
                  F.count("*").alias("n_copies")))
 
 
-def dedup_minhash_signatures(spark, sf_dir):
+def dedup_minhash_signatures(spark, sf_dir, n_hashes: int | None = None):
     """MinHash signatures: min over shingles of md5(seed||shingle) per
     (doc, seed).
 
-    All N_HASHES mins are computed as parallel aggregates of ONE
+    All ``n_hashes`` mins are computed as parallel aggregates of ONE
     groupBy(doc_id) — not a seeds crossJoin, which multiplies the
-    shuffle volume N_HASHES-fold.  Map-side partial min means each task
-    ships N_HASHES values per doc, not one row per (shingle, seed).
+    shuffle volume n_hashes-fold.  Map-side partial min means each task
+    ships n_hashes values per doc, not one row per (shingle, seed).
     The (doc_id, seed, minhash) row shape is restored by an unpivot.
     Shingles are NOT deduplicated first: min() is duplicate-insensitive,
-    so the dedup shuffle would be pure cost."""
+    so the dedup shuffle would be pure cost.
+
+    ``n_hashes`` defaults to the gate-scale ``N_HASHES``; production
+    runs use 64-128 (see scripts/dedup_param_sweep.py)."""
+    n_hashes = N_HASHES if n_hashes is None else n_hashes
     sh = _shingles_df(spark, sf_dir, distinct=False)
     mins = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))
                         .cast("binary"))).alias(f"m{s}")
-            for s in range(N_HASHES)]
+            for s in range(n_hashes)]
     per_doc = sh.groupBy("doc_id").agg(*mins)
     stacked = per_doc.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(s).cast("int").alias("seed"),
                      F.col(f"m{s}").alias("minhash"))
-            for s in range(N_HASHES)])).alias("x"))
+            for s in range(n_hashes)])).alias("x"))
     return stacked.select("doc_id", "x.seed", "x.minhash")
 
 
-def dedup_minhash_lsh_pairs(spark, sf_dir):
+def dedup_minhash_lsh_pairs(spark, sf_dir, n_hashes: int | None = None,
+                            bands: int | None = None):
     """MinHash + LSH banding: docs sharing any band bucket are candidate
     near-duplicate pairs.  This is the scale path: candidate generation
-    is a self-join on (band, band_key), never all-pairs."""
-    sigs = dedup_minhash_signatures(spark, sf_dir)
-    rows_per_band = N_HASHES // BANDS
+    is a self-join on (band, band_key), never all-pairs.
+
+    ``(n_hashes, bands)`` default to the gate-scale module constants;
+    production dedup runs 64-128 hashes x 8-16 bands — both paths share
+    this code, and the oracle SQL is generated from the same parameters
+    (``registry.minhash_lsh_pairs_sql``)."""
+    n_hashes = N_HASHES if n_hashes is None else n_hashes
+    bands = BANDS if bands is None else bands
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by "
+                         f"bands={bands}")
+    sigs = dedup_minhash_signatures(spark, sf_dir, n_hashes)
+    rows_per_band = n_hashes // bands
     # floor() then cast: DuckDB's cast(double as int) ROUNDS, Spark truncates
     band_keys = (sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
                  .groupBy("doc_id", "band")
@@ -242,7 +257,9 @@ def connected_components(edges, max_iters: int = 20,
         f"component's diameter)")
 
 
-def dedup_clusters(spark, sf_dir, max_iters: int = 20):
+def dedup_clusters(spark, sf_dir, max_iters: int = 20,
+                   n_hashes: int | None = None,
+                   bands: int | None = None):
     """Duplicate CLUSTERING: connected components over the LSH candidate
     pairs — the step after pair generation in a real dedup pipeline
     (pairs -> clusters -> one canonical doc per cluster).  The fixpoint
@@ -251,7 +268,7 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
     definition.  See :func:`connected_components` for the round-bounded
     (log-diameter) propagation scheme and the loud non-convergence
     contract."""
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir, n_hashes, bands)
     return connected_components(
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")), max_iters)

@@ -54,13 +54,73 @@ SELECT doc_id, CAST({total} AS INT) AS simhash FROM per
 """
 
 
-_MINHASH_CTE = f"""
+def _minhash_cte(n_hashes: int = dedup.N_HASHES) -> str:
+    return f"""
 WITH {_shingles_cte()},
-seeds AS (SELECT CAST(unnest(generate_series(0, {dedup.N_HASHES - 1})) AS INT) AS seed),
+seeds AS (SELECT CAST(unnest(generate_series(0, {n_hashes - 1})) AS INT) AS seed),
 mh AS (SELECT doc_id, seed,
               min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed)
 """
+
+
+def _band_pairs_ctes(n_hashes: int, bands: int, max_bucket: int) -> str:
+    """The banding CTE chain shared by the pairs and clusters oracles:
+    band keys -> capped buckets -> exploded membership."""
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} % bands={bands} != 0")
+    return f""",
+bands AS (SELECT doc_id, CAST(floor(seed / {n_hashes // bands}) AS INT) AS band,
+                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+          FROM mh GROUP BY doc_id, band),
+-- bucket membership capped at the max_bucket smallest doc_ids, exactly
+-- like the Spark side's rank filter
+bkt AS (SELECT band, band_key,
+               list_sort(list(doc_id))[1:{max_bucket}] AS docs
+        FROM bands GROUP BY band, band_key HAVING count(*) > 1),
+bd AS (SELECT band, band_key, unnest(docs) AS doc_id FROM bkt)
+"""
+
+
+def minhash_lsh_pairs_sql(n_hashes: int = dedup.N_HASHES,
+                          bands: int = dedup.BANDS,
+                          max_bucket: int = dedup.MAX_BUCKET) -> str:
+    """DuckDB oracle for ``dedup.dedup_minhash_lsh_pairs`` at ANY
+    (n_hashes, bands) — the gate runs it at the module defaults; the
+    production-parameter sweep (scripts/dedup_param_sweep.py) runs the
+    same generator at 64x8 so Spark and oracle always agree on the
+    banding math."""
+    return (_minhash_cte(n_hashes)
+            + _band_pairs_ctes(n_hashes, bands, max_bucket) + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+WHERE a.doc_id < b.doc_id
+""")
+
+
+def dedup_clusters_sql(n_hashes: int = dedup.N_HASHES,
+                       bands: int = dedup.BANDS,
+                       max_bucket: int = dedup.MAX_BUCKET) -> str:
+    """DuckDB oracle for ``dedup.dedup_clusters`` at ANY
+    (n_hashes, bands): recursive transitive closure over the identical
+    capped-bucket pairs, so Spark's iterative min-label propagation
+    must reach the exact fixpoint."""
+    return (_minhash_cte(n_hashes).replace("WITH ", "WITH RECURSIVE ", 1)
+            + _band_pairs_ctes(n_hashes, bands, max_bucket) + """,
+pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
+       WHERE a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+reach AS (SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
+FROM reach GROUP BY a
+""")
+
+
+_MINHASH_CTE = _minhash_cte()
 
 # ------------------------------------------------------------- oracle SQL ---
 ORACLES: dict[str, str | None] = {
@@ -163,20 +223,7 @@ SELECT md5(text) AS h, min(doc_id) AS keep_doc, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """,
     "dedup_minhash_signatures": _MINHASH_CTE + "SELECT doc_id, seed, minhash FROM mh",
-    "dedup_minhash_lsh_pairs": _MINHASH_CTE + f""",
-bands AS (SELECT doc_id, CAST(floor(seed / {dedup.N_HASHES // dedup.BANDS}) AS INT) AS band,
-                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-          FROM mh GROUP BY doc_id, band),
--- bucket membership capped at the MAX_BUCKET smallest doc_ids, exactly
--- like the Spark side's rank filter
-bkt AS (SELECT band, band_key,
-               list_sort(list(doc_id))[1:{dedup.MAX_BUCKET}] AS docs
-        FROM bands GROUP BY band, band_key HAVING count(*) > 1),
-bd AS (SELECT band, band_key, unnest(docs) AS doc_id FROM bkt)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
-WHERE a.doc_id < b.doc_id
-""",
+    "dedup_minhash_lsh_pairs": minhash_lsh_pairs_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_ngram_jaccard": f"""
 WITH {_shingles_cte(' WHERE doc_id < 200')},
@@ -349,26 +396,7 @@ WHERE {cos} >= {threshold}
 # The oracle computes the SAME components via a recursive transitive
 # closure (WITH RECURSIVE) over the identical capped-bucket pairs, so
 # Spark's iterative min-label propagation must reach the exact fixpoint.
-ORACLES["dedup_clusters"] = _MINHASH_CTE.replace(
-    "WITH ", "WITH RECURSIVE ", 1) + f""",
-bands AS (SELECT doc_id, CAST(floor(seed / {dedup.N_HASHES // dedup.BANDS}) AS INT) AS band,
-                 md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
-          FROM mh GROUP BY doc_id, band),
-bkt AS (SELECT band, band_key,
-               list_sort(list(doc_id))[1:{dedup.MAX_BUCKET}] AS docs
-        FROM bands GROUP BY band, band_key HAVING count(*) > 1),
-bd AS (SELECT band, band_key, unnest(docs) AS doc_id FROM bkt),
-pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       FROM bd a JOIN bd b ON a.band = b.band AND a.band_key = b.band_key
-       WHERE a.doc_id < b.doc_id),
-edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
-          UNION SELECT doc_b, doc_a FROM pr),
-reach AS (SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster
-FROM reach GROUP BY a
-"""
+ORACLES["dedup_clusters"] = dedup_clusters_sql()
 
 ORACLES["text_langid"] = _langid_sql()
 

@@ -36,7 +36,15 @@ def _norm(rows):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf0.3"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    only, exclude = None, []
+    if len(sys.argv) > 2:
+        # "-x a,b" excludes (e.g. dedup_clusters, whose recursive-CTE
+        # oracle is superlinear past ~sf10 — property-validate those
+        # with scripts/validate_clusters.py instead); "a,b" selects
+        if sys.argv[2] == "-x":
+            exclude = sys.argv[3].split(",")
+        else:
+            only = sys.argv[2].split(",")
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -55,7 +63,7 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    names = only or sorted(queries)
+    names = [n for n in (only or sorted(queries)) if n not in exclude]
     bad = []
     for name in names:
         t0 = time.time()

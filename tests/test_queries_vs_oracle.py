@@ -145,3 +145,37 @@ def test_every_query_has_a_nonnone_oracle():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(qs) == set(os_)
     assert all(isinstance(v, str) and v.strip() for v in os_.values())
+
+
+@pytest.mark.parametrize("n_hashes,bands", [(64, 8), (16, 4)])
+def test_lsh_pairs_production_params_vs_oracle(spark, duck, n_hashes,
+                                               bands):
+    """The (n_hashes, bands) parameterization must stay oracle-exact at
+    production-shaped values, not just the gate-scale defaults — the
+    Spark banding math and the SQL generator take the parameters
+    through the same formulas (r6 verdict #7)."""
+    from fastparquet_spark.analytics import dedup
+    from fastparquet_spark.analytics.registry import minhash_lsh_pairs_sql
+
+    sdf = dedup.dedup_minhash_lsh_pairs(spark, SF_DIR, n_hashes, bands)
+    spark_rows = {(r.doc_a, r.doc_b) for r in sdf.collect()}
+    duck_rows = {tuple(r) for r in duck.sql(
+        minhash_lsh_pairs_sql(n_hashes, bands)).fetchall()}
+    assert spark_rows == duck_rows
+    # 64x8 (8 rows/band) is MORE selective than the 8x2 gate default
+    # (4 rows/band): candidates must not grow
+    base = {(r.doc_a, r.doc_b)
+            for r in dedup.dedup_minhash_lsh_pairs(spark, SF_DIR).collect()}
+    if (n_hashes, bands) == (64, 8):
+        assert len(spark_rows) <= len(base)
+
+
+def test_lsh_clusters_production_params_vs_oracle(spark, duck):
+    from fastparquet_spark.analytics import dedup
+    from fastparquet_spark.analytics.registry import dedup_clusters_sql
+
+    sdf = dedup.dedup_clusters(spark, SF_DIR, n_hashes=64, bands=8)
+    spark_rows = {(r.doc_id, r.cluster) for r in sdf.collect()}
+    duck_rows = {tuple(r) for r in duck.sql(dedup_clusters_sql(64, 8))
+                 .fetchall()}
+    assert spark_rows == duck_rows
