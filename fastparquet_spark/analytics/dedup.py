@@ -242,15 +242,19 @@ def connected_components(edges, max_iters: int = 20,
             since_ckpt.append(labels)
         cur = labels.agg(F.sum("cluster")).collect()[0][0]
         if cur == prev_sum:
-            # drop superseded caches; recompute (if ever needed) runs
-            # from the last checkpoint, so this is safe
+            # bound the session's storage footprint to the RESULT: cut
+            # the final lineage (cheap — this round is already cached),
+            # then release the edge checkpoint and every superseded
+            # round NOW instead of waiting for GC + ContextCleaner
+            final = labels.localCheckpoint(eager=True)
             for old in since_ckpt:
-                if old is not labels:
-                    old.unpersist(blocking=False)
-            return labels
+                old.unpersist(blocking=False)
+            edges.unpersist(blocking=False)
+            return final
         prev_sum = cur
     for old in since_ckpt:
         old.unpersist(blocking=False)
+    edges.unpersist(blocking=False)
     raise RuntimeError(
         f"connected_components did not converge within {max_iters} "
         f"rounds — raise max_iters (rounds needed ~ log2 of the largest "

@@ -43,14 +43,7 @@ def sim_lsh_buckets(spark, sf_dir, n_bits: int = 8):
     the partitioning an ANN index would shard by — at scale each bucket
     becomes a co-located partition and queries probe one bucket."""
     emb = load(spark, sf_dir, "embeddings")
-    dims_per = 64 // n_bits
-    bucket = F.lit(0)
-    for j in range(n_bits):
-        gsum = F.aggregate(
-            F.slice(F.col("embedding"), j * dims_per + 1, dims_per),
-            F.lit(0.0), lambda acc, x: acc + x.cast("double"))
-        bucket = bucket + F.when(gsum > 0, F.lit(1 << j)).otherwise(0)
-    return (emb.withColumn("bucket", bucket.cast("int"))
+    return (emb.withColumn("bucket", _bucket_expr(n_bits))
             .groupBy("bucket").agg(F.count("*").alias("n_vecs")))
 
 

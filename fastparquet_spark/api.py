@@ -59,6 +59,17 @@ def _real_ris(m, ris):
     return ris if rg_map is None else [rg_map[ri] for ri in ris]
 
 
+def _hive_key(v) -> str:
+    """One hive path value: URL-quoted, None as the hive null marker —
+    the exact inverse of the reader's parse
+    (format/dataset.py:121-136) and identical to the engine writer
+    (engine/encode_job.py:157-161)."""
+    from urllib.parse import quote
+
+    return ("__HIVE_DEFAULT_PARTITION__" if v is None
+            else quote(str(v), safe=""))
+
+
 def _normalize_filters(filters):
     if not filters:
         return None
@@ -423,8 +434,9 @@ class ParquetFile:
             names = [n for n in names
                      if n in self.columns or n in self.cats]
             empty = {n: pa.array(
-                [], type=self._atype(n)
-                if n in self._elems else pa.string()) for n in names}
+                [], type=self._atype(n) if n in self._elems
+                else (self._ptypes.get(n) or pa.string()))
+                for n in names}
             df = pa.table(empty).to_pandas()
         else:
             df = pa.concat_tables(parts,
@@ -491,7 +503,8 @@ class ParquetFile:
                     data = {c: pa.nulls(nrows, self._atype(c))
                             for c in columns if c in self._elems}
                     data.update({k: self._pcol(k, v, nrows)
-                                 for k, v in pmap.items()})
+                                 for k, v in pmap.items()
+                                 if k in columns})
                     if not data:
                         continue
                     yield pa.table(data).to_pandas()
@@ -505,8 +518,9 @@ class ParquetFile:
                             tbl = tbl.append_column(c, pa.nulls(
                                 tbl.num_rows, self._atype(c)))
                 for k, v in pmap.items():
-                    tbl = tbl.append_column(
-                        k, self._pcol(k, v, tbl.num_rows))
+                    if columns is None or k in columns:
+                        tbl = tbl.append_column(
+                            k, self._pcol(k, v, tbl.num_rows))
                 yield tbl.to_pandas()
 
     def head(self, nrows: int, columns=None):
@@ -687,11 +701,20 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
     fs.makedirs(filename)
     start = 0
     if append:
+        import re
+
         existing = [p for p in fs.walk_files(filename)
                     if p.endswith(".parquet")
                     and not os.path.basename(p).startswith((".", "_"))]
-        start = len(existing)
+        # next index = max existing part number + 1, NOT len(existing):
+        # naming gaps (deleted part.0, interrupted prior append) must
+        # not make a new part.N silently overwrite a live file
+        nums = [int(m.group(1)) for p in existing
+                for m in [re.fullmatch(r"part\.(\d+)\.parquet",
+                                       os.path.basename(p))] if m]
+        start = (max(nums) + 1 if nums else len(existing))
     n_written = start
+    written_rels: list[str] = []
     if pcols:
         import pyarrow.compute as pc
 
@@ -705,15 +728,28 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
                 mask = m if mask is None else pc.and_kleene(mask, m)
             part = table.filter(mask).select(data_cols)
             if file_scheme == "hive":
-                rel = "/".join(f"{c}={combo[c]}" for c in pcols)
-            else:  # drill: bare value directories
+                # quote + null marker, matching the engine writer and
+                # the reader's unquote/__HIVE_DEFAULT_PARTITION__
+                # (format/dataset.py:121-136) — raw values would read
+                # back corrupted ('100%25' -> '100%', None -> 'None')
+                rel = "/".join(f"{c}={_hive_key(combo[c])}"
+                               for c in pcols)
+            else:  # drill: bare value directories (read back verbatim,
+                # no unquote — so no escaping on write either)
                 rel = "/".join(str(combo[c]) for c in pcols)
             fs.makedirs(f"{filename}/{rel}")
             _emit(f"{filename}/{rel}/part.{n_written}.parquet", part)
+            written_rels.append(f"{rel}/part.{n_written}.parquet")
             n_written += 1
     else:
         _emit(f"{filename}/part.{n_written}.parquet", table)
-    write_metadata_sidecar(filename, fs=fs)
+        written_rels.append(f"part.{n_written}.parquet")
+    if append:
+        write_metadata_sidecar(filename, fs=fs)
+    else:
+        # explicit file list: a fresh (non-append) write must not sweep
+        # pre-existing parquet files under the target into its sidecar
+        write_metadata_sidecar(filename, fs=fs, files=written_rels)
 
 
 def merge(file_list, verify_schema: bool = True) -> ParquetFile:

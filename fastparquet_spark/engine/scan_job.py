@@ -251,8 +251,10 @@ def _finish_unit(tbl, drop_here, file_cols, absent, drop_cols,
         pval = pvals.get(name)
         if pa.types.is_string(ptype) and pval is not None:
             pval = str(pval)  # belt: units built by build_scan_units
+        # O(1) repeated scalar, not an O(rows) Python list — this runs
+        # once per 131k-row batch per partition column on executors
         tbl = tbl.append_column(
-            name, pa.array([pval] * tbl.num_rows, type=ptype))
+            name, pa.repeat(pa.scalar(pval, type=ptype), tbl.num_rows))
     # evolution columns were appended out of order; restore schema order
     return tbl.select(arrow_schema.names).cast(arrow_schema)
 

@@ -56,6 +56,9 @@ def main():
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.python.filterPushdown.enabled", "true")
              .config("spark.driver.memory", "16g")
+             # the harness COLLECTS both sides for comparison — at
+             # ~sf30 the signature/pair result sets pass 1 GiB
+             .config("spark.driver.maxResultSize", "8g")
              .config("spark.ui.enabled", "false").getOrCreate())
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",

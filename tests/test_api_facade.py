@@ -397,3 +397,86 @@ def test_parquetfile_pickling_roundtrip(tmp_path):
     # a sliced view pickles too
     pf3 = pickle.loads(pickle.dumps(pf[0]))
     assert len(pf3.row_groups) == 1
+
+
+def test_hive_partition_values_quote_and_null_roundtrip(tmp_path):
+    """Hive partition values must survive write->read exactly: the
+    reader URL-unquotes and maps __HIVE_DEFAULT_PARTITION__ to null,
+    so the writer must quote and emit the null marker (r7 review:
+    raw values read back corrupted, '100%25' -> '100%', None ->
+    'None')."""
+    out = str(tmp_path / "hv")
+    df = pd.DataFrame({"k": [1, 2, 3, 4],
+                       "part": ["100%25", "a b", None, "plain"]})
+    write(out, df, file_scheme="hive", partition_on=["part"])
+    got = ParquetFile(out).to_pandas().sort_values("k")
+    assert list(got["part"]) == ["100%25", "a b", None, "plain"]
+
+
+def test_hive_overwrite_ignores_stale_parts(tmp_path):
+    """A fresh (append=False) hive write's sidecar must cover EXACTLY
+    the files it wrote — pre-existing part files under the target must
+    not be swept in (r7 review)."""
+    out = str(tmp_path / "ds")
+    write(out, pd.DataFrame({"k": [1, 2], "g": ["a", "b"]}),
+          file_scheme="hive", partition_on=["g"])
+    # second write covers only g=a: the stale g=b part file survives on
+    # disk but must NOT appear in the new dataset
+    write(out, pd.DataFrame({"k": [10], "g": ["a"]}),
+          file_scheme="hive", partition_on=["g"])
+    got = ParquetFile(out).to_pandas()
+    assert list(got["k"]) == [10] and list(got["g"]) == ["a"]
+
+
+def test_hive_append_numbering_skips_gaps(tmp_path):
+    """append=True numbers new parts past the MAX existing index, not
+    len(existing) — naming gaps (crashed prior append, deleted part)
+    must never cause a silent overwrite (r7 review; the reference
+    derives the next index from existing names too)."""
+    import os
+
+    out = str(tmp_path / "ap")
+    write(out, pd.DataFrame({"k": [1], "g": ["a"]}),
+          file_scheme="hive", partition_on=["g"])
+    write(out, pd.DataFrame({"k": [2], "g": ["a"]}),
+          file_scheme="hive", partition_on=["g"], append=True)
+    # fabricate a gap: drop part.0, keep part.1
+    victim = next(p for p in os.listdir(os.path.join(out, "g=a"))
+                  if p == "part.0.parquet")
+    os.remove(os.path.join(out, "g=a", victim))
+    write(out, pd.DataFrame({"k": [3], "g": ["a"]}),
+          file_scheme="hive", partition_on=["g"], append=True)
+    names = sorted(os.listdir(os.path.join(out, "g=a")))
+    assert names == ["part.1.parquet", "part.2.parquet"]
+    got = ParquetFile(out).to_pandas()
+    assert sorted(got["k"]) == [2, 3]  # k=2 NOT overwritten
+
+
+def test_projection_excludes_partition_columns(tmp_path):
+    """iter_row_groups/head honor the columns= projection for
+    partition columns exactly like to_pandas (r7 review: both leaked
+    every partition column into projected frames)."""
+    out = str(tmp_path / "pj")
+    write(out, _df(600), file_scheme="hive", partition_on=["lang"])
+    pf = ParquetFile(out)
+    for frame in pf.iter_row_groups(columns=["k"]):
+        assert list(frame.columns) == ["k"]
+    assert list(pf.head(5, columns=["k", "score"]).columns) \
+        == ["k", "score"]
+    # partition-only projection still yields the partition column
+    assert set(pf.head(5, columns=["lang"]).columns) == {"lang"}
+
+
+def test_empty_result_partition_dtype_stable(tmp_path):
+    """Filter-to-empty results type partition columns from the
+    RESOLVED partition type, not string (r7 review: dtype-unstable
+    empty frames break downstream concat)."""
+    out = str(tmp_path / "em")
+    df = pd.DataFrame({"v": [1.0, 2.0], "k": [10, 20]})
+    write(out, df, file_scheme="hive", partition_on=["k"])
+    pf = ParquetFile(out)
+    empty = pf.to_pandas(columns=["v", "k"],
+                         filters=[("k", "==", 999)])
+    full = pf.to_pandas(columns=["v", "k"])
+    assert len(empty) == 0
+    assert empty["k"].dtype == full["k"].dtype
