@@ -395,7 +395,7 @@ def encode_dataset(spark, df, out_dir: str, *, compression: str = "ZSTD",
                         elif isinstance(combo[c], float) and \
                                 combo[c] != combo[c]:
                             # NaN combo: NaN != NaN, plain equality
-                            # silently dropped every NaN row (r6 #3)
+                            # silently dropped every NaN row
                             m = pc.is_nan(col)
                         else:
                             m = pc.equal(col, combo[c])
@@ -559,7 +559,7 @@ def append_dataset(spark, df, out_dir: str, **kwargs):
     if old_sidecar is not None:
         # a valid sidecar proves the last append COMPLETED: any marker
         # still on disk is stale (removal raced/failed) and must not
-        # trigger a resume-decrement in a later crash chain (r6 #6)
+        # trigger a resume-decrement in a later crash chain
         for p in fs.glob(_u_join(out_dir, "_g*_INPROGRESS")):
             try:
                 fs.remove(p)

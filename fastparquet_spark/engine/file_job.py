@@ -201,7 +201,7 @@ def _publish(fs, body_writer, opath: str, attempt) -> None:
                 pass
             if not ok:
                 raise  # no twin final: a real failure
-            try:  # our stage, if left, was not consumed (r6 #4)
+            try:  # our stage, if left, was not consumed
                 if fs.exists(tmp):
                     fs.remove(tmp)
             except OSError:

@@ -73,7 +73,12 @@ def main():
         try:
             sdf = queries[name](spark, sf_dir)
             cols = sorted(sdf.columns)
-            srows = [tuple(row[c] for c in cols) for row in sdf.collect()]
+            # stream partition-at-a-time: a one-shot collect() of a
+            # multi-GB result (sf30 signatures/pairs) OOMs the driver
+            # JVM, which buffers every partition's serialized bytes at
+            # once; the iterator holds ONE partition JVM-side
+            srows = [tuple(row[c] for c in cols)
+                     for row in sdf.toLocalIterator()]
             ores = con.sql(oracles[name])
             idx = [ores.columns.index(c) for c in cols]
             orows = [tuple(r[i] for i in idx) for r in ores.fetchall()]
