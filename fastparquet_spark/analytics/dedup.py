@@ -21,13 +21,15 @@ SHINGLE = 3           # words per shingle
 MAX_BUCKET = 1024     # docs considered per LSH bucket (smallest doc_ids)
 
 
-def _shingles_df(spark, sf_dir, max_doc=None, distinct: bool = True):
-    """``distinct=False`` skips the (doc_id, shingle) dedup SHUFFLE —
+def shingles_of(docs, distinct: bool = True):
+    """(doc_id, sh) shingle rows of a ``documents`` DataFrame — THE
+    single shingling definition every consumer (MinHash signatures,
+    exact-Jaccard ground truth, recall sweeps) must share, or their
+    similarity numbers silently diverge.
+
+    ``distinct=False`` skips the (doc_id, shingle) dedup SHUFFLE —
     correct wherever downstream is duplicate-insensitive (min() for
     MinHash); set operations (Jaccard counts) need distinct=True."""
-    docs = load(spark, sf_dir, "documents")
-    if max_doc is not None:
-        docs = docs.filter(F.col("doc_id") < max_doc)
     docs = docs.withColumn("w", _words())
     sh = docs.withColumn(
         "shingles",
@@ -43,6 +45,14 @@ def _shingles_df(spark, sf_dir, max_doc=None, distinct: bool = True):
     out = (sh.select("doc_id", F.explode_outer("shingles").alias("sh"))
            .filter(F.col("sh").isNotNull()))
     return out.distinct() if distinct else out
+
+
+def _shingles_df(spark, sf_dir, max_doc=None, distinct: bool = True):
+    """:func:`shingles_of` over the ``documents`` table at ``sf_dir``."""
+    docs = load(spark, sf_dir, "documents")
+    if max_doc is not None:
+        docs = docs.filter(F.col("doc_id") < max_doc)
+    return shingles_of(docs, distinct=distinct)
 
 
 def dedup_exact(spark, sf_dir):
@@ -245,8 +255,12 @@ def connected_components(edges, max_iters: int = 20,
             # bound the session's storage footprint to the RESULT: cut
             # the final lineage (cheap — this round is already cached),
             # then release the edge checkpoint and every superseded
-            # round NOW instead of waiting for GC + ContextCleaner
-            final = labels.localCheckpoint(eager=True)
+            # round NOW instead of waiting for GC + ContextCleaner.
+            # If this round ALREADY checkpointed (cadence hit), labels
+            # is lineage-free — re-checkpointing would duplicate the
+            # full result's blocks and never release the first copy
+            final = (labels if not since_ckpt
+                     else labels.localCheckpoint(eager=True))
             for old in since_ckpt:
                 old.unpersist(blocking=False)
             edges.unpersist(blocking=False)

@@ -735,7 +735,20 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
                 rel = "/".join(f"{c}={_hive_key(combo[c])}"
                                for c in pcols)
             else:  # drill: bare value directories (read back verbatim,
-                # no unquote — so no escaping on write either)
+                # no unquote — so no escaping on write either).  The
+                # reference writes '%s' % val unescaped (writer.py:1094),
+                # which silently corrupts the layout when a value
+                # contains '/' (phantom extra dir levels) or is None
+                # (reads back as the string 'None'); we fail loudly —
+                # the hive scheme handles both via quoting/null marker.
+                for c in pcols:
+                    v = combo[c]
+                    if v is None or "/" in str(v) or str(v) == "":
+                        raise ValueError(
+                            f"drill scheme cannot encode partition value "
+                            f"{v!r} for column {c!r} as a directory name "
+                            f"(None, empty, or contains '/'); use "
+                            f"file_scheme='hive'")
                 rel = "/".join(str(combo[c]) for c in pcols)
             fs.makedirs(f"{filename}/{rel}")
             _emit(f"{filename}/{rel}/part.{n_written}.parquet", part)
@@ -745,7 +758,19 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
         _emit(f"{filename}/part.{n_written}.parquet", table)
         written_rels.append(f"part.{n_written}.parquet")
     if append:
-        write_metadata_sidecar(filename, fs=fs)
+        # incremental: base sidecar + the files THIS call wrote.  A
+        # full-directory re-merge here would resurrect stale parts a
+        # prior fresh write deliberately excluded from its sidecar
+        # (overwritten rows silently reappearing on read); with no
+        # sidecar there was no prior exclusion, so a sweep is correct.
+        from fastparquet_spark.format.dataset import read_sidecar
+
+        base = read_sidecar(filename, fs=fs)
+        if base is not None:
+            write_metadata_sidecar(filename, fs=fs, base=base,
+                                   add_files=written_rels)
+        else:
+            write_metadata_sidecar(filename, fs=fs)
     else:
         # explicit file list: a fresh (non-append) write must not sweep
         # pre-existing parquet files under the target into its sidecar

@@ -99,6 +99,41 @@ def _logical_sig(lt):
     return json.dumps(lt, sort_keys=True, default=str) if lt else None
 
 
+def _elem_sig(e):
+    """Conflict signature of a schema element: the EFFECTIVE decoded
+    type, not the raw footer fields.  Writer generations stamp the
+    same column differently — an old file may carry only
+    converted_type=UTF8 where a parquet-mr 1.11+/pyarrow file adds
+    logicalType={'STRING':{}} — and both decode identically; comparing
+    raw fields would reject that canonical evolution mix at plan time.
+    Each scan unit decodes with its OWN footer and casts to the union
+    schema, so two elements conflict exactly when their Arrow types
+    differ (scale/precision/timestamp unit/integer width are all part
+    of the Arrow type).  Group nodes have no Arrow type; they compare
+    on child count + normalized LIST/MAP annotation."""
+    from fastparquet_spark.format.metadata import ConvertedType
+    from fastparquet_spark.format.reader import _arrow_type
+
+    nc = e.get("num_children")
+    if nc:
+        lt = e.get("logicalType") or {}
+        conv = e.get("converted_type")
+        if "LIST" in lt or conv == ConvertedType.LIST:
+            ann = "LIST"
+        elif "MAP" in lt or conv in (ConvertedType.MAP,
+                                     ConvertedType.MAP_KEY_VALUE):
+            ann = "MAP"
+        else:
+            ann = None
+        return ("group", nc, ann)
+    try:
+        return ("leaf", str(_arrow_type(e)))
+    except Exception:  # unknown physical/logical combo: raw fallback
+        return ("leaf?", e.get("type"), e.get("converted_type"),
+                e.get("type_length"), e.get("scale"), e.get("precision"),
+                _logical_sig(e.get("logicalType")))
+
+
 def union_leaf_elems(metas):
     """Union of the per-file TOP-LEVEL schemas, first-seen order — the
     schema-evolution contract for scans (r5 VERDICT missing #1): a
@@ -135,24 +170,19 @@ def union_leaf_elems(metas):
             key = ".".join(path)
             if len(path) == 1:
                 mine.add(e["name"])
-            # scale/precision/logicalType must participate: files whose
-            # shared column differs only in decimal scale or logical-only
-            # timestamp unit must fail at PLAN time with the evolution
-            # message, not mid-scan in an executor Arrow cast
-            sig = (e.get("type"), e.get("converted_type"),
-                   e.get("type_length"), e.get("num_children"),
-                   e.get("scale"), e.get("precision"),
-                   _logical_sig(e.get("logicalType")))
+            # compare EFFECTIVE types (decimal scale/precision,
+            # timestamp unit, integer width all participate via the
+            # Arrow type) so a real divergence fails at PLAN time with
+            # the evolution message, not mid-scan in an executor Arrow
+            # cast — while writer-generation stamping differences
+            # (converted_type-only vs +logicalType) stay compatible
+            sig = _elem_sig(e)
             if key not in elems:
                 elems[key] = e
                 if len(path) == 1:
                     order.append(e["name"])
             else:
-                p = elems[key]
-                psig = (p.get("type"), p.get("converted_type"),
-                        p.get("type_length"), p.get("num_children"),
-                        p.get("scale"), p.get("precision"),
-                        _logical_sig(p.get("logicalType")))
+                psig = _elem_sig(elems[key])
                 if psig != sig:
                     raise ValueError(
                         f"schema evolution type conflict on column "

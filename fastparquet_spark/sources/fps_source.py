@@ -228,8 +228,9 @@ class FpsReader(DataSourceReader):
         for path, ris, pvals, absent, fallback in units:
             # streaming: match-all units decode batch-by-batch through
             # pyarrow's C++ reader, overlapping decode with the Arrow
-            # IPC write back to the JVM (the r6 full-scan tax); 256k
-            # rows of a ~100B content column is ~26 MB per batch
+            # IPC write back to the JVM (the r6 full-scan tax); the
+            # default 128k rows of a ~100B content column is ~13 MB
+            # per batch — peak executor memory is ONE batch, not a file
             yield from scan_unit_batches(
                 path, ris, pvals, absent, fallback, clauses,
                 header["file_cols"], header["drop_cols"],

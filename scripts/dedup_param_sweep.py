@@ -90,15 +90,9 @@ def main():
     docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
             .filter((F.col("doc_id") % COPY_OFF) < SUBSET))
     docs.createOrReplaceTempView("subset_docs")
-    from fastparquet_spark.analytics.text import _words
-    sh = (docs.withColumn("w", _words())
-          .withColumn("shingles", F.when(
-              F.size("w") >= dedup.SHINGLE,
-              F.expr(f"transform(sequence(0, size(w)-{dedup.SHINGLE}), "
-                     f"i -> concat_ws(' ', slice(w, i+1, {dedup.SHINGLE})))"))
-          .otherwise(F.array(F.concat_ws(" ", F.col("w")))))
-          .select("doc_id", F.explode_outer("shingles").alias("sh"))
-          .filter(F.col("sh").isNotNull()).distinct())
+    # the SAME shingling the LSH path hashes — a hand-rolled copy here
+    # would let a future SHINGLE change silently skew the ground truth
+    sh = dedup.shingles_of(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -157,16 +151,10 @@ def main():
     ladder_pairs = {(r.doc_a, r.doc_b) for r in lp.collect()}
 
     # exact Jaccard for every (base, variant-k) pair, same shingling
-    ldocs = (spark.read.parquet(f"{ladder_dir}/documents.parquet")
-             .withColumn("w", _words())
-             .withColumn("shingles", F.when(
-                 F.size("w") >= dedup.SHINGLE,
-                 F.expr(f"transform(sequence(0, size(w)-{dedup.SHINGLE}), "
-                        f"i -> concat_ws(' ', slice(w, i+1, "
-                        f"{dedup.SHINGLE})))"))
-             .otherwise(F.array(F.concat_ws(" ", F.col("w")))))
-             .select("doc_id",
-                     F.array_distinct("shingles").alias("shs")))
+    ldocs = (dedup.shingles_of(
+                 spark.read.parquet(f"{ladder_dir}/documents.parquet"))
+             .groupBy("doc_id")
+             .agg(F.collect_set("sh").alias("shs")))
     bb = ldocs.filter(F.col("doc_id") < COPY_OFF).select(
         F.col("doc_id").alias("base_id"), F.col("shs").alias("sa"))
     vv = ldocs.filter(F.col("doc_id") >= COPY_OFF).select(

@@ -42,6 +42,8 @@ def main():
         # oracle is superlinear past ~sf10 — property-validate those
         # with scripts/validate_clusters.py instead); "a,b" selects
         if sys.argv[2] == "-x":
+            if len(sys.argv) < 4:
+                sys.exit("usage: sweep_registry.py SF_DIR [-x a,b | a,b]")
             exclude = sys.argv[3].split(",")
         else:
             only = sys.argv[2].split(",")

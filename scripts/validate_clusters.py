@@ -52,8 +52,12 @@ def main():
     pairs = dedup.dedup_minhash_lsh_pairs(spark, sf_dir, n_hashes,
                                           bands).persist()
     n_pairs = pairs.count()
-    labels = dedup.dedup_clusters(spark, sf_dir, n_hashes=n_hashes,
-                                  bands=bands).persist()
+    # reuse the persisted pairs: dedup_clusters(spark, sf_dir) would
+    # re-run the whole shingle->signature->banding pipeline — at the
+    # scales this script exists for, that doubles the dominant cost
+    labels = dedup.connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))).persist()
     n_labeled = labels.count()
     secs = round(time.perf_counter() - t0, 1)
 

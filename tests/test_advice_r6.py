@@ -3,6 +3,8 @@ round-6 VERDICT gate-hygiene fix (registry ordering / <=50 keys)."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -107,7 +109,11 @@ def test_no_review_jargon_in_raised_messages():
     import glob
     import re
 
-    for f in glob.glob("fastparquet_spark/**/*.py", recursive=True):
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "fastparquet_spark")
+    files = glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True)
+    assert files, pkg  # anchored to the repo, not the pytest cwd
+    for f in files:
         src = open(f).read()
         for m in re.finditer(r'raise [\w.]+\(\s*(.{0,400}?)\)\n', src,
                              re.S):

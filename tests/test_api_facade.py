@@ -480,3 +480,39 @@ def test_empty_result_partition_dtype_stable(tmp_path):
     full = pf.to_pandas(columns=["v", "k"])
     assert len(empty) == 0
     assert empty["k"].dtype == full["k"].dtype
+
+
+def test_append_does_not_resurrect_stale_parts(tmp_path):
+    """append=True must extend the EXISTING sidecar incrementally, not
+    re-sweep the directory — a full re-merge would resurrect part files
+    a prior fresh write deliberately excluded (r7 review: overwritten
+    rows silently reappearing after a later append)."""
+    out = str(tmp_path / "ds")
+    write(out, pd.DataFrame({"k": [1, 2], "g": ["a", "b"]}),
+          file_scheme="hive", partition_on=["g"])
+    # fresh overwrite covering only g=a: g=b/part.* is now stale
+    write(out, pd.DataFrame({"k": [10], "g": ["a"]}),
+          file_scheme="hive", partition_on=["g"])
+    # append new g=c rows: the stale g=b rows must STAY invisible
+    write(out, pd.DataFrame({"k": [20], "g": ["c"]}),
+          file_scheme="hive", partition_on=["g"], append=True)
+    got = ParquetFile(out).to_pandas().sort_values("k")
+    assert list(got["k"]) == [10, 20]
+    assert list(got["g"]) == ["a", "c"]
+
+
+def test_drill_rejects_structure_breaking_partition_values(tmp_path):
+    """drill directories are bare unescaped labels; a value containing
+    '/' or None would write a structurally corrupt layout (phantom dir
+    levels / literal 'None') — fail loudly instead (r7 review)."""
+    for bad in ["a/b", None, ""]:
+        with pytest.raises(ValueError, match="drill"):
+            write(str(tmp_path / "d"),
+                  pd.DataFrame({"k": [1], "g": [bad]}),
+                  file_scheme="drill", partition_on=["g"])
+    # hive handles all three via quoting / the null marker
+    write(str(tmp_path / "h"),
+          pd.DataFrame({"k": [1, 2, 3], "g": ["a/b", None, ""]}),
+          file_scheme="hive", partition_on=["g"])
+    got = ParquetFile(str(tmp_path / "h")).to_pandas().sort_values("k")
+    assert list(got["g"]) == ["a/b", None, ""]

@@ -184,3 +184,41 @@ def test_fps_writer_streams_row_groups(spark, tmp_path):
     assert len(files) == 1
     md = pq.read_metadata(files[0])
     assert md.num_rows == 10_000 and md.num_row_groups >= 5
+
+
+def test_union_tolerates_writer_generation_stamping(tmp_path):
+    """The conflict signature compares EFFECTIVE types: an old file
+    stamping only converted_type=UTF8 and a parquet-mr 1.11+/pyarrow
+    file adding logicalType={'STRING':{}} decode identically and must
+    NOT be a plan-time 'schema evolution type conflict' (r7 review).
+    A REAL divergence (decimal scale) must still raise."""
+    from fastparquet_spark.engine.scan_job import union_leaf_elems
+    from fastparquet_spark.format.metadata import ConvertedType, Type
+
+    def meta(file, elem):
+        root = {"name": "schema", "num_children": 1}
+        return {"file": file, "fmd": {"schema": [root, elem]}}
+
+    old = {"name": "s", "type": Type.BYTE_ARRAY,
+           "converted_type": ConvertedType.UTF8}
+    new = {"name": "s", "type": Type.BYTE_ARRAY,
+           "converted_type": ConvertedType.UTF8,
+           "logicalType": {"STRING": {}}}
+    names, elems, present = union_leaf_elems(
+        [meta("a.parquet", old), meta("b.parquet", new)])
+    assert names == ["s"]
+
+    # decimal scale divergence IS a conflict — same raw stamping style
+    d5 = {"name": "d", "type": Type.INT64,
+          "converted_type": ConvertedType.DECIMAL,
+          "precision": 12, "scale": 5}
+    d2 = dict(d5, scale=2)
+    with pytest.raises(ValueError, match="type conflict"):
+        union_leaf_elems([meta("a.parquet", d5), meta("b.parquet", d2)])
+
+    # ...and scale stamped via logicalType vs legacy fields must agree
+    d5lt = {"name": "d", "type": Type.INT64,
+            "logicalType": {"DECIMAL": {"precision": 12, "scale": 5}}}
+    names, _, _ = union_leaf_elems(
+        [meta("a.parquet", d5), meta("b.parquet", d5lt)])
+    assert names == ["d"]
