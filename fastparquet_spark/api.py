@@ -767,6 +767,19 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
 
         base = read_sidecar(filename, fs=fs)
         if base is not None:
+            # prune base entries whose part file is gone from disk
+            # (deleted by the user between appends): keeping them would
+            # make every subsequent read fail on the missing file.
+            # Exclusion stays intact — excluded-but-present files are
+            # simply not in the base and never re-swept.
+            from fastparquet_spark.io import relative_to
+
+            live = {relative_to(p, filename) for p in existing}
+            kept = [rg for rg in base["row_groups"]
+                    if rg["columns"][0].get("file_path") in live]
+            if len(kept) != len(base["row_groups"]):
+                base = dict(base, row_groups=kept,
+                            num_rows=sum(rg["num_rows"] for rg in kept))
             write_metadata_sidecar(filename, fs=fs, base=base,
                                    add_files=written_rels)
         else:
