@@ -340,7 +340,13 @@ def scan_unit_batches(path, ris, pvals, absent, fallback, clauses,
     if any(not cl for cl in fclauses):
         import pyarrow.parquet as pq
 
-        for b in pq.ParquetFile(path).iter_batches(
+        from fastparquet_spark.io import _is_uri, get_fs
+
+        # local paths go to pyarrow as plain paths (OS-level reads);
+        # URIs (s3/gs/hdfs) open through the io layer's pyarrow.fs
+        # NativeFile — pq.ParquetFile itself does no URI inference
+        src = get_fs(path).open_read(path) if _is_uri(path) else path
+        for b in pq.ParquetFile(src).iter_batches(
                 batch_size=batch_rows, row_groups=sorted(ris),
                 columns=cols_here, use_threads=False):
             yield from _finish_unit(

@@ -105,6 +105,15 @@ def test_file_uri_roundtrip_through_arrowfs(spark, tmp_path):
     metas = dataset_metadata(uri)
     assert sum(m["fmd"]["num_rows"] for m in metas) == 500
     assert spark.read.parquet(f"{tmp_path}/ds").count() == 500
+    # match-all paged_read takes the STREAMING scan-unit path
+    # (pq.ParquetFile iter_batches), which does no URI inference of its
+    # own — the io layer must hand it an opened NativeFile for URIs
+    from fastparquet_spark.engine import paged_read
+
+    got = paged_read(spark, uri, filters=None)
+    assert got.count() == 500
+    assert got.selectExpr("sum(length(content))").collect()[0][0] \
+        == sum(len(f"body {i}") for i in range(500))
 
 
 def test_decimal38_flba_roundtrip(tmp_path):
