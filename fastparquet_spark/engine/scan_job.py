@@ -312,7 +312,10 @@ def scan_unit(path, ris, pvals, absent, fallback, clauses, file_cols,
         # selective path below is unchanged and byte-proof-tested.
         import pyarrow.parquet as pq
 
-        tbl = pq.ParquetFile(path).read_row_groups(
+        from fastparquet_spark.io import _is_uri, get_fs
+
+        src = get_fs(path).open_read(path) if _is_uri(path) else path
+        tbl = pq.ParquetFile(src).read_row_groups(
             sorted(ris), columns=cols_here, use_threads=False)
     else:
         tbl = read_pages(path, fclauses, columns=cols_here, exact=exact,

@@ -1086,8 +1086,8 @@ class ParquetWriter:
             # values feed encoding choice / stats / blooms either way;
             # the full-column def-level RLE is only the SINGLE-page
             # path's — the paged branch regenerates levels per page and
-            # would throw this away waste on
-            # the throughput path)
+            # would throw this away (pure O(n) waste on the
+            # throughput path)
             values = _extract(arr, ptype)
             if not (self.page_rows and page_version == 1):
                 defs, null_count = _def_levels(arr, n, v2=page_version == 2)
