@@ -32,7 +32,9 @@ from fastparquet_spark.format.dataset import (
     _apply_row_filter_dnf,
     _iter_chunks,
     dataset_metadata,
-    filter_row_groups,
+)
+from fastparquet_spark.format.dataset import (
+    filter_row_groups as _meta_filter_row_groups,
 )
 from fastparquet_spark.format.reader import (
     _arrow_type,
@@ -42,7 +44,8 @@ from fastparquet_spark.format.reader import (
 from fastparquet_spark.format.writer import write_file
 from fastparquet_spark.io import fetch_footers, get_fs
 
-__all__ = ["ParquetFile", "ParquetException", "merge", "write"]
+__all__ = ["ParquetFile", "ParquetException", "filter_row_groups",
+           "merge", "sorted_partitioned_columns", "statistics", "write"]
 
 
 class ParquetException(Exception):
@@ -337,9 +340,9 @@ class ParquetFile:
     def _surviving(self, filters) -> dict[str, list[int]]:
         keep: dict[str, list[int]] = {}
         # bloom probes need ranged file reads; stats-only for in-memory
-        pairs = filter_row_groups(self._root, filters, fs=self._fs,
-                                  metas=self._metas,
-                                  use_bloom=self._blob is None)
+        pairs = _meta_filter_row_groups(self._root, filters, fs=self._fs,
+                                        metas=self._metas,
+                                        use_bloom=self._blob is None)
         for f, ri in pairs:
             keep.setdefault(f, []).append(ri)
         return keep
@@ -441,7 +444,10 @@ class ParquetFile:
         else:
             df = pa.concat_tables(parts,
                                   promote_options="default").to_pandas()
-        for c in (categories or []):
+        # default categories from the pandas metadata, the reference's
+        # check_categories path (api.py:534-545): a frame written with
+        # Categorical columns reads back Categorical
+        for c in self.check_categories(categories):
             if c in df.columns:
                 df[c] = df[c].astype("category")
         if index is not None and index in df.columns:
@@ -584,21 +590,71 @@ class ParquetFile:
         (reference api.py:905-945 sorted_partitioned_columns):
         ``{col: {'min': [per-rg], 'max': [per-rg]}}``.  A column with
         any missing stat, or any overlap between consecutive groups,
-        is excluded."""
-        s = self.statistics
-        out: dict[str, dict] = {}
-        for c in self.columns:
-            mins, maxs = s["min"].get(c, []), s["max"].get(c, [])
-            if not mins or any(x is None for x in mins + maxs):
-                continue
-            try:
-                if (sorted(mins) == mins and sorted(maxs) == maxs
-                        and all(hi < lo for hi, lo
-                                in zip(maxs[:-1], mins[1:]))):
-                    out[c] = {"min": mins, "max": maxs}
-            except TypeError:
-                continue  # incomparable stat types (e.g. mixed)
-        return out
+        is excluded.  The module-level function of the same name adds
+        the reference's ``filters`` parameter."""
+        return sorted_partitioned_columns(self)
+
+    @property
+    def has_pandas_metadata(self) -> bool:
+        """Whether a 'pandas' schema JSON rides in the footer
+        key-value metadata (reference api.py:547-553)."""
+        return bool(self.key_value_metadata.get("pandas"))
+
+    @property
+    def pandas_metadata(self) -> dict:
+        """The decoded 'pandas' schema JSON, ``{}`` when absent
+        (reference api.py:555-562)."""
+        import json
+
+        raw = self.key_value_metadata.get("pandas")
+        return json.loads(raw) if raw else {}
+
+    @property
+    def categories(self) -> dict:
+        """Columns stored as pandas Categoricals, name ->
+        num_categories, from the pandas metadata (reference
+        api.py:564-608; the legacy 'fastparquet.cats' key is also
+        honored)."""
+        out: dict[str, int] = {}
+        for m in self.pandas_metadata.get("columns", []):
+            if m.get("pandas_type") == "categorical":
+                out[m["name"]] = (m.get("metadata") or {}).get(
+                    "num_categories")
+        if out:
+            return out
+        vals = self.key_value_metadata.get("fastparquet.cats")
+        if vals:
+            import json
+
+            return json.loads(vals)
+        return {}
+
+    def check_categories(self, cats):
+        """Validate a requested ``categories`` argument against what
+        the file was written with (reference api.py:534-545)."""
+        categ = self.categories
+        if not self.has_pandas_metadata:
+            return cats or {}
+        if cats is None:
+            return categ or {}
+        if set(cats) - set(categ):
+            raise TypeError("Attempt to read as category a field that "
+                            "was not stored as such")
+        if isinstance(cats, dict):
+            return cats
+        return {k: v for k, v in categ.items() if k in cats}
+
+    def row_group_filename(self, rg) -> str:
+        """Full path of the part file holding ``rg`` (reference
+        api.py:265-273).  Row groups returned by ``self.row_groups``
+        resolve by identity; foreign dicts fall back to their chunk's
+        embedded ``file_path``."""
+        for m in self._metas:
+            if any(r is rg for r in m["fmd"]["row_groups"]):
+                return self._path(m["file"]) if self._blob is None \
+                    else self.fn
+        fp = (rg.get("columns") or [{}])[0].get("file_path")
+        return self._path(fp) if fp else self.fn
 
     def __getstate__(self):
         """Picklable state (reference api.py:661-667): the filesystem
@@ -827,3 +883,63 @@ def merge(file_list, verify_schema: bool = True) -> ParquetFile:
     write_metadata_sidecar(root, fs=fs,
                            files=[r.replace(os.sep, "/") for r in rels])
     return ParquetFile(root, fs=fs)
+
+
+def statistics(obj) -> dict:
+    """Per-row-group min/max/null_count/distinct_count for a
+    ``ParquetFile`` (reference api.py:822-903 module function)."""
+    return obj.statistics
+
+
+def filter_row_groups(pf: ParquetFile, filters, as_idx: bool = False):
+    """Row groups of ``pf`` surviving the DNF ``filters`` (reference
+    api.py:948-999): footer-stat (and hive-partition) pruning only — a
+    SUPERSET of the exactly-matching groups.  ``as_idx=True`` returns
+    global row-group positions (file order, groups in file order)
+    instead of the row-group dicts.  Unknown filter columns raise, as
+    the reference does."""
+    filters = _normalize_filters(filters)
+    known = set(pf.columns) | set(pf.cats)
+    bad = {c for clause in (filters or []) for c, _op, _v in clause
+           if c not in known}
+    if bad:
+        raise ValueError(
+            f"No filter can be applied on nonexistent column(s) {bad}")
+    if not filters:
+        rgs = pf.row_groups
+        return list(range(len(rgs))) if as_idx else rgs
+    keep = pf._surviving(filters)
+    out, g = [], 0
+    for m in pf._metas:
+        rgs = m["fmd"]["row_groups"]
+        kept = set(keep.get(m["file"], []))
+        out.extend((g + ri) if as_idx else rgs[ri]
+                   for ri in range(len(rgs)) if ri in kept)
+        g += len(rgs)
+    return out
+
+
+def sorted_partitioned_columns(pf: ParquetFile, filters=None) -> dict:
+    """Columns known to be sorted partition-by-partition — every row
+    group's values strictly greater than every previous group's
+    (reference api.py:905-945): ``{col: {'min': [...], 'max': [...]}}``.
+    With ``filters``, only the surviving row groups participate."""
+    s = pf.statistics
+    if filters:
+        idx = filter_row_groups(pf, filters, as_idx=True)
+        s = {stat: {c: [vals[i] for i in idx]
+                    for c, vals in cols.items()}
+             for stat, cols in s.items()}
+    out: dict[str, dict] = {}
+    for c in pf.columns:
+        mins, maxs = s["min"].get(c, []), s["max"].get(c, [])
+        if not mins or any(x is None for x in mins + maxs):
+            continue
+        try:
+            if (sorted(mins) == mins and sorted(maxs) == maxs
+                    and all(hi < lo for hi, lo
+                            in zip(maxs[:-1], mins[1:]))):
+                out[c] = {"min": mins, "max": maxs}
+        except TypeError:
+            continue  # incomparable stat types (e.g. mixed)
+    return out

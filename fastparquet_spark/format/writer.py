@@ -81,6 +81,15 @@ class FileResult:
 
 # arrow type -> (physical, converted, cast-needed arrow type or None)
 def _map_type(t: pa.DataType):
+    if pa.types.is_dictionary(t):
+        # pandas Categoricals arrive as Arrow dictionary arrays: decode
+        # to the value type via the existing cast plumbing and let
+        # codec auto-selection re-dictionary-encode (low cardinality
+        # always wins the dict admission) — the reference writes
+        # categoricals as PLAIN_DICTIONARY chunks the same way
+        # (fastparquet/writer.py:481-521)
+        ptype, conv, cast = _map_type(t.value_type)
+        return ptype, conv, cast or t.value_type
     if pa.types.is_boolean(t):
         return Type.BOOLEAN, None, None
     if pa.types.is_int8(t):

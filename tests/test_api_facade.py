@@ -184,6 +184,7 @@ def test_head_walks_multiple_files(tmp_path):
 
 def test_to_pandas_categories_and_index(tmp_path):
     df = _df(200)
+    df["lang"] = df["lang"].astype("category")
     path = str(tmp_path / "ci.parquet")
     write(path, df)
     pf = ParquetFile(path)
@@ -191,6 +192,18 @@ def test_to_pandas_categories_and_index(tmp_path):
     assert out.index.name == "k"
     assert str(out["lang"].dtype) == "category"
     assert len(out) == 200
+    # reference semantics (api.py:534-545): with pandas metadata
+    # present, requesting a column NOT stored categorical raises
+    with pytest.raises(TypeError):
+        pf.to_pandas(categories=["text"])
+    # a file WITHOUT pandas metadata accepts any categories request
+    from fastparquet_spark.format import write_file
+    import pyarrow as pa
+
+    raw = str(tmp_path / "raw.parquet")
+    write_file(raw, pa.table({"s": ["a", "b", "a"]}))
+    got = ParquetFile(raw).to_pandas(categories=["s"])
+    assert str(got["s"].dtype) == "category"
 
 
 def test_merge_and_drill_scheme(tmp_path):
@@ -516,3 +529,75 @@ def test_drill_rejects_structure_breaking_partition_values(tmp_path):
           file_scheme="hive", partition_on=["g"])
     got = ParquetFile(str(tmp_path / "h")).to_pandas().sort_values("k")
     assert list(got["g"]) == ["a/b", None, ""]
+
+
+def test_categorical_write_and_restore(tmp_path):
+    """The reference dict-encodes pandas Categoricals (writer.py:
+    481-521) and restores them on read via the pandas metadata
+    (api.py:534-545 check_categories).  Arrow dictionary columns must
+    decode through the writer and read back as category dtype."""
+    path = str(tmp_path / "cat.parquet")
+    df = pd.DataFrame({"k": range(400),
+                       "lang": pd.Categorical(["py", "js", "go", "rs"]
+                                              * 100)})
+    write(path, df, row_group_offsets=100)
+    pf = ParquetFile(path)
+    assert pf.has_pandas_metadata
+    assert pf.categories == {"lang": 4}
+    back = pf.to_pandas()
+    assert back["lang"].dtype.name == "category"
+    assert back["lang"].tolist() == df["lang"].tolist()
+    # explicit request works; non-categorical column raises like the
+    # reference's check_categories
+    assert pf.to_pandas(categories=["lang"])["lang"].dtype.name \
+        == "category"
+    with pytest.raises(TypeError):
+        pf.to_pandas(categories=["k"])
+    # independent reader agreement on the dictionary-decoded values
+    import pyarrow.parquet as pq
+    assert pq.read_table(path).column("lang").to_pylist() \
+        == df["lang"].tolist()
+
+
+def test_module_level_filter_row_groups_and_statistics(tmp_path):
+    """Reference module functions (api.py:822,948): statistics(pf),
+    filter_row_groups(pf, filters, as_idx) over stats AND hive
+    partition values; unknown filter columns raise."""
+    from fastparquet_spark.api import filter_row_groups, statistics
+
+    path = str(tmp_path / "f.parquet")
+    df = _df(2_000)
+    write(path, df, row_group_offsets=500)
+    pf = ParquetFile(path)
+    assert statistics(pf) == pf.statistics
+    assert filter_row_groups(pf, None, as_idx=True) == [0, 1, 2, 3]
+    assert filter_row_groups(pf, [("k", ">", 1200)], as_idx=True) \
+        == [2, 3]
+    rgs = filter_row_groups(pf, [("k", ">", 1200)])
+    assert [rg["num_rows"] for rg in rgs] == [500, 500]
+    with pytest.raises(ValueError):
+        filter_row_groups(pf, [("nope", "==", 1)])
+    # hive partition column filter
+    out = str(tmp_path / "hv")
+    write(out, df, file_scheme="hive", partition_on=["lang"],
+          row_group_offsets=600)
+    pf2 = ParquetFile(out)
+    idx = filter_row_groups(pf2, [("lang", "==", "py")], as_idx=True)
+    assert idx and len(idx) < len(pf2.row_groups)
+    fn = pf2.row_group_filename(pf2.row_groups[idx[0]])
+    assert "lang=py" in fn and fn.endswith(".parquet")
+
+
+def test_sorted_partitioned_columns_with_filters(tmp_path):
+    """Reference api.py:905-945 takes filters: only surviving row
+    groups participate in the ordered-across-groups check."""
+    from fastparquet_spark.api import sorted_partitioned_columns
+
+    path = str(tmp_path / "s.parquet")
+    write(path, _df(2_000), row_group_offsets=500)
+    pf = ParquetFile(path)
+    assert sorted_partitioned_columns(pf) \
+        == pf.sorted_partitioned_columns
+    sub = sorted_partitioned_columns(pf, [("k", ">=", 1000)])
+    assert sub["k"]["min"] == [1000, 1500]
+    assert sub["k"]["max"] == [1499, 1999]
