@@ -674,11 +674,77 @@ class ParquetFile:
     __repr__ = __str__
 
 
+def _apply_object_encoding(table: pa.Table, object_encoding, df):
+    """The reference's per-column ``object_encoding`` for object-dtype
+    columns (fastparquet/writer.py:114-154): 'infer' leaves pyarrow's
+    inference; 'utf8'/'bytes'/'int'/'float'/'bool' cast; 'json'/'bson'
+    annotate via the writer's field-metadata hook.  A dict applies per
+    column; a bare string applies to every object column."""
+    if object_encoding == "infer" or df is None:
+        return table
+    obj_cols = [c for c in df.columns if df[c].dtype == object
+                and c in table.column_names]
+    enc_map = object_encoding if isinstance(object_encoding, dict) \
+        else {c: object_encoding for c in obj_cols}
+    casts = {"utf8": pa.string(), "bytes": pa.binary(),
+             "int": pa.int64(), "float": pa.float64(),
+             "bool": pa.bool_()}
+    for col, enc in enc_map.items():
+        if enc == "infer" or col not in table.column_names:
+            continue
+        i = table.column_names.index(col)
+        fld = table.field(i)
+        if enc in casts:
+            arr = table.column(i).cast(casts[enc])
+            table = table.set_column(
+                i, pa.field(col, casts[enc], fld.nullable), arr)
+        elif enc in ("json", "bson"):
+            t = pa.string() if enc == "json" else pa.binary()
+            arr = table.column(i).cast(t)
+            table = table.set_column(
+                i, pa.field(col, t, fld.nullable,
+                            metadata={"fpsc:annotation": enc}), arr)
+        elif enc == "decimal":
+            pass  # pyarrow already infers decimal128 from Decimals
+        else:
+            raise ValueError(f"unknown object_encoding {enc!r} for "
+                             f"column {col!r}")
+    return table
+
+
+def _required_from_has_nulls(has_nulls, table: pa.Table, skip=()):
+    """Map the reference's ``has_nulls`` (writer.py:816: True | False |
+    'infer' | list-of-nullable-columns) to the writer's REQUIRED
+    column set.  Nested and partition columns always stay OPTIONAL."""
+    def flat(f):
+        return not (pa.types.is_list(f.type) or pa.types.is_large_list(
+            f.type) or pa.types.is_struct(f.type)
+            or pa.types.is_map(f.type))
+
+    fields = [f for f in table.schema if f.name not in skip and flat(f)]
+    if has_nulls is True:
+        return None
+    if has_nulls is False:
+        return {f.name for f in fields}
+    if has_nulls == "infer":
+        # reference 'infer': only object (string/binary) columns may
+        # hold nulls; typed columns are REQUIRED
+        def stringy(t):
+            t = t.value_type if pa.types.is_dictionary(t) else t
+            return (pa.types.is_string(t) or pa.types.is_large_string(t)
+                    or pa.types.is_binary(t)
+                    or pa.types.is_large_binary(t))
+        return {f.name for f in fields if not stringy(f.type)}
+    nullable = set(has_nulls)
+    return {f.name for f in fields if f.name not in nullable}
+
+
 def write(filename, data, row_group_offsets: int | list = 50_000_000,
           compression=None, file_scheme: str = "simple",
           partition_on=(), append: bool = False, times: str = "int64",
           custom_metadata: dict | None = None, stats: bool = True,
-          **kwargs: Any):
+          has_nulls=True, write_index=None, object_encoding="infer",
+          fixed_text=None, **kwargs: Any):
     """The reference's top-level ``write`` (fastparquet/writer.py:810):
     pandas DataFrame (or Arrow table) to a parquet file
     (``file_scheme='simple'``) or a ``key=value``-partitioned dataset
@@ -697,14 +763,23 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
 
     from fastparquet_spark.format.dataset import write_metadata_sidecar
 
+    if fixed_text:
+        # the reference's fixed_text pads/truncates through numpy 'S'
+        # dtypes (writer.py:114-154), silently altering values — that
+        # breaks this engine's bit-identical round-trip invariant, so
+        # it is refused rather than half-honored
+        raise NotImplementedError(
+            "fixed_text is not supported (it pads/truncates values); "
+            "use fixed-size binary columns for FIXED_LEN_BYTE_ARRAY")
     if isinstance(data, pd.DataFrame):
-        # preserve_index=None: a named/non-default index becomes a
-        # column; pyarrow embeds the 'pandas' schema JSON in the
-        # metadata, which we forward into key_value_metadata so
-        # to_pandas restores the index without being told its name —
-        # the reference's behavior (fastparquet/writer.py:719-729,
-        # read back api.py:555-562)
-        table = pa.Table.from_pandas(data, preserve_index=None)
+        # write_index=None (reference default): a named/non-default
+        # index becomes a column; pyarrow embeds the 'pandas' schema
+        # JSON in the metadata, which we forward into
+        # key_value_metadata so to_pandas restores the index without
+        # being told its name — the reference's behavior
+        # (fastparquet/writer.py:719-729, read back api.py:555-562)
+        table = pa.Table.from_pandas(data, preserve_index=write_index)
+        table = _apply_object_encoding(table, object_encoding, data)
         pmd = (table.schema.metadata or {}).get(b"pandas")
         if pmd is not None:
             custom_metadata = dict(custom_metadata or {})
@@ -715,6 +790,10 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
     else:
         raise TypeError("data must be a pandas DataFrame or Arrow table")
     comp = compression if compression is not None else "UNCOMPRESSED"
+    req = _required_from_has_nulls(has_nulls, table,
+                                   skip=set(partition_on))
+    if req:
+        kwargs.setdefault("required_cols", req)
 
     if isinstance(row_group_offsets, (list, tuple)):
         bounds = list(row_group_offsets) + [table.num_rows]

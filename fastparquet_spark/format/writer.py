@@ -318,7 +318,8 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
                bloom_filters: dict | None = None,
                page_rows: int | None = None,
                custom_metadata: dict | None = None,
-               sorting_columns: list | None = None) -> FileResult:
+               sorting_columns: list | None = None,
+               required_cols=None) -> FileResult:
     """Write an Arrow table as a parquet file to ``sink`` (path or file-like).
 
     ``encodings``: optional {column: 'plain'|'dict'|'delta'} override;
@@ -345,7 +346,8 @@ def write_file(sink, table: pa.Table, compression: str | int = "SNAPPY",
     try:
         return _write(f, table, compression, encodings or {}, row_group_rows,
                       stats, data_page_version, times, compat, bloom_filters,
-                      page_rows, custom_metadata, sorting_columns)
+                      page_rows, custom_metadata, sorting_columns,
+                      required_cols)
     finally:
         if own:
             f.close()
@@ -372,7 +374,8 @@ class ParquetWriter:
                  compat: str = "reference", bloom_filters: dict | None = None,
                  page_rows: int | None = None,
                  custom_metadata: dict | None = None,
-                 sorting_columns: list | None = None):
+                 sorting_columns: list | None = None,
+                 required_cols=None):
         if data_page_version not in (1, 2):
             raise ValueError("data_page_version must be 1 or 2")
         if times not in ("int64", "int96"):
@@ -410,6 +413,21 @@ class ParquetWriter:
         self.page_version = data_page_version
         self.schema_elems = [{"name": "schema", "num_children": len(schema)}]
         self.col_meta = []  # (ptype, cast-to, name); ptype "list" = nested
+        # REQUIRED flat leaves (the reference's has_nulls=False/'infer'/
+        # list contract, fastparquet/writer.py:816 has_nulls): no def
+        # levels are written and a null value is a loud error.  Nested
+        # columns stay OPTIONAL (their level geometry is fixed).
+        self.required = set(required_cols or ())
+        nested = {f_.name for f_ in schema
+                  if pa.types.is_list(f_.type)
+                  or pa.types.is_large_list(f_.type)
+                  or pa.types.is_struct(f_.type) or pa.types.is_map(f_.type)}
+        bad_req = self.required - {f_.name for f_ in schema} \
+            | (self.required & nested)
+        if bad_req:
+            raise ValueError(
+                f"required_cols must name flat schema columns; invalid: "
+                f"{sorted(bad_req)}")
         for fld in schema:
             if pa.types.is_list(fld.type) or pa.types.is_large_list(fld.type):
                 # LIST write — BEYOND the reference (its writer is flat
@@ -518,7 +536,9 @@ class ParquetWriter:
                 # type, no LogicalType annotation.
                 self.schema_elems.append(
                     {"name": fld.name, "type": Type.INT96,
-                     "repetition_type": Repetition.OPTIONAL})
+                     "repetition_type": Repetition.REQUIRED
+                     if fld.name in self.required
+                     else Repetition.OPTIONAL})
                 self.col_meta.append((Type.INT96, pa.timestamp("ns"), fld.name))
                 continue
             ptype, conv, cast_to = _map_type(fld.type)
@@ -532,7 +552,8 @@ class ParquetWriter:
             elif ann == b"bson" and ptype == Type.BYTE_ARRAY:
                 conv = ConvertedType.BSON
             elem = {"name": fld.name, "type": ptype,
-                    "repetition_type": Repetition.OPTIONAL}
+                    "repetition_type": Repetition.REQUIRED
+                    if fld.name in self.required else Repetition.OPTIONAL}
             lt = _logical_type(fld.type)
             if lt is not None:
                 elem["logicalType"] = lt
@@ -819,6 +840,21 @@ class ParquetWriter:
                 best, best_sz = enc, sz
         return best
 
+    def _level_bytes(self, arr, n: int, name: str,
+                     v2: bool = False) -> tuple[bytes, int]:
+        """Definition levels for one (page-)slice of ``name`` — empty
+        for REQUIRED columns (max_def=0: readers expect NO level
+        stream), where a null value is a loud error rather than silent
+        corruption."""
+        if name in self.required:
+            if arr.null_count:
+                raise ValueError(
+                    f"column {name!r} was declared non-null "
+                    f"(has_nulls/required_cols) but the data has "
+                    f"{arr.null_count} null(s)")
+            return b"", 0
+        return _def_levels(arr, n, v2=v2)
+
     def _maybe_build_bloom(self, cmd, values, name: str, ptype: int,
                            n_nonnull: int) -> None:
         """Chunk bloom shared by the paged and single-page paths (the
@@ -893,7 +929,7 @@ class ParquetWriter:
         for start in range(0, n, self.page_rows):
             parr = arr.slice(start, self.page_rows)
             pn = len(parr)
-            defs, nulls = _def_levels(parr, pn, v2=False)
+            defs, nulls = self._level_bytes(parr, pn, name, v2=False)
             total_nulls += nulls
             pvals = None
             if codes is not None:
@@ -1099,7 +1135,8 @@ class ParquetWriter:
             # throughput path)
             values = _extract(arr, ptype)
             if not (self.page_rows and page_version == 1):
-                defs, null_count = _def_levels(arr, n, v2=page_version == 2)
+                defs, null_count = self._level_bytes(
+                    arr, n, name, v2=page_version == 2)
 
             enc_override = encodings.get(name)
             if enc_override is not None:
@@ -1256,14 +1293,15 @@ class ParquetWriter:
 def _write(f, table, compression, encodings, row_group_rows, want_stats,
            page_version=1, times="int64", compat="reference",
            bloom_filters=None, page_rows=None, custom_metadata=None,
-           sorting_columns=None):
+           sorting_columns=None, required_cols=None):
     n_rows = table.num_rows
     rg_rows = row_group_rows or max(n_rows, 1)
     w = ParquetWriter(f, table.schema, compression, encodings,
                       stats=want_stats, data_page_version=page_version,
                       times=times, compat=compat, bloom_filters=bloom_filters,
                       page_rows=page_rows, custom_metadata=custom_metadata,
-                      sorting_columns=sorting_columns)
+                      sorting_columns=sorting_columns,
+                      required_cols=required_cols)
     for start in range(0, n_rows, rg_rows):
         w.write_row_group(table.slice(start, rg_rows))
     return w.close()

@@ -601,3 +601,95 @@ def test_sorted_partitioned_columns_with_filters(tmp_path):
     sub = sorted_partitioned_columns(pf, [("k", ">=", 1000)])
     assert sub["k"]["min"] == [1000, 1500]
     assert sub["k"]["max"] == [1499, 1999]
+
+
+def test_has_nulls_required_columns(tmp_path):
+    """Reference writer.py:816 has_nulls: False => REQUIRED columns
+    (no def levels), 'infer' => only object columns nullable, list =>
+    named columns nullable.  A null under REQUIRED raises instead of
+    corrupting."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.format.reader import read_file
+
+    df = pd.DataFrame({"k": np.arange(900),
+                       "v": np.linspace(0, 1, 900),
+                       "s": [f"x{i}" for i in range(900)]})
+    p = str(tmp_path / "req.parquet")
+    write(p, df, has_nulls=False, row_group_offsets=300)
+    sch = pq.ParquetFile(p).schema_arrow
+    assert not any(f.nullable for f in sch if f.name in ("k", "v", "s"))
+    assert read_file(p).column("k").to_pylist() == list(range(900))
+    assert pq.read_table(p).column("s").to_pylist() == df["s"].tolist()
+
+    with pytest.raises(ValueError, match="declared non-null"):
+        write(str(tmp_path / "bad.parquet"),
+              pd.DataFrame({"a": [1.0, None]}), has_nulls=False)
+
+    p2 = str(tmp_path / "inf.parquet")
+    write(p2, pd.DataFrame({"i": [1, 2], "t": ["a", None]}),
+          has_nulls="infer")
+    flags = {f.name: f.nullable for f in pq.ParquetFile(p2).schema_arrow}
+    assert flags == {"i": False, "t": True}
+
+    p3 = str(tmp_path / "lst.parquet")
+    write(p3, pd.DataFrame({"i": [1, 2], "t": ["a", "b"]}),
+          has_nulls=["i"])
+    flags = {f.name: f.nullable for f in pq.ParquetFile(p3).schema_arrow}
+    assert flags == {"i": True, "t": False}
+
+
+def test_required_on_paged_and_v2_paths(tmp_path):
+    """required_cols works on the paged-PageIndex (v1) and v2 page
+    paths; nested columns are rejected."""
+    import pyarrow.parquet as pq
+
+    from fastparquet_spark.format import write_file
+    from fastparquet_spark.format.reader import read_file
+
+    import pyarrow as pa
+
+    tbl = pa.table({"k": pa.array(range(3000), pa.int64()),
+                    "s": pa.array([f"v{i % 41}" for i in range(3000)])})
+    p1 = str(tmp_path / "paged.parquet")
+    write_file(p1, tbl, page_rows=512, required_cols={"k", "s"})
+    assert read_file(p1).column("k").to_pylist() == list(range(3000))
+    assert pq.read_table(p1).column("s").num_chunks >= 1
+
+    p2 = str(tmp_path / "v2.parquet")
+    write_file(p2, tbl, data_page_version=2, required_cols={"k"})
+    assert read_file(p2).column("k").to_pylist() == list(range(3000))
+
+    with pytest.raises(ValueError, match="flat schema columns"):
+        write_file(str(tmp_path / "x.parquet"),
+                   pa.table({"l": [[1], [2, 3]]}), required_cols={"l"})
+
+
+def test_write_index_and_object_encoding(tmp_path):
+    """Reference write() kwargs: write_index toggles index
+    preservation; object_encoding casts/annotates object columns;
+    fixed_text is refused loudly (it would alter values)."""
+    import pyarrow.parquet as pq
+
+    dfi = pd.DataFrame({"x": [1, 2, 3]}, index=pd.Index([10, 20, 30]))
+    p = str(tmp_path / "i.parquet")
+    write(p, dfi, write_index=True)
+    assert ParquetFile(p).to_pandas().index.tolist() == [10, 20, 30]
+    p2 = str(tmp_path / "ni.parquet")
+    write(p2, dfi, write_index=False)
+    assert ParquetFile(p2).to_pandas().index.tolist() == [0, 1, 2]
+
+    dfo = pd.DataFrame({"j": ['{"a":1}'], "n": ["7"]})
+    p3 = str(tmp_path / "oe.parquet")
+    write(p3, dfo, object_encoding={"j": "json", "n": "int"})
+    assert str(pq.read_table(p3).schema.field("n").type) == "int64"
+    from fastparquet_spark.format.reader import read_footer_tail
+    from fastparquet_spark.io import fetch_footers, get_fs
+    fmd = read_footer_tail(fetch_footers([p3], get_fs(p3))[0])
+    convs = {e["name"]: e.get("converted_type")
+             for e in fmd["schema"][1:]}
+    assert convs["j"] == 19  # ConvertedType.JSON
+
+    with pytest.raises(NotImplementedError):
+        write(str(tmp_path / "ft.parquet"), dfo, fixed_text={"n": 2})
