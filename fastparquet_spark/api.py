@@ -529,6 +529,43 @@ class ParquetFile:
                             k, self._pcol(k, v, tbl.num_rows))
                 yield tbl.to_pandas()
 
+    def read_row_group_file(self, rg, columns=None, categories=None,
+                            index=None):
+        """Read ONE row group into a pandas DataFrame (reference
+        api.py:275-319).  ``rg`` is an entry of ``self.row_groups``
+        (resolved by identity); partition constants are attached and
+        ``categories``/``index`` follow the to_pandas contract."""
+        for m in self._metas:
+            for ri, r in enumerate(m["fmd"]["row_groups"]):
+                if r is rg:
+                    present = self._present[m["file"]]
+                    want = list(columns) if columns is not None \
+                        else list(self.columns)
+                    file_cols = [c for c in want if c in present]
+                    if file_cols:
+                        tbl = read_row_groups(self._path(m["file"]),
+                                              _real_ris(m, [ri]),
+                                              columns=file_cols)
+                    else:
+                        tbl = pa.table({})
+                    nrows = tbl.num_rows if file_cols else rg["num_rows"]
+                    for c in want:  # evolution: typed-null fill
+                        if c in self._elems and c not in present:
+                            tbl = tbl.append_column(
+                                c, pa.nulls(nrows, self._atype(c)))
+                    for k, v in (m.get("partitions") or {}).items():
+                        if columns is None or k in want:
+                            tbl = tbl.append_column(
+                                k, self._pcol(k, v, nrows))
+                    df = tbl.to_pandas()
+                    for c in self.check_categories(categories):
+                        if c in df.columns:
+                            df[c] = df[c].astype("category")
+                    if index is not None and index in df.columns:
+                        df = df.set_index(index)
+                    return df
+        raise ValueError("row group does not belong to this file")
+
     def head(self, nrows: int, columns=None):
         """First ``nrows`` rows (api.py:231-250) — decodes row groups
         (and files) only until enough rows exist.  Routes through

@@ -693,3 +693,21 @@ def test_write_index_and_object_encoding(tmp_path):
 
     with pytest.raises(NotImplementedError):
         write(str(tmp_path / "ft.parquet"), dfo, fixed_text={"n": 2})
+
+
+def test_read_row_group_file(tmp_path):
+    """Reference api.py:275-319: read one row group by object,
+    partition constants attached, categories/index honored."""
+    df = _df(900)
+    out = str(tmp_path / "ds")
+    write(out, df, file_scheme="hive", partition_on=["lang"],
+          row_group_offsets=150)
+    pf = ParquetFile(out)
+    rg = pf.row_groups[0]
+    part = pf.read_row_group_file(rg)
+    assert len(part) == rg["num_rows"]
+    assert "lang" in part.columns and part["lang"].nunique() == 1
+    sub = pf.read_row_group_file(rg, columns=["k"], index="k")
+    assert sub.index.name == "k" and list(sub.columns) == []
+    with pytest.raises(ValueError, match="does not belong"):
+        pf.read_row_group_file({"num_rows": 1, "columns": []})
