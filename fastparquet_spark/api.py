@@ -632,6 +632,18 @@ class ParquetFile:
         return sorted_partitioned_columns(self)
 
     @property
+    def helper(self):
+        """Alias for ``schema`` (reference api.py:205-207)."""
+        return self.schema
+
+    @property
+    def partition_meta(self) -> dict:
+        """Partition-column pandas metadata by field name (reference
+        api.py:223-225)."""
+        return {c["field_name"]: c for c in
+                self.pandas_metadata.get("partition_columns", [])}
+
+    @property
     def has_pandas_metadata(self) -> bool:
         """Whether a 'pandas' schema JSON rides in the footer
         key-value metadata (reference api.py:547-553)."""
