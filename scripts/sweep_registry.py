@@ -81,10 +81,20 @@ def main():
     fp_types = ("int", "bigint", "smallint", "tinyint", "string",
                 "boolean")
     bad = []
+    from pyspark import StorageLevel
+
     for name in names:
         t0 = time.time()
+        sdf = None
         try:
             sdf = queries[name](spark, sf_dir)
+            # materialize ONCE: the compare runs several jobs over the
+            # result (count + fingerprint, or one toLocalIterator job
+            # PER PARTITION) — without a persist each job recomputes
+            # the full lineage (LSH banding, crossJoin scoring), which
+            # turned sim_neardup_lsh at ~sf30 into 30+ single-task
+            # stages of repeated work
+            sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
             cols = sorted(sdf.columns)
             fp_ok = all(f.dataType.simpleString() in fp_types
                         for f in sdf.schema.fields)
@@ -130,6 +140,12 @@ def main():
             bad.append(name)
             print(f"{name:32s} ERROR    {type(e).__name__}: {e}",
                   flush=True)
+        finally:
+            if sdf is not None:
+                try:
+                    sdf.unpersist()
+                except Exception:
+                    pass
     print(f"\nsweep: {len(names) - len(bad)}/{len(names)} green "
           f"on {sf_dir}; failures: {bad or 'none'}")
     spark.stop()
