@@ -44,8 +44,10 @@ from fastparquet_spark.format.reader import (
 from fastparquet_spark.format.writer import write_file
 from fastparquet_spark.io import fetch_footers, get_fs
 
-__all__ = ["ParquetFile", "ParquetException", "filter_row_groups",
-           "merge", "sorted_partitioned_columns", "statistics", "write"]
+__all__ = ["ParquetFile", "ParquetException", "filter_in",
+           "filter_not_in", "filter_out_cats", "filter_out_stats",
+           "filter_row_groups", "filter_val", "merge", "paths_to_cats",
+           "sorted_partitioned_columns", "statistics", "write"]
 
 
 class ParquetException(Exception):
@@ -566,6 +568,56 @@ class ParquetFile:
                     return df
         raise ValueError("row group does not belong to this file")
 
+    def pre_allocate(self, size, columns, categories, index):
+        """Empty ``size``-row DataFrame with this file's dtypes plus
+        the writable arrays backing it, for callers that fill frames
+        in place (reference api.py:477-511; the Dask integration's
+        contract).  ``index`` may be None/False, a column name, or a
+        one-element list; requested ``categories`` and partition
+        columns come back as (empty-category) categoricals.  Returns
+        ``(df, views)`` where writing into ``views[col]`` mutates
+        ``df``."""
+        import numpy as np
+        import pandas as pd
+
+        categories = self.check_categories(categories)
+        if isinstance(index, (list, tuple)):
+            index = index[0] if index else None
+        index = index or None
+        dt = self.dtypes
+        cats = self.cats
+        cols = [c for c in columns if c != index]
+        pieces: dict[str, Any] = {}
+        for c in cols + ([index] if index else []):
+            if c in categories or c in cats:
+                pieces[c] = pd.Categorical.from_codes(
+                    np.full(size, -1, dtype="int32"), categories=[])
+            else:
+                d = dt.get(c, np.dtype("object"))
+                arr = np.empty(size, dtype=d)
+                if d.kind == "O":
+                    arr[:] = None
+                pieces[c] = arr
+        df = pd.DataFrame(pieces, copy=False)
+        if index:
+            df = df.set_index(index)
+            df.index.name = index
+        # views AFTER construction/set_index so they alias the arrays
+        # the frame actually holds (categoricals expose their codes,
+        # the reference's assignable surface)
+        views: dict[str, Any] = {}
+        for c in cols:
+            s = df[c]
+            views[c] = (s.values._codes
+                        if isinstance(s.dtype, pd.CategoricalDtype)
+                        else s.values)
+        if index:
+            iv = df.index
+            views[index] = (iv.values._codes
+                            if isinstance(iv.dtype, pd.CategoricalDtype)
+                            else iv.values)
+        return df, views
+
     def head(self, nrows: int, columns=None):
         """First ``nrows`` rows (api.py:231-250) — decodes row groups
         (and files) only until enough rows exist.  Routes through
@@ -1071,3 +1123,184 @@ def sorted_partitioned_columns(pf: ParquetFile, filters=None) -> dict:
         except TypeError:
             continue  # incomparable stat types (e.g. mixed)
     return out
+
+
+def filter_val(op, val, vmin=None, vmax=None) -> bool:
+    """Can a row group whose column spans [vmin, vmax] be EXCLUDED by
+    ``col <op> val``?  True means "filter out" (reference
+    api.py:1042-1081 filter_val; '=' is accepted as '==').  ``in`` /
+    ``not in`` delegate to :func:`filter_in` / :func:`filter_not_in`.
+    A ``None`` bound means the stat is unknown on that side and can
+    never justify exclusion."""
+    if op == "in":
+        return filter_in(val, vmin, vmax)
+    if op == "not in":
+        return filter_not_in(val, vmin, vmax)
+    if vmax is not None:
+        if op in ("==", "=", ">=") and val > vmax:
+            return True
+        if op == ">" and val >= vmax:
+            return True
+    if vmin is not None:
+        if op in ("==", "=", "<=") and val < vmin:
+            return True
+        if op == "<" and val <= vmin:
+            return True
+    if (op == "!=" and vmax is not None and vmin is not None
+            and vmax == vmin and val == vmax):
+        return True
+    return False
+
+
+def filter_in(values, vmin=None, vmax=None) -> bool:
+    """Exclude a [vmin, vmax] row group for ``col in values``?  True
+    when no member of ``values`` can lie in the range (reference
+    api.py:1084-1113): empty value set excludes everything; a constant
+    group (vmin == vmax) excludes unless that constant is a member;
+    otherwise binary-search the sorted members against the range."""
+    import bisect
+
+    values = list(values)
+    if len(values) == 0:
+        return True
+    if vmax == vmin and vmax is not None and vmax not in values:
+        return True
+    if vmin is None and vmax is None:
+        return False
+    sv = sorted(values)
+    if vmin is None:
+        return sv[0] > vmax
+    if vmax is None:
+        return sv[-1] < vmin
+    return (bisect.bisect_left(sv, vmin)
+            == bisect.bisect_right(sv, vmax))
+
+
+def filter_not_in(values, vmin=None, vmax=None) -> bool:
+    """Exclude a [vmin, vmax] row group for ``col not in values``?
+    Only a CONSTANT group (vmin == vmax) whose single value is a member
+    can be excluded — any wider range may hold rows outside ``values``.
+    The reference (api.py:1116-1139) also drops groups when merely the
+    min OR the max is a member, which discards surviving rows; this
+    implementation keeps those groups (sound superset contract)."""
+    if len(list(values)) == 0:
+        return False
+    return (vmin is not None and vmax is not None
+            and vmin == vmax and vmin in values)
+
+
+def filter_out_stats(rg, filters, schema) -> bool:
+    """Should row group ``rg`` (thrift-decoded dict) be excluded, per
+    its column statistics and the AND-list ``filters`` of (col, op,
+    val) tuples (reference api.py:761-820)?  ``schema`` is the footer
+    schema element list (``fmd['schema']``) or a ``pf.schema`` helper.
+    Empty groups are always excluded; a filtered column whose chunk is
+    all-null excludes the group (no comparison can match)."""
+    from fastparquet_spark.format.dataset import _decode_stat, _leaf_elems
+
+    if rg["num_rows"] == 0:
+        return True
+    if not filters:
+        return False
+    elems = _leaf_elems(schema if isinstance(schema, list)
+                        else schema.schema_elements)
+    for cc in rg["columns"]:
+        cmd = cc["meta_data"]
+        name = ".".join(cmd["path_in_schema"])
+        app = [(op, v) for c, op, v in filters if c == name]
+        if not app:
+            continue
+        st = cmd.get("statistics") or {}
+        if st.get("null_count") == cmd["num_values"]:
+            return True
+        elem = elems.get(name)
+        if elem is None:
+            continue
+        lo = _decode_stat(st.get("min_value") or st.get("min"),
+                          elem["type"], elem.get("converted_type"),
+                          elem.get("scale") or 0)
+        hi = _decode_stat(st.get("max_value") or st.get("max"),
+                          elem["type"], elem.get("converted_type"),
+                          elem.get("scale") or 0)
+        for op, val in app:
+            if filter_val(op, val, lo, hi):
+                return True
+    return False
+
+
+def _partition_coerce(raw: str, meta=None):
+    """Hive path value -> python value, honoring a pandas partition
+    meta dict (string-typed keys keep their raw text, the reference's
+    val_to_num(meta=) contract)."""
+    from fastparquet_spark.format.dataset import _coerce_partition_value
+
+    if meta:
+        t = str(meta.get("numpy_type") or meta.get("pandas_type") or "")
+        if t.startswith(("object", "str", "unicode", "bytes")):
+            return raw
+    return _coerce_partition_value(raw)
+
+
+def filter_out_cats(rg, filters, partition_meta=None) -> bool:
+    """Should row group ``rg`` be excluded by its hive partition
+    values, per the AND-list ``filters`` (reference api.py:1002-1039)?
+    The partition pairs are parsed from the group's first chunk's
+    ``file_path``; each behaves as a constant column (vmin == vmax ==
+    value)."""
+    from urllib.parse import unquote
+
+    if not filters:
+        return False
+    fp = (rg.get("columns") or [{}])[0].get("file_path") or ""
+    partition_meta = partition_meta or {}
+    for seg in fp.split("/"):
+        if "=" not in seg:
+            continue
+        cat, _, raw = seg.partition("=")
+        app = [(op, v) for c, op, v in filters if c == cat]
+        if not app:
+            continue
+        v = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+             else _partition_coerce(unquote(raw),
+                                    partition_meta.get(cat)))
+        for op, val in app:
+            if filter_val(op, val, v, v):
+                return True
+    return False
+
+
+def paths_to_cats(paths, partition_meta=None):
+    """Partition scheme + observed partition values of a set of file
+    paths relative to a dataset root (reference api.py:700-758):
+    returns ``(scheme, {field: [values]})`` where scheme is one of
+    ``empty`` (no paths), ``simple`` (all empty), ``flat`` (no
+    directories), ``other`` (unequal depths), ``hive`` (key=value
+    segments) or ``drill`` (bare labels -> dir0..dirN)."""
+    from collections import OrderedDict
+    from urllib.parse import unquote
+
+    from fastparquet_spark.format.dataset import detect_scheme
+
+    paths = list(paths)
+    if len(paths) == 0:
+        return "empty", {}
+    if all(p in (None, "") for p in paths):
+        return "simple", {}
+    scheme = detect_scheme([p for p in paths if p])
+    if scheme in ("flat", "other"):
+        return scheme, {}
+    partition_meta = partition_meta or {}
+    cats: "OrderedDict[str, set]" = OrderedDict()
+    for p in paths:
+        segs = p.split("/")[:-1]
+        if scheme == "drill":
+            pairs = [(f"dir{i}", s) for i, s in enumerate(segs)]
+        else:
+            pairs = [tuple(s.split("=", 1)) for s in segs if "=" in s]
+        for k, raw in pairs:
+            v = (None if raw == "__HIVE_DEFAULT_PARTITION__"
+                 else _partition_coerce(unquote(raw),
+                                        partition_meta.get(k)))
+            cats.setdefault(k, set()).add(v)
+    return scheme, OrderedDict(
+        (k, sorted(v, key=repr)) for k, v in cats.items())

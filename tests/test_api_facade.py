@@ -711,3 +711,118 @@ def test_read_row_group_file(tmp_path):
     assert sub.index.name == "k" and list(sub.columns) == []
     with pytest.raises(ValueError, match="does not belong"):
         pf.read_row_group_file({"num_rows": 1, "columns": []})
+
+
+def test_filter_val_in_not_in_scalars():
+    from fastparquet_spark.api import filter_in, filter_not_in, filter_val
+
+    # scalar ops on a [10, 20] range: True means the group is excluded
+    assert filter_val("==", 25, 10, 20)
+    assert filter_val("=", 5, 10, 20)
+    assert not filter_val("==", 15, 10, 20)
+    assert filter_val(">", 20, 10, 20)
+    assert not filter_val(">", 19, 10, 20)
+    assert filter_val("<", 10, 10, 20)
+    assert filter_val(">=", 21, 10, 20)
+    assert filter_val("<=", 9, 10, 20)
+    # != excludes only a constant group equal to the value
+    assert filter_val("!=", 7, 7, 7)
+    assert not filter_val("!=", 7, 7, 9)
+    # unknown bounds never justify exclusion
+    assert not filter_val("==", 99, None, None)
+    # in: empty set excludes; members inside/outside the range
+    assert filter_in([], 10, 20)
+    assert filter_in([1, 2, 30], 10, 20)
+    assert not filter_in([1, 15], 10, 20)
+    assert filter_in([5], None, 4)      # all members above vmax? no: 5>4 -> True
+    assert not filter_in([3], None, 4)
+    assert filter_in([3], 6, None)
+    # constant group
+    assert filter_in([1, 2], 5, 5)
+    assert not filter_in([5], 5, 5)
+    # not in (sound contract: only constant groups prune)
+    assert filter_not_in([5], 5, 5)
+    assert not filter_not_in([5], 5, 9)   # range may hold 6,7,8
+    assert not filter_not_in([], 5, 5)
+    assert filter_val("not in", [5], 5, 5)
+    assert filter_val("in", [1], 2, 3)
+
+
+def test_filter_out_stats_and_cats(tmp_path):
+    from fastparquet_spark.api import filter_out_cats, filter_out_stats
+
+    df = _df(1_000)
+    path = str(tmp_path / "s.parquet")
+    write(path, df, row_group_offsets=250)
+    pf = ParquetFile(path)
+    fmd = pf._metas[0]["fmd"]
+    schema = fmd["schema"]
+    rgs = fmd["row_groups"]
+    # k spans [0,249], [250,499], ... per group
+    assert filter_out_stats(rgs[0], [("k", ">", 249)], schema)
+    assert not filter_out_stats(rgs[1], [("k", ">", 249)], schema)
+    assert filter_out_stats(rgs[3], [("k", "<", 750)], schema)
+    assert filter_out_stats(rgs[0], [("k", "in", [300, 400])], schema)
+    assert not filter_out_stats(rgs[1], [("k", "in", [300])], schema)
+    # pf.schema helper is accepted in place of the element list
+    assert filter_out_stats(rgs[0], [("lang", "==", "zz")], pf.schema)
+    # empty filters / unfiltered columns keep the group
+    assert not filter_out_stats(rgs[0], [], schema)
+    assert not filter_out_stats(rgs[0], [("text", "==", "doc 1 body")],
+                                schema)
+    # cats: synthesize a hive-addressed chunk
+    rg = {"num_rows": 10,
+          "columns": [{"file_path": "lang=py/part-0.parquet"}]}
+    assert filter_out_cats(rg, [("lang", "==", "rs")])
+    assert not filter_out_cats(rg, [("lang", "==", "py")])
+    assert filter_out_cats(rg, [("lang", "not in", ["py"])])
+    assert not filter_out_cats(rg, [("other", "==", 1)])
+    assert not filter_out_cats(rg, [])
+
+
+def test_paths_to_cats():
+    from fastparquet_spark.api import paths_to_cats
+
+    assert paths_to_cats([]) == ("empty", {})
+    assert paths_to_cats(["", None]) == ("simple", {})
+    assert paths_to_cats(["a.parquet", "b.parquet"]) == ("flat", {})
+    scheme, cats = paths_to_cats(
+        ["y=1/m=2/a.parquet", "y=1/m=3/b.parquet", "y=2/m=2/c.parquet"])
+    assert scheme == "hive"
+    assert cats == {"y": [1, 2], "m": [2, 3]}
+    # coercion: ints, floats, hive null marker, url-escapes
+    scheme, cats = paths_to_cats(
+        ["k=1.5/a.parquet", "k=__HIVE_DEFAULT_PARTITION__/b.parquet",
+         "k=a%20b/c.parquet"])
+    assert scheme == "hive"
+    assert set(map(repr, cats["k"])) == {"1.5", "None", "'a b'"}
+    # partition_meta pins string typing (reference val_to_num(meta=))
+    _, cats = paths_to_cats(["v=01/a.parquet"],
+                            partition_meta={"v": {"numpy_type": "object"}})
+    assert cats["v"] == ["01"]
+    # drill scheme: bare labels become dir0..dirN
+    scheme, cats = paths_to_cats(["2020/a.parquet", "2021/b.parquet"])
+    assert scheme == "drill"
+    assert cats == {"dir0": [2020, 2021]}
+    # unequal depths
+    assert paths_to_cats(["a/b/c.parquet", "d/e.parquet"]) == ("other", {})
+
+
+def test_pre_allocate(tmp_path):
+    df = _df(100)
+    df["lang"] = df["lang"].astype("category")
+    path = str(tmp_path / "p.parquet")
+    write(path, df)
+    pf = ParquetFile(path)
+    out, views = pf.pre_allocate(40, ["k", "score", "lang"],
+                                 categories=["lang"], index="k")
+    assert len(out) == 40 and out.index.name == "k"
+    assert list(out.columns) == ["score", "lang"]
+    assert str(out["lang"].dtype) == "category"
+    # filling the views mutates the frame (the reference's contract:
+    # dask assigns into these arrays)
+    views["score"][:] = 1.5
+    views["k"][:] = np.arange(40)
+    assert out["score"].iloc[7] == 1.5
+    assert out.index[7] == 7
+    assert set(views) == {"k", "score", "lang"}
