@@ -315,6 +315,66 @@ class ParquetFile:
                 "partitions": list(self.cats), "rows": self.count(),
                 "row_groups": len(self.row_groups)}
 
+    @property
+    def created_by(self) -> str | None:
+        """Writer tag of the (first) footer (reference attribute)."""
+        return self._fmd0.get("created_by")
+
+    @property
+    def version(self):
+        """Parquet format version from the footer."""
+        return self._fmd0.get("version", 1)
+
+    @property
+    def selfmade(self) -> bool:
+        """Whether this engine (or the reference) wrote the file — the
+        reference keys writer-specific fast paths off this
+        (api.py:164-200)."""
+        cb = (self.created_by or "").lower()
+        return cb.startswith(("fastparquet_spark", "fastparquet-python"))
+
+    @property
+    def file_scheme(self) -> str:
+        """Partition scheme label (reference attribute): ``simple``
+        for one plain file, else ``flat``/``hive``/``drill``/``other``
+        from the relative paths (api.py:700-758 detection)."""
+        from fastparquet_spark.format.dataset import detect_scheme
+
+        rels = [m["file"] for m in self._metas]
+        if len(rels) == 1 and "/" not in rels[0]:
+            return "simple"
+        return detect_scheme(rels)
+
+    @property
+    def fmd(self) -> dict:
+        """A merged footer view over every file: the first footer's
+        schema/key-values with ALL row groups and the total row count
+        (the reference exposes one consolidated thrift FileMetaData)."""
+        out = dict(self._fmd0)
+        out["row_groups"] = self.row_groups
+        out["num_rows"] = self.count_total
+        return out
+
+    @property
+    def tz(self) -> dict:
+        """Column -> timezone string from the pandas metadata
+        (reference _set_attrs tz map); empty when untyped."""
+        out = {}
+        for c in self.pandas_metadata.get("columns", []):
+            tz = (c.get("metadata") or {}).get("timezone")
+            if tz:
+                out[c["name"]] = tz
+        return out
+
+    sep = "/"
+
+    def open(self, path: str, mode: str = "rb"):
+        """Opener over this dataset's filesystem (the reference stores
+        the ``open_with`` callable it was constructed with)."""
+        if mode not in ("rb", "r"):
+            return self._fs.open_write(path)
+        return self._fs.open_read(path)
+
     # --------------------------------------------------------------- read --
     def _atype(self, name):
         """Arrow type for a union-schema column; nested roots (which

@@ -826,3 +826,28 @@ def test_pre_allocate(tmp_path):
     assert out["score"].iloc[7] == 1.5
     assert out.index[7] == 7
     assert set(views) == {"k", "score", "lang"}
+
+
+def test_reference_instance_attributes(tmp_path):
+    df = _df(100)
+    path = str(tmp_path / "attrs.parquet")
+    write(path, df)
+    pf = ParquetFile(path)
+    assert pf.created_by.startswith("fastparquet_spark")
+    assert pf.selfmade is True
+    assert pf.version == 1
+    assert pf.file_scheme == "simple"
+    assert pf.sep == "/"
+    fmd = pf.fmd
+    assert fmd["num_rows"] == 100
+    assert len(fmd["row_groups"]) == len(pf.row_groups)
+    with pf.open(path) as f:
+        assert f.read(4) == b"PAR1"
+    # hive dataset reports its scheme
+    out = str(tmp_path / "ds")
+    write(out, df, file_scheme="hive", partition_on=["lang"])
+    assert ParquetFile(out).file_scheme == "hive"
+    # foreign file (pyarrow-written) is not selfmade
+    fp = str(tmp_path / "foreign.parquet")
+    pq.write_table(pq.read_table(path), fp)
+    assert ParquetFile(fp).selfmade is False
