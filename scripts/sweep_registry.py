@@ -75,11 +75,38 @@ def main():
     # across Spark and DuckDB) instead of materializing both sides as
     # Python tuples — a 22M-row full compare takes >1h single-threaded
     fp_rows = int(os.environ.get("SWEEP_FP_ROWS", "2000000"))
-    # only types whose canonical string rendering provably agrees
-    # between Spark and DuckDB (floats/decimals/timestamps format
-    # differently -> those results always take the full compare)
+    # types whose canonical string rendering provably agrees between
+    # Spark and DuckDB fingerprint verbatim; float/double fingerprint
+    # through a fixed-point bigint rendering (round(v*1e6) — the
+    # registry's float outputs are already query-rounded to <=6
+    # decimals, so the scaled value is an exact integer in both
+    # engines); decimals/timestamps/arrays still force the full
+    # compare (their renderings genuinely differ)
     fp_types = ("int", "bigint", "smallint", "tinyint", "string",
                 "boolean")
+    fp_float = ("float", "double")
+
+    def _fp_exprs(schema, cols, spark_side):
+        kinds = {f.name: f.dataType.simpleString() for f in schema.fields}
+        out = []
+        for c in cols:
+            if kinds[c] in fp_float:
+                if spark_side:
+                    out.append(
+                        f"coalesce(CASE WHEN isnan(`{c}`) THEN 'NaN' ELSE "
+                        f"cast(cast(round(`{c}` * 1000000) as bigint) "
+                        f"as string) END, char(1))")
+                else:
+                    out.append(
+                        f'coalesce(CASE WHEN isnan("{c}") THEN \'NaN\' ELSE '
+                        f'(round("{c}" * 1000000))::bigint::varchar '
+                        f"END, chr(1))")
+            elif spark_side:
+                out.append(f"coalesce(cast(`{c}` as string), char(1))")
+            else:
+                out.append(f'coalesce(cast("{c}" as varchar), chr(1))')
+        return out
+
     bad = []
     from pyspark import StorageLevel
 
@@ -96,19 +123,17 @@ def main():
             # stages of repeated work
             sdf = sdf.persist(StorageLevel.MEMORY_AND_DISK)
             cols = sorted(sdf.columns)
-            fp_ok = all(f.dataType.simpleString() in fp_types
+            fp_ok = all(f.dataType.simpleString() in fp_types + fp_float
                         for f in sdf.schema.fields)
             if fp_ok and sdf.count() > fp_rows:
                 srow = sdf.selectExpr(
                     "count(*) AS c",
                     "sum(cast(conv(substring(md5(concat_ws('|', "
-                    + ", ".join(f"coalesce(cast(`{c}` as string), char(1))"
-                                for c in cols)
+                    + ", ".join(_fp_exprs(sdf.schema, cols, True))
                     + ")),1,15),16,10) as decimal(38,0))) AS s").collect()[0]
                 orow = con.sql(
                     "SELECT count(*), sum((('0x' || substr(md5(concat_ws('|', "
-                    + ", ".join(f"coalesce(cast(\"{c}\" as varchar), chr(1))"
-                                for c in cols)
+                    + ", ".join(_fp_exprs(sdf.schema, cols, False))
                     + ")),1,15))::bigint))::hugeint FROM ("
                     + oracles[name] + ") fp_t").fetchone()
                 ok_v = (srow.c == orow[0]
