@@ -346,6 +346,70 @@ void unpack_bits_c(const uint8_t *in, long nbytes, int w, uint64_t *out,
     }
 }
 
+/* RLE/bit-packed HYBRID encode with run detection (parquet "RLE").
+ * Mirrors rle.py's encode_hybrid exactly (bit-identical output,
+ * asserted by differential tests): runs of >= min_run identical
+ * values become RLE runs, aligned so every mid-stream bit-packed run
+ * holds a multiple of 8 values; the trailing bit-packed run is
+ * zero-padded to a full group of 8.  v values must be < 2^w, w 1..57.
+ * out capacity: see encode_hybrid_native.  Returns bytes written. */
+static long put_uvarint(uint8_t *out, long o, uint64_t x)
+{
+    while (x >= 0x80) {
+        out[o++] = (uint8_t)(x | 0x80);
+        x >>= 7;
+    }
+    out[o++] = (uint8_t)x;
+    return o;
+}
+
+long encode_hybrid_c(const uint64_t *v, long n, int w, long min_run,
+                     uint8_t *out)
+{
+    long i = 0, pos = 0, o = 0;
+    int vbytes = (w + 7) / 8, b;
+    while (i < n) {
+        long j = i + 1, len, extra, s2, ln2;
+        uint64_t val;
+        while (j < n && v[j] == v[i])
+            j++;
+        len = j - i;
+        if (len >= min_run) {
+            extra = (8 - ((i - pos) & 7)) & 7;
+            s2 = i + extra;
+            ln2 = len - extra;
+            if (ln2 >= min_run) {
+                if (s2 > pos) {
+                    o = put_uvarint(out, o,
+                                    ((uint64_t)((s2 - pos) / 8) << 1) | 1);
+                    o += pack_bits_c(v + pos, s2 - pos, w, out + o);
+                }
+                o = put_uvarint(out, o, (uint64_t)ln2 << 1);
+                val = v[s2];
+                for (b = 0; b < vbytes; b++) {
+                    out[o++] = (uint8_t)(val & 0xff);
+                    val >>= 8;
+                }
+                pos = s2 + ln2;
+            }
+        }
+        i = j;
+    }
+    if (pos < n) {
+        long rem = n - pos, groups = (rem + 7) / 8, rbytes, written;
+        o = put_uvarint(out, o, ((uint64_t)groups << 1) | 1);
+        written = pack_bits_c(v + pos, rem, w, out + o);
+        /* pad to the full group: trailing pad values are zeros, and
+         * pack_bits_c already zeroed the final partial byte's high
+         * bits, so the remaining pad bytes are plain zeros */
+        rbytes = groups * w;
+        while (written < rbytes)
+            out[o + written++] = 0;
+        o += rbytes;
+    }
+    return o;
+}
+
 /* PLAIN BYTE_ARRAY framing: <u4 len><bytes>... (write side).
  * out capacity must be >= 4*n + sum(lens).  Returns bytes written. */
 long pack_byte_array_c(const int64_t *lens, long n, const uint8_t *data,
@@ -543,6 +607,10 @@ def _load() -> ctypes.CDLL | None:
         lib.delta_pack_c.restype = ctypes.c_long
         lib.delta_pack_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_int]
+        lib.encode_hybrid_c.restype = ctypes.c_long
+        lib.encode_hybrid_c.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_long,
+            ctypes.c_void_p]
         lib.pack_bits_c.restype = ctypes.c_long
         lib.pack_bits_c.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_void_p]
@@ -618,6 +686,30 @@ def unpack_byte_array_native(buf, count: int, offset: int):
     if pos < 0:
         raise ValueError("byte-array framing overruns the page buffer")
     return lens, data[: int(lens.sum())], int(pos)
+
+
+def encode_hybrid_native(values, width: int, min_run: int):
+    """C RLE/bit-packed hybrid encode (widths 1..57); bytes or None.
+
+    Bit-identical to rle.py's numpy run-detection path at the same
+    ``min_run`` — the levels/dictionary-codes hot loop of every write,
+    where the per-emitted-run Python loop costs 10-100x on run-dense
+    inputs (measured: 0.03 GB/s numpy vs multi-GB/s here on 90%-ones
+    definition levels)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None or width > 57 or width < 1:
+        return None
+    v = np.ascontiguousarray(values, dtype="<u8")
+    n = len(v)
+    # capacity: all-bitpacked bytes + worst-case run headers + RLE
+    # value bytes (one RLE run per min_run values, headers <= 10 each)
+    cap = (n // 8 + 2) * width + (n // max(min_run, 1) + 2) * 28 + 32
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.encode_hybrid_c(v.ctypes.data, n, width, min_run,
+                                  out.ctypes.data)
+    return out[:written].tobytes()
 
 
 def pack_bits_native(values, width: int):

@@ -28,8 +28,21 @@ from fastparquet_spark.codecs.varint import uvarint_encode, uvarint_decode
 
 # An RLE run costs ~1-5 header bytes + value bytes; a value inside a
 # bit-packed run costs width/8 bytes.  8 is the format's group size and
-# a reasonable universal threshold (parquet-mr uses the same).
+# the floor (runs must leave the preceding bit-packed run a multiple
+# of 8 values).
 MIN_RLE_RUN = 8
+
+
+def _min_rle_run(width: int) -> int:
+    """Size break-even run length at ``width``: the RLE run must save
+    more bit-packed bytes (run*width/8) than it spends on its own
+    header+value plus the extra bit-packed run header the split
+    introduces (~4 bytes total).  At width 1 that is 40 values — an
+    8-long RLE run there COSTS ~3 bytes to save 1, which is how naive
+    run detection emits a LARGER stream than one bit-packed run on
+    90%-ones definition levels (measured 299 kB vs 250 kB on 2M
+    levels)."""
+    return max(MIN_RLE_RUN, -(-8 * ((width + 7) // 8 + 4) // width))
 
 
 def _rle_run(value: int, count: int, width: int) -> bytes:
@@ -55,11 +68,33 @@ def encode_hybrid(values: np.ndarray, width: int, prepend_length: bool = False) 
             # all values are 0 and the reader knows it: single RLE run
             parts.append(uvarint_encode(n << 1))
         else:
+            min_run = _min_rle_run(width)
+            # run-density gate on a bounded sample: when equal-neighbor
+            # pairs are rarer than 1/min_run, runs >= min_run are
+            # (geometrically) negligible and detection can't pay for
+            # its pass — emit ONE bit-packed run, the reference
+            # writer's exact scheme (fastparquet/writer.py:356-366),
+            # through the C bit packer.  Deterministic, so the native
+            # and numpy paths stay bit-identical.
+            head = v[:65536]
+            eq = int(np.count_nonzero(head[1:] == head[:-1]))
+            if len(head) > min_run and eq * min_run < len(head):
+                body = _bp_run(v, width)
+                if prepend_length:
+                    return len(body).to_bytes(4, "little") + body
+                return body
+            from fastparquet_spark.codecs.native import encode_hybrid_native
+
+            body = encode_hybrid_native(v, width, min_run)
+            if body is not None:
+                if prepend_length:
+                    return len(body).to_bytes(4, "little") + body
+                return body
             # run detection, vectorized
             change = np.nonzero(np.diff(v))[0] + 1
             starts = np.concatenate(([0], change)).astype(np.int64)
             lengths = np.diff(np.concatenate((starts, [n])))
-            long_idx = np.nonzero(lengths >= MIN_RLE_RUN)[0]
+            long_idx = np.nonzero(lengths >= min_run)[0]
             pos = 0
             for ri in long_idx:
                 s, ln = int(starts[ri]), int(lengths[ri])
@@ -67,7 +102,7 @@ def encode_hybrid(values: np.ndarray, width: int, prepend_length: bool = False) 
                 # values: steal leading values of the run into the gap
                 extra = (-(s - pos)) % 8
                 s2, ln2 = s + extra, ln - extra
-                if ln2 < MIN_RLE_RUN:
+                if ln2 < min_run:
                     continue
                 if s2 > pos:
                     parts.append(_bp_run(v[pos:s2], width))
