@@ -110,6 +110,56 @@ def test_hybrid_beats_single_bitpack_on_runs():
     assert ours < reference_style / 10
 
 
+def test_hybrid_never_beaten_by_single_bitpack():
+    # the width-aware break-even (_min_rle_run) exists because naive
+    # run detection at width 1 EXPANDED 90%-ones levels past the
+    # single-run scheme; pin <= for the shapes that exposed it
+    rng2 = np.random.default_rng(99)
+    shapes = [
+        ((rng2.random(200_000) < 0.9).astype(np.uint64), 1),
+        ((rng2.random(200_000) < 0.5).astype(np.uint64), 1),
+        (np.minimum(rng2.zipf(1.3, 200_000) - 1, 4000).astype(np.uint64), 12),
+        (rng2.integers(0, 8, 200_000).astype(np.uint64), 3),
+    ]
+    for vals, width in shapes:
+        ours = len(encode_hybrid(vals, width))
+        single = 5 + -(-len(vals) // 8) * width
+        assert ours <= single, (width, ours, single)
+
+
+@pytest.mark.parametrize("width", [1, 2, 3, 5, 8, 12, 20, 32, 57])
+def test_hybrid_native_matches_numpy_bit_identically(width, rng):
+    """The C kernel (encode_hybrid_c) and the numpy run-detection path
+    must emit IDENTICAL bytes — the C path is an accelerator, not an
+    alternative format."""
+    import fastparquet_spark.codecs.native as nat
+
+    if nat._load() is None:
+        pytest.skip("no C compiler")
+    hi = 1 << width
+    cases = [
+        rng.integers(0, hi, 1).astype(np.uint64),
+        rng.integers(0, hi, 7).astype(np.uint64),
+        rng.integers(0, hi, 20_000).astype(np.uint64),
+        np.full(500, hi - 1, np.uint64),
+        (rng.random(20_000) < 0.9).astype(np.uint64) * (hi - 1),
+        np.repeat(rng.integers(0, hi, 100).astype(np.uint64),
+                  rng.integers(1, 120, 100)),
+        np.tile(np.arange(min(hi, 16), dtype=np.uint64), 100),
+    ]
+    real = nat.encode_hybrid_native
+    for vals in cases:
+        a = encode_hybrid(vals, width)
+        nat.encode_hybrid_native = lambda *args: None
+        try:
+            b = encode_hybrid(vals, width)
+        finally:
+            nat.encode_hybrid_native = real
+        assert a == b, (width, len(a), len(b))
+        got, _ = decode_hybrid(a, width, len(vals), length=len(a))
+        np.testing.assert_array_equal(got, vals)
+
+
 @given(st.lists(st.integers(-2**31, 2**31 - 1), min_size=0, max_size=500))
 @settings(max_examples=50, deadline=None)
 def test_delta_roundtrip_property(xs):
