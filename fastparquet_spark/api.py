@@ -953,6 +953,26 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
     comp = compression if compression is not None else "UNCOMPRESSED"
     req = _required_from_has_nulls(has_nulls, table,
                                    skip=set(partition_on))
+    if req and isinstance(data, pd.DataFrame):
+        # reference semantics for plain-float frames: NaN is a VALUE,
+        # not a null — fastparquet writes it into REQUIRED columns
+        # (writer.py 'infer'/False treat only object columns as
+        # nullable).  Arrow's from_pandas turned those NaNs into
+        # nulls; restore them so the REQUIRED declaration holds.
+        # Masked extension floats (Float64Dtype) keep real nulls and
+        # still fail loudly below if declared non-null.
+        import numpy as np
+        import pyarrow.compute as pc
+
+        for i, f in enumerate(table.schema):
+            if (f.name in req and pa.types.is_floating(f.type)
+                    and f.name in data.columns
+                    and isinstance(data[f.name].dtype, np.dtype)
+                    and data[f.name].dtype.kind == "f"
+                    and table.column(i).null_count):
+                filled = pc.fill_null(table.column(i), float("nan"))
+                table = table.set_column(
+                    i, pa.field(f.name, f.type, f.nullable), filled)
     if req:
         kwargs.setdefault("required_cols", req)
 

@@ -623,9 +623,13 @@ def test_has_nulls_required_columns(tmp_path):
     assert read_file(p).column("k").to_pylist() == list(range(900))
     assert pq.read_table(p).column("s").to_pylist() == df["s"].tolist()
 
+    # float None becomes NaN in a plain-float frame — a VALUE under
+    # reference semantics, so has_nulls=False WRITES it (see
+    # test_has_nulls_infer_float_nan_is_a_value); a None in an OBJECT
+    # column is a real null and must raise
     with pytest.raises(ValueError, match="declared non-null"):
         write(str(tmp_path / "bad.parquet"),
-              pd.DataFrame({"a": [1.0, None]}), has_nulls=False)
+              pd.DataFrame({"a": ["x", None]}), has_nulls=False)
 
     p2 = str(tmp_path / "inf.parquet")
     write(p2, pd.DataFrame({"i": [1, 2], "t": ["a", None]}),
@@ -851,3 +855,37 @@ def test_reference_instance_attributes(tmp_path):
     fp = str(tmp_path / "foreign.parquet")
     pq.write_table(pq.read_table(path), fp)
     assert ParquetFile(fp).selfmade is False
+
+
+def test_has_nulls_infer_float_nan_is_a_value(tmp_path):
+    """Reference semantics (writer.py has_nulls='infer'/False): plain
+    float NaN is a VALUE, written into REQUIRED columns — not a null
+    that invalidates the declaration.  Masked extension floats and
+    Arrow tables with real nulls still fail loudly."""
+    import numpy as np
+
+    fn = str(tmp_path / "t.parquet")
+    df = pd.DataFrame({"f": [1.0, np.nan, 3.0], "s": ["a", None, "c"]})
+    write(fn, df, has_nulls="infer")
+    out = ParquetFile(fn).to_pandas()
+    assert out.f.tolist()[0] == 1.0 and np.isnan(out.f.tolist()[1])
+    assert out.s.tolist() == ["a", None, "c"]
+    # independent readers agree and see a REQUIRED float column
+    import duckdb
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(fn)
+    assert not got.schema.field("f").nullable
+    assert got.column("f").null_count == 0
+    r = duckdb.sql(
+        f"SELECT count(*) FILTER (isnan(f)), count(f) FROM '{fn}'"
+    ).fetchone()
+    assert r == (1, 3)
+
+    with pytest.raises(ValueError, match="non-null"):
+        write(fn, pd.DataFrame(
+            {"f": pd.array([1.0, None], dtype="Float64")}), has_nulls=False)
+    import pyarrow as pa
+    with pytest.raises(ValueError, match="non-null"):
+        write(fn, pa.table({"f": pa.array([1.0, None])}),
+              has_nulls=False)
