@@ -504,8 +504,8 @@ class ParquetFile:
                 for n in names}
             df = pa.table(empty).to_pandas()
         else:
-            df = pa.concat_tables(parts,
-                                  promote_options="default").to_pandas()
+            tbl = pa.concat_tables(parts, promote_options="default")
+            df = self._restore_meta_types(tbl).to_pandas()
         # default categories from the pandas metadata, the reference's
         # check_categories path (api.py:534-545): a frame written with
         # Categorical columns reads back Categorical
@@ -517,6 +517,41 @@ class ParquetFile:
         elif index is None:
             df = self._restore_pandas_index(df, columns)
         return df
+
+    def _restore_meta_types(self, tbl: pa.Table) -> pa.Table:
+        """Restore pandas-level types the parquet encoding flattened,
+        from the 'pandas' schema JSON — the reference's read-back
+        behavior (converted_types.py:192-203 returns TIME_* as
+        timedelta64; dataframe.py re-localizes datetimetz):
+
+        - a column written from ``timedelta64`` rides as
+          INT64/TIME_MICROS (writer parity) and would otherwise
+          surface as ``datetime.time`` objects — cast back to Arrow
+          duration so pandas sees timedelta64 again;
+        - a tz-aware column is stored UTC — cast the zone back on
+          (instant-preserving metadata cast)."""
+        for m in self.pandas_metadata.get("columns", []):
+            name, meta = m.get("name"), m.get("metadata") or {}
+            if name not in tbl.column_names:
+                continue
+            i = tbl.column_names.index(name)
+            t = tbl.field(i).type
+            np_t = str(m.get("numpy_type") or "")
+            if np_t.startswith("timedelta64") and (
+                    pa.types.is_time(t) or pa.types.is_integer(t)):
+                unit = getattr(t, "unit", None) or "us"
+                col = tbl.column(i).cast(pa.int64()).cast(pa.duration(unit))
+                tbl = tbl.set_column(
+                    i, pa.field(name, col.type, tbl.field(i).nullable), col)
+            elif (m.get("pandas_type") == "datetimetz"
+                    and meta.get("timezone")
+                    and pa.types.is_timestamp(t)
+                    and t.tz != meta["timezone"]):
+                col = tbl.column(i).cast(
+                    pa.timestamp(t.unit, meta["timezone"]))
+                tbl = tbl.set_column(
+                    i, pa.field(name, col.type, tbl.field(i).nullable), col)
+        return tbl
 
     def _restore_pandas_index(self, df, columns):
         """Restore the frame index from the 'pandas' schema JSON in
@@ -589,7 +624,7 @@ class ParquetFile:
                     if columns is None or k in columns:
                         tbl = tbl.append_column(
                             k, self._pcol(k, v, tbl.num_rows))
-                yield tbl.to_pandas()
+                yield self._restore_meta_types(tbl).to_pandas()
 
     def read_row_group_file(self, rg, columns=None, categories=None,
                             index=None):
@@ -619,7 +654,7 @@ class ParquetFile:
                         if columns is None or k in want:
                             tbl = tbl.append_column(
                                 k, self._pcol(k, v, nrows))
-                    df = tbl.to_pandas()
+                    df = self._restore_meta_types(tbl).to_pandas()
                     for c in self.check_categories(categories):
                         if c in df.columns:
                             df[c] = df[c].astype("category")
@@ -940,6 +975,15 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
         # being told its name — the reference's behavior
         # (fastparquet/writer.py:719-729, read back api.py:555-562)
         table = pa.Table.from_pandas(data, preserve_index=write_index)
+        # an all-None object column infers Arrow type `null`, which no
+        # parquet physical type backs; the reference writes object
+        # columns as utf8 under 'infer' (writer.py:114-154), so an
+        # all-null one is an all-null STRING column
+        for i, f in enumerate(table.schema):
+            if pa.types.is_null(f.type):
+                table = table.set_column(
+                    i, pa.field(f.name, pa.string(), True),
+                    table.column(i).cast(pa.string()))
         table = _apply_object_encoding(table, object_encoding, data)
         pmd = (table.schema.metadata or {}).get(b"pandas")
         if pmd is not None:

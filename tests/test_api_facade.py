@@ -889,3 +889,36 @@ def test_has_nulls_infer_float_nan_is_a_value(tmp_path):
     with pytest.raises(ValueError, match="non-null"):
         write(fn, pa.table({"f": pa.array([1.0, None])}),
               has_nulls=False)
+
+
+def test_pandas_type_restore_timedelta_tz_allnull(tmp_path):
+    """Read-back parity with the reference for pandas types the
+    parquet encoding flattens: timedelta64 rides as INT64/TIME_MICROS
+    and must come back timedelta64 (converted_types.py:192-203), a
+    tz-aware column is stored UTC and must come back in its original
+    zone, and an all-None object column writes as an all-null STRING
+    column instead of failing on Arrow's `null` type."""
+    fn = str(tmp_path / "t.parquet")
+    df = pd.DataFrame({
+        "td": pd.to_timedelta([1, 2, 3], unit="s"),
+        "t": pd.date_range("2024-01-01", periods=3, freq="h",
+                           tz="US/Eastern"),
+        "a": [None, None, None],
+        "k": [1, 2, 3],
+    })
+    write(fn, df)
+    pf = ParquetFile(fn)
+    out = pf.to_pandas()
+    assert out.td.dtype.kind == "m"
+    assert out.td.tolist() == df.td.tolist()
+    assert str(out.t.dtype).endswith("US/Eastern]")
+    assert out.t.iloc[0].isoformat() == "2024-01-01T00:00:00-05:00"
+    assert out.a.tolist() == [None, None, None]
+    # the restore applies on every pandas-producing path
+    it = next(pf.iter_row_groups())
+    assert it.td.dtype.kind == "m" and str(it.t.dtype).endswith("Eastern]")
+    one = pf.read_row_group_file(pf.row_groups[0])
+    assert one.td.dtype.kind == "m"
+    # independent reader sees the flat encoding (TIME/UTC), not garbage
+    got = pq.read_table(fn)
+    assert got.num_rows == 3
