@@ -505,7 +505,8 @@ class ParquetFile:
             df = pa.table(empty).to_pandas()
         else:
             tbl = pa.concat_tables(parts, promote_options="default")
-            df = self._restore_meta_types(tbl).to_pandas()
+            df = self._restore_masked_dtypes(
+                self._restore_meta_types(tbl).to_pandas())
         # default categories from the pandas metadata, the reference's
         # check_categories path (api.py:534-545): a frame written with
         # Categorical columns reads back Categorical
@@ -551,7 +552,35 @@ class ParquetFile:
                     pa.timestamp(t.unit, meta["timezone"]))
                 tbl = tbl.set_column(
                     i, pa.field(name, col.type, tbl.field(i).nullable), col)
+        # DATE columns surface as datetime64 like the reference
+        # (converted_types.py:189-191), metadata or not; 'ms' covers
+        # the full date32 range where 'ns' would overflow
+        for i, f in enumerate(tbl.schema):
+            if pa.types.is_date(f.type):
+                col = tbl.column(i).cast(pa.timestamp("ms"))
+                tbl = tbl.set_column(
+                    i, pa.field(f.name, col.type, f.nullable), col)
         return tbl
+
+    _MASKED_NUMPY_TYPES = {
+        "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32",
+        "UInt64", "Float32", "Float64", "boolean",
+    }
+
+    def _restore_masked_dtypes(self, df):
+        """Columns written from pandas masked extension dtypes (Int64,
+        boolean, ...) come back in them — the reference supports masked
+        dtypes explicitly (api.py:687 BaseMaskedDtype handling); without
+        this an Int64 column silently degrades to float64 + NaN."""
+        for m in self.pandas_metadata.get("columns", []):
+            name, np_t = m.get("name"), str(m.get("numpy_type") or "")
+            if np_t in self._MASKED_NUMPY_TYPES and name in df.columns \
+                    and str(df[name].dtype) != np_t:
+                try:
+                    df[name] = df[name].astype(np_t)
+                except (TypeError, ValueError):
+                    pass  # leave the decoded dtype rather than corrupt
+        return df
 
     def _restore_pandas_index(self, df, columns):
         """Restore the frame index from the 'pandas' schema JSON in
@@ -624,7 +653,8 @@ class ParquetFile:
                     if columns is None or k in columns:
                         tbl = tbl.append_column(
                             k, self._pcol(k, v, tbl.num_rows))
-                yield self._restore_meta_types(tbl).to_pandas()
+                yield self._restore_masked_dtypes(
+                    self._restore_meta_types(tbl).to_pandas())
 
     def read_row_group_file(self, rg, columns=None, categories=None,
                             index=None):
@@ -654,7 +684,8 @@ class ParquetFile:
                         if columns is None or k in want:
                             tbl = tbl.append_column(
                                 k, self._pcol(k, v, nrows))
-                    df = self._restore_meta_types(tbl).to_pandas()
+                    df = self._restore_masked_dtypes(
+                        self._restore_meta_types(tbl).to_pandas())
                     for c in self.check_categories(categories):
                         if c in df.columns:
                             df[c] = df[c].astype("category")

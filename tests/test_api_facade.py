@@ -922,3 +922,27 @@ def test_pandas_type_restore_timedelta_tz_allnull(tmp_path):
     # independent reader sees the flat encoding (TIME/UTC), not garbage
     got = pq.read_table(fn)
     assert got.num_rows == 3
+
+
+def test_date_and_masked_dtype_restore(tmp_path):
+    """DATE columns surface as datetime64 (reference
+    converted_types.py:189-191); masked extension dtypes (Int64,
+    boolean — reference api.py:687 BaseMaskedDtype) come back in kind
+    instead of degrading to float64+NaN / object."""
+    import datetime
+
+    fn = str(tmp_path / "t.parquet")
+    df = pd.DataFrame({
+        "d": [datetime.date(2024, 1, 1), datetime.date(2024, 6, 2)],
+        "i": pd.array([1, None], dtype="Int64"),
+        "b": pd.array([True, None], dtype="boolean"),
+    })
+    write(fn, df)
+    pf = ParquetFile(fn)
+    out = pf.to_pandas()
+    assert out.d.dtype.kind == "M"
+    assert out.d.iloc[1] == pd.Timestamp("2024-06-02")
+    assert str(out.i.dtype) == "Int64" and out.i.isna().tolist() == [False, True]
+    assert str(out.b.dtype) == "boolean" and out.b.iloc[0] is np.True_ or out.b.iloc[0] == True  # noqa: E712
+    assert str(next(pf.iter_row_groups()).i.dtype) == "Int64"
+    assert str(pf.read_row_group_file(pf.row_groups[0]).b.dtype) == "boolean"
