@@ -407,7 +407,24 @@ class ParquetWriter:
         # The reference reader decodes neither, hence opt-in.
         self.compat = compat
         self.f = f
-        self.codec, self.level = comp.codec_spec(compression)
+        # the reference's per-column compression form ({col: spec,
+        # "_default": spec}, writer.py:656-662) — distinguished from a
+        # single codec-spec dict by the absence of codec-spec keys.
+        # None values mean UNCOMPRESSED (compress_data(None) contract);
+        # columns absent from the map fall to _default, else
+        # UNCOMPRESSED.  Silently writing everything UNCOMPRESSED for
+        # this form was a data-bloat bug.
+        self._col_comp = None
+        if isinstance(compression, dict) and not (
+                {"codec", "type", "level", "args"} & set(compression)):
+            self._col_comp = {
+                k: comp.codec_spec(v if v is not None else "UNCOMPRESSED")
+                for k, v in compression.items()}
+            self._default_comp = self._col_comp.get(
+                "_default", comp.codec_spec("UNCOMPRESSED"))
+            self.codec, self.level = self._default_comp
+        else:
+            self.codec, self.level = comp.codec_spec(compression)
         self.encodings = encodings or {}
         self.want_stats = stats
         self.page_version = data_page_version
@@ -1099,6 +1116,12 @@ class ParquetWriter:
         chunks_cols = []
         rg_bytes = 0
         for ci, (ptype, cast_to, name) in enumerate(self.col_meta):
+            if self._col_comp is not None:
+                # per-column codec: helpers read self.codec, this
+                # branch reads the loop locals — refresh both
+                self.codec, self.level = self._col_comp.get(
+                    name, self._default_comp)
+                codec, level = self.codec, self.level
             arr = chunk.column(ci).combine_chunks()
             if ptype == "list":
                 written, cmd_entry, colres = self._write_list_column(

@@ -946,3 +946,35 @@ def test_date_and_masked_dtype_restore(tmp_path):
     assert str(out.b.dtype) == "boolean" and out.b.iloc[0] is np.True_ or out.b.iloc[0] == True  # noqa: E712
     assert str(next(pf.iter_row_groups()).i.dtype) == "Int64"
     assert str(pf.read_row_group_file(pf.row_groups[0]).b.dtype) == "boolean"
+
+
+def test_per_column_compression_dict(tmp_path):
+    """The reference's per-column compression form (writer.py:656-662,
+    docstring :840-860): {col: spec, "_default": spec}, specs either
+    names or {"type","args"} dicts; unlisted columns fall to _default,
+    else UNCOMPRESSED.  This form previously wrote EVERYTHING
+    uncompressed silently."""
+    df = pd.DataFrame({"a": range(500), "b": [str(i) * 3 for i in range(500)],
+                       "l": [[1, 2]] * 500})
+    fn = str(tmp_path / "pc.parquet")
+    write(fn, df, compression={"a": "GZIP", "_default": "ZSTD"})
+    md = pq.ParquetFile(fn).metadata.row_group(0)
+    by_col = {md.column(i).path_in_schema.split(".")[0]:
+              md.column(i).compression for i in range(md.num_columns)}
+    assert by_col["a"] == "GZIP" and by_col["b"] == "ZSTD"
+    assert by_col["l"] == "ZSTD"  # nested columns honor the map too
+    out = ParquetFile(fn).to_pandas()
+    assert out.a.tolist() == list(range(500))
+    assert [list(x) for x in out.l[:2]] == [[1, 2], [1, 2]]
+
+    write(fn, df[["a", "b"]], compression={
+        "b": {"type": "GZIP", "args": {"level": 3}},
+        "_default": {"type": "SNAPPY", "args": None}})
+    md = pq.ParquetFile(fn).metadata.row_group(0)
+    assert md.column(0).compression == "SNAPPY"
+    assert md.column(1).compression == "GZIP"
+
+    write(fn, df[["a", "b"]], compression={"a": "ZSTD"})  # no _default
+    md = pq.ParquetFile(fn).metadata.row_group(0)
+    assert md.column(0).compression == "ZSTD"
+    assert md.column(1).compression == "UNCOMPRESSED"
