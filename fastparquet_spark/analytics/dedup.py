@@ -48,8 +48,14 @@ def shingles_of(docs, distinct: bool = True):
 
 
 def _shingles_df(spark, sf_dir, max_doc=None, distinct: bool = True):
-    """:func:`shingles_of` over the ``documents`` table at ``sf_dir``."""
-    docs = load(spark, sf_dir, "documents")
+    """:func:`shingles_of` over the ``documents`` table at ``sf_dir``.
+
+    Loaded with ``spread=True``: the tokenize+shingle map stage is the
+    most expensive per-row work in the whole registry, and the test
+    inputs are single-row-group files whose scan would otherwise run it
+    all in ONE task (guide §2.5 input skew; see relational._spread for
+    the scale-adaptive no-op guard)."""
+    docs = load(spark, sf_dir, "documents", spread=True)
     if max_doc is not None:
         docs = docs.filter(F.col("doc_id") < max_doc)
     return shingles_of(docs, distinct=distinct)
@@ -80,11 +86,7 @@ def dedup_minhash_signatures(spark, sf_dir, n_hashes: int | None = None):
     ``n_hashes`` defaults to the gate-scale ``N_HASHES``; production
     runs use 64-128 (see scripts/dedup_param_sweep.py)."""
     n_hashes = N_HASHES if n_hashes is None else n_hashes
-    sh = _shingles_df(spark, sf_dir, distinct=False)
-    mins = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))
-                        .cast("binary"))).alias(f"m{s}")
-            for s in range(n_hashes)]
-    per_doc = sh.groupBy("doc_id").agg(*mins)
+    per_doc = _minhash_wide(spark, sf_dir, n_hashes)
     stacked = per_doc.select(
         "doc_id",
         F.explode(F.array(*[
@@ -92,6 +94,28 @@ def dedup_minhash_signatures(spark, sf_dir, n_hashes: int | None = None):
                      F.col(f"m{s}").alias("minhash"))
             for s in range(n_hashes)])).alias("x"))
     return stacked.select("doc_id", "x.seed", "x.minhash")
+
+
+def _minhash_wide(spark, sf_dir, n_hashes: int):
+    """Per-doc wide MinHash signature ``(doc_id, m0..m{n-1})`` where
+    ``m_s = min over shingles of md5("{s}:" || shingle)`` — the shared
+    core of the signatures/pairs/clusters family: ONE map-side pass
+    (tokenize -> shingle -> n_hashes md5 partial mins), ONE exchange
+    (the groupBy(doc_id) final min).
+
+    The n_hashes mins stay parallel aggregates of a single groupBy
+    (never a seeds crossJoin), and the shingle stream is spread across
+    the cluster before the md5-heavy map stage (see _shingles_df).  A
+    distinct-shingle md5 cache (broadcast hash table keyed on the
+    shingle) was prototyped for this round and measured a TIE with the
+    direct aggregation once the map side was parallel (3.65s vs 3.57s
+    at sf1.0) — rejected: it adds an extra materialization job and a
+    vocabulary-bounded broadcast for no measured gain."""
+    sh = _shingles_df(spark, sf_dir, distinct=False)
+    mins = [F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh"))
+                        .cast("binary"))).alias(f"m{s}")
+            for s in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*mins)
 
 
 def dedup_minhash_lsh_pairs(spark, sf_dir, n_hashes: int | None = None,
@@ -109,14 +133,26 @@ def dedup_minhash_lsh_pairs(spark, sf_dir, n_hashes: int | None = None,
     if n_hashes % bands:
         raise ValueError(f"n_hashes={n_hashes} not divisible by "
                          f"bands={bands}")
-    sigs = dedup_minhash_signatures(spark, sf_dir, n_hashes)
+    per_doc = _minhash_wide(spark, sf_dir, n_hashes)
     rows_per_band = n_hashes // bands
-    # floor() then cast: DuckDB's cast(double as int) ROUNDS, Spark truncates
-    band_keys = (sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-                 .groupBy("doc_id", "band")
-                 .agg(F.md5(F.concat_ws(",", F.transform(
-                     F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                     lambda x: x.minhash)).cast("binary")).alias("band_key")))
+    # band key = md5 of the band's minhashes joined in seed order —
+    # computed DIRECTLY from the wide per-doc signature row (the seeds
+    # are distinct within a band, so sorting (seed, minhash) structs
+    # and concatenating minhashes, as the previous unpivot+regroup
+    # spelling did, is exactly seed-order concatenation).  This removes
+    # the (doc_id, band) re-aggregation and its collect_list buffers;
+    # the explode emits just `bands` small rows per doc, map-side.
+    band_keys = per_doc.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.col(f"m{s}") for s in
+                    range(b * rows_per_band, (b + 1) * rows_per_band)])
+                      .cast("binary")).alias("band_key"))
+            for b in range(bands)])).alias("x")) \
+        .select("doc_id", "x.band", "x.band_key")
     # pairs are generated INSIDE each bucket with higher-order functions —
     # a band_keys-vs-band_keys self-join would make Spark execute the whole
     # signature pipeline twice (no common-subplan reuse across join sides).
@@ -142,8 +178,14 @@ def dedup_minhash_lsh_pairs(spark, sf_dir, n_hashes: int | None = None,
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash over word tokens: per bit, sign of the sum of
     (+1/-1) contributions from md5(word) bits.  Bit extraction uses
-    portable hex-char set membership (identical on Spark and DuckDB)."""
-    docs = load(spark, sf_dir, "documents")
+    portable hex-char set membership (identical on Spark and DuckDB).
+    One map-side pass (spread, see _shingles_df) + one groupBy(doc_id)
+    exchange carrying 16 partial integer sums.  (A distinct-word md5
+    cache — broadcast hash table over the vocabulary — was prototyped
+    and measured SLOWER than direct evaluation once the map stage was
+    parallel: 4.0s vs 3.1s at sf1.0; the probe + extra materialization
+    cost more than the md5s it saved.)"""
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = (docs.select("doc_id", F.explode(_words()).alias("w"))
             .filter(F.col("w") != "")
             .withColumn("h", F.md5(F.col("w").cast("binary"))))

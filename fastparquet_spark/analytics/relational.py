@@ -17,8 +17,65 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load(spark: SparkSession, sf_dir: str, name: str,
+         spread: bool = False) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    return _spread(spark, df, path) if spread else df
+
+
+def _scan_splits(path: str, max_partition_bytes: int) -> int | None:
+    """Estimated natural scan parallelism of ``path`` from file sizes
+    alone (a local metadata stat, no Spark job, no footer read).  None
+    when the size cannot be determined cheaply — callers then leave the
+    scan as-is (the conservative choice)."""
+    import glob
+    import os
+
+    try:
+        if os.path.isfile(path):
+            sizes = [os.path.getsize(path)]
+        elif os.path.isdir(path):
+            sizes = [os.path.getsize(p) for p in
+                     glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True)]
+        else:
+            return None
+        if not sizes:
+            return None
+        return sum(-(-s // max_partition_bytes) for s in sizes)
+    except OSError:
+        return None
+
+
+def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive map-side parallelism for compute-heavy pipelines
+    (guide §2.5 'input skew' / §6 'input split size').
+
+    The analytics inputs at test scale are single small parquet files
+    (one row group), so every tokenize/md5/regex stage BEFORE the first
+    exchange runs in ONE task — the whole map side is serialized on one
+    core.  When the scan's natural split count is below the session's
+    parallelism, hash-repartition on the first column (a unique id in
+    every analytics table — deterministic, no round-robin pre-sort) so
+    the heavy per-row work fans out.  The shuffled bytes are at most the
+    input file itself (a few MB here), far below the compute saved.
+
+    At production scale this is a NO-OP by construction: total input
+    bytes >= parallelism x maxPartitionBytes means the scan already
+    yields enough splits and no shuffle is added — the adaptive guard,
+    not a constant tuned to local[32]."""
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                  .rstrip("b"))
+    except Exception:
+        mpb = 128 * 1024 * 1024
+    splits = _scan_splits(path, mpb)
+    if splits is None or splits >= par:
+        return df
+    return df.repartition(par, F.col(df.columns[0]))
 
 
 def _dsum(col):

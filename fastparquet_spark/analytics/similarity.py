@@ -26,14 +26,20 @@ def _norm(a):
 def sim_cosine_topk(spark, sf_dir, query_id: int = 0, k: int = 10):
     """Brute-force cosine top-k vs one query vector (broadcast scalar
     subquery; single scan, TakeOrderedAndProject for the top-k)."""
-    emb = load(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == query_id).select(
-        F.col("embedding").alias("q")).limit(1)
+    # the query-vector lookup scans unspread (a pushed-down point read);
+    # the corpus side is spread so the per-row dot/norm HOF math fans out
+    q = (load(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") == query_id)
+         .select(F.col("embedding").alias("q"),
+                 # ||q|| once in the broadcast row, not per corpus row —
+                 # same double ops, same product, bit-identical cosine
+                 _norm(F.col("embedding")).alias("qn")).limit(1))
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     joined = emb.filter(F.col("vec_id") != query_id).crossJoin(F.broadcast(q))
     cos = joined.select(
         "vec_id", "label",
         F.round(_dot(F.col("embedding"), F.col("q")) /
-                (_norm(F.col("embedding")) * _norm(F.col("q"))), 6).alias("cosine"))
+                (_norm(F.col("embedding")) * F.col("qn")), 6).alias("cosine"))
     return cos.orderBy(F.desc("cosine"), "vec_id").limit(k)
 
 
@@ -63,7 +69,7 @@ def sim_ann_ivf(spark, sf_dir, query_id: int = 0, k: int = 5, n_probe: int = 2):
     it; at 10^9 vectors that Generate step is the stage's hot spot.
     The plan is pinned Generate-free in tests/test_plans.py."""
     DIM = 64
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = load(spark, sf_dir, "embeddings", spread=True).withColumn(
         "emb_d", F.transform("embedding", lambda x: x.cast("double")))
     # centroid per label: element-wise mean as DIM parallel aggregates
     # of a single groupBy (no explode, no second shuffle)
@@ -169,15 +175,23 @@ def sim_neardup_lsh(spark, sf_dir, n_bits: int | None = None,
                    F.transform("embedding", lambda x: x.cast("double")).alias("e"),
                    _bucket_expr(n_bits).alias("bucket")))
     wb = Window.partitionBy("bucket").orderBy("vec_id")
+    # ||e|| once per capped bucket MEMBER, not once per candidate PAIR:
+    # a bucket of m members yields m*(m-1)/2 pairs, and the previous
+    # per-pair norm(ea)*norm(eb) re-walked both 64-dim arrays for every
+    # pair.  The precomputed factors feed the identical double multiply
+    # (na * nb), so the rounded cosine is bit-identical.
     emb = (emb.withColumn("rn", F.row_number().over(wb))
-           .filter(F.col("rn") <= max_bucket).drop("rn"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), "bucket")
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), "bucket")
+           .filter(F.col("rn") <= max_bucket).drop("rn")
+           .withColumn("n", _norm(F.col("e"))))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                   F.col("n").alias("na"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                   F.col("n").alias("nb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     cos = pairs.select(
         "vec_a", "vec_b",
         F.round(_dot(F.col("ea"), F.col("eb")) /
-                (_norm(F.col("ea")) * _norm(F.col("eb"))), 6).alias("cosine"))
+                (F.col("na") * F.col("nb")), 6).alias("cosine"))
     return cos.filter(F.col("cosine") >= threshold)
 
 
@@ -187,12 +201,15 @@ def sim_neardup_pairs(spark, sf_dir, max_id: int = 150, threshold: float = 0.7):
     per LSH bucket (sim_lsh_buckets) instead of all-pairs."""
     emb = (load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < max_id)
            .select("vec_id", F.transform("embedding",
-                                         lambda x: x.cast("double")).alias("e")))
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+                                         lambda x: x.cast("double")).alias("e"))
+           .withColumn("n", _norm(F.col("e"))))
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+                   F.col("n").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+                   F.col("n").alias("nb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = pairs.select(
         "vec_a", "vec_b",
         F.round(_dot(F.col("ea"), F.col("eb")) /
-                (_norm(F.col("ea")) * _norm(F.col("eb"))), 6).alias("cosine"))
+                (F.col("na") * F.col("nb")), 6).alias("cosine"))
     return cos.filter(F.col("cosine") >= threshold)

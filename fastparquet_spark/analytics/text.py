@@ -30,7 +30,7 @@ def _words(col="text"):
 def text_langid(spark, sf_dir):
     """Marker-word language ID: argmax over per-language marker counts,
     ties broken by language name (deterministic)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     toks = docs.select("doc_id", F.explode(_words()).alias("w"))
     scores = toks.groupBy("doc_id").agg(*[
         F.sum(F.when(F.col("w").isin(*marks), 1).otherwise(0)).cast("long").alias(f"s_{lang}")
@@ -47,13 +47,17 @@ def text_langid(spark, sf_dir):
 def text_quality(spark, sf_dir):
     """Quality scoring: char length, word count, mean word length,
     stopword ratio, all-caps ratio -> composite score."""
-    docs = load(spark, sf_dir, "documents")
-    w = _words()
+    docs = load(spark, sf_dir, "documents", spread=True)
     stop = ("the", "a", "of", "and", "to")
-    d = (docs
-         .withColumn("n_chars2", F.length("text"))
-         .withColumn("n_words", F.size(w))
-         .withColumn("n_stop", F.size(F.filter(w, lambda x: x.isin(*stop)))))
+    # tokenize ONCE into a materialized column: n_words and n_stop both
+    # consume it, and Catalyst will not inline a non-trivial alias that
+    # is referenced more than once — without this the regex tokenizer
+    # ran twice per row (guide §1.2 step 2: per-task work)
+    d = (docs.select("doc_id", F.length("text").alias("n_chars2"),
+                     _words().alias("w"))
+         .withColumn("n_words", F.size("w"))
+         .withColumn("n_stop",
+                     F.size(F.filter("w", lambda x: x.isin(*stop)))))
     return d.select(
         "doc_id", "n_chars2", "n_words",
         F.round(F.col("n_chars2") / F.col("n_words"), 6).alias("mean_wlen"),
@@ -66,7 +70,7 @@ def text_quality(spark, sf_dir):
 def text_token_count(spark, sf_dir):
     """Token counting: whitespace words + a BPE-ish subword estimate
     (chars/4 heuristic, the common LLM rule of thumb)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.size(_words()).alias("ws_tokens"),
@@ -81,7 +85,7 @@ def text_fingerprint(spark, sf_dir):
     derived from the materialized column — interpreted-mode fallbacks
     don't do subexpression elimination, so repeating the expression would
     normalize+hash every document twice."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
     fp = docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
     return fp.select("doc_id", "fp", F.substring("fp", 1, 4).alias("shard"))
@@ -119,7 +123,7 @@ def text_chunk_tokens(spark, sf_dir, chunk_words: int = 40):
     packing step of a training pipeline).  Pure map-side explode of a
     higher-order sequence expression — no shuffle, no UDF; output rows
     carry (doc_id, chunk_id, chunk_text, n_words)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     w = _words()
     d = docs.select("doc_id", w.alias("w"))
     # guard size(w) < 1 (null text -> size() = -1): Spark's sequence()
@@ -152,7 +156,7 @@ def text_redact_pii(spark, sf_dir):
     (an email + a digit run derived from doc_id) — identical
     construction on both engines; a vacuous all-zero-count gate proves
     nothing (the r4 ngram-jaccard lesson)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
     digits = r"[0-9]{6,}"
     aug = F.concat(F.col("text"), F.lit(" contact user"),
