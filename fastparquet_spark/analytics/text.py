@@ -20,11 +20,28 @@ LANG_MARKERS = {
 }
 
 
+_KEEP_CHARS = ("abcdefghijklmnopqrstuvwxyz"
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ")
+
+
 def _words(col="text"):
     """Shared tokenizer — MUST stay in lockstep with registry._WORDS_SQL
     (the DuckDB mirror); dedup.py imports this same helper so shingles
-    and text operators can never tokenize differently."""
-    return F.split(F.trim(F.lower(F.regexp_replace(F.col(col), "[^a-zA-Z0-9 ]", " "))), " +")
+    and text operators can never tokenize differently.
+
+    The punctuation scrub is guarded by a regex-free clean check:
+    ``translate`` deletes every kept char, and an empty remainder means
+    ``regexp_replace`` would be the identity, so it is skipped.  Rows
+    with ANY other character (punctuation, unicode, anything) take the
+    original regexp path — the guard only ever skips a provable no-op,
+    so tokenization is identical for every input.  Measured at sf1.0:
+    Java's regexp_replace costs ~2.2s across the corpus even when
+    nothing matches (per-row Matcher + StringBuffer rebuild); the
+    translate scan is ~0.3s (guide §1.2 step 2, per-task work)."""
+    scrubbed = F.when(
+        F.length(F.translate(F.col(col), _KEEP_CHARS, "")) == 0, F.col(col)
+    ).otherwise(F.regexp_replace(F.col(col), "[^a-zA-Z0-9 ]", " "))
+    return F.split(F.trim(F.lower(scrubbed)), " +")
 
 
 def text_langid(spark, sf_dir):
@@ -194,12 +211,18 @@ def text_contamination(spark, sf_dir, bench_max_doc: int = 50):
     pair; count_distinct after the broadcast filter gives the same
     answer for shuffle volume proportional to contamination, not
     corpus size.)"""
-    from fastparquet_spark.analytics.dedup import _shingles_df
+    from fastparquet_spark.analytics.dedup import _shingles_df, shingles_of
 
-    sh = _shingles_df(spark, sf_dir, distinct=False)
-    bench = (sh.filter(F.col("doc_id") < bench_max_doc)
+    # the bench branch scans only `bench_max_doc` docs (the doc_id
+    # predicate pushes to the parquet scan), so it skips the spread
+    # repartition the corpus branch wants — a 50-row shuffle stage
+    # would only add latency to the broadcast build
+    bench = (shingles_of(load(spark, sf_dir, "documents")
+                         .filter(F.col("doc_id") < bench_max_doc),
+                         distinct=False)
              .select("sh").distinct())
-    corpus = sh.filter(F.col("doc_id") >= bench_max_doc)
+    corpus = _shingles_df(spark, sf_dir,
+                          distinct=False).filter(F.col("doc_id") >= bench_max_doc)
     return (corpus.join(F.broadcast(bench), "sh")
             .groupBy("doc_id")
             .agg(F.count_distinct("sh").alias("n_shared")))

@@ -505,8 +505,8 @@ class ParquetFile:
             df = pa.table(empty).to_pandas()
         else:
             tbl = pa.concat_tables(parts, promote_options="default")
-            df = self._restore_masked_dtypes(
-                self._restore_meta_types(tbl).to_pandas())
+            tbl = self._restore_meta_types(tbl)
+            df = self._restore_masked_dtypes(tbl.to_pandas(), tbl)
         # default categories from the pandas metadata, the reference's
         # check_categories path (api.py:534-545): a frame written with
         # Categorical columns reads back Categorical
@@ -553,11 +553,16 @@ class ParquetFile:
                 tbl = tbl.set_column(
                     i, pa.field(name, col.type, tbl.field(i).nullable), col)
         # DATE columns surface as datetime64 like the reference
-        # (converted_types.py:189-191), metadata or not; 'ms' covers
-        # the full date32 range where 'ns' would overflow
+        # (converted_types.py:189-191), metadata or not.  The reference
+        # returns datetime64[ns]; match it whenever the values fit the
+        # ns-representable range (years 1677-2262) and fall back to 'ms'
+        # only on overflow, so dtype parity holds in the common case.
         for i, f in enumerate(tbl.schema):
             if pa.types.is_date(f.type):
-                col = tbl.column(i).cast(pa.timestamp("ms"))
+                try:
+                    col = tbl.column(i).cast(pa.timestamp("ns"), safe=True)
+                except pa.ArrowInvalid:
+                    col = tbl.column(i).cast(pa.timestamp("ms"))
                 tbl = tbl.set_column(
                     i, pa.field(f.name, col.type, f.nullable), col)
         return tbl
@@ -567,17 +572,32 @@ class ParquetFile:
         "UInt64", "Float32", "Float64", "boolean",
     }
 
-    def _restore_masked_dtypes(self, df):
+    def _restore_masked_dtypes(self, df, tbl=None):
         """Columns written from pandas masked extension dtypes (Int64,
         boolean, ...) come back in them — the reference supports masked
         dtypes explicitly (api.py:687 BaseMaskedDtype handling); without
-        this an Int64 column silently degrades to float64 + NaN."""
+        this an Int64 column silently degrades to float64 + NaN.
+
+        Integer columns are rebuilt FROM THE ARROW COLUMN
+        (``integer_object_nulls=True``) when it is available: Arrow's
+        default to_pandas routes int-with-null through float64, which
+        silently rounds values above 2**53 — the masked array must
+        round-trip exactly (reference fills masked arrays directly)."""
+        import pandas as pd
+
         for m in self.pandas_metadata.get("columns", []):
             name, np_t = m.get("name"), str(m.get("numpy_type") or "")
             if np_t in self._MASKED_NUMPY_TYPES and name in df.columns \
                     and str(df[name].dtype) != np_t:
                 try:
-                    df[name] = df[name].astype(np_t)
+                    if tbl is not None and name in tbl.column_names \
+                            and (np_t.startswith("Int")
+                                 or np_t.startswith("UInt")):
+                        vals = tbl.column(name).to_pandas(
+                            integer_object_nulls=True)
+                        df[name] = pd.array(vals, dtype=np_t)
+                    else:
+                        df[name] = df[name].astype(np_t)
                 except (TypeError, ValueError):
                     pass  # leave the decoded dtype rather than corrupt
         return df
@@ -653,8 +673,8 @@ class ParquetFile:
                     if columns is None or k in columns:
                         tbl = tbl.append_column(
                             k, self._pcol(k, v, tbl.num_rows))
-                yield self._restore_masked_dtypes(
-                    self._restore_meta_types(tbl).to_pandas())
+                tbl = self._restore_meta_types(tbl)
+                yield self._restore_masked_dtypes(tbl.to_pandas(), tbl)
 
     def read_row_group_file(self, rg, columns=None, categories=None,
                             index=None):
@@ -684,8 +704,8 @@ class ParquetFile:
                         if columns is None or k in want:
                             tbl = tbl.append_column(
                                 k, self._pcol(k, v, nrows))
-                    df = self._restore_masked_dtypes(
-                        self._restore_meta_types(tbl).to_pandas())
+                    tbl = self._restore_meta_types(tbl)
+                    df = self._restore_masked_dtypes(tbl.to_pandas(), tbl)
                     for c in self.check_categories(categories):
                         if c in df.columns:
                             df[c] = df[c].astype("category")
@@ -1048,6 +1068,33 @@ def write(filename, data, row_group_offsets: int | list = 50_000_000,
                 filled = pc.fill_null(table.column(i), float("nan"))
                 table = table.set_column(
                     i, pa.field(f.name, f.type, f.nullable), filled)
+            elif (f.name in req
+                  and (pa.types.is_timestamp(f.type)
+                       or pa.types.is_duration(f.type))
+                  and f.name in data.columns
+                  and isinstance(data[f.name].dtype, np.dtype)
+                  and data[f.name].dtype.kind in "Mm"
+                  and table.column(i).null_count):
+                # the reference's documented contract: 'floats and
+                # times can use the sentinel values NaN and NaT' —
+                # NaT is iNaT (int64 min) AS A VALUE in a REQUIRED
+                # time column, exactly like NaN in a float one.  The
+                # sentinel must be stamped in the STORED unit (us):
+                # a unit cast after filling would divide it into a
+                # non-sentinel number, so convert first (truncating
+                # like the reference), then fill.
+                target = pa.duration("us") \
+                    if pa.types.is_duration(f.type) \
+                    else pa.timestamp("us", tz=f.type.tz)
+                col = table.column(i)
+                if col.type != target:
+                    col = pc.cast(col, options=pc.CastOptions(
+                        target_type=target, allow_time_truncate=True))
+                sentinel = pa.array([-(2 ** 63)], pa.int64()) \
+                    .cast(target)[0]
+                filled = pc.fill_null(col, sentinel)
+                table = table.set_column(
+                    i, pa.field(f.name, target, f.nullable), filled)
     if req:
         kwargs.setdefault("required_cols", req)
 

@@ -314,9 +314,15 @@ def scan_unit(path, ris, pvals, absent, fallback, clauses, file_cols,
 
         from fastparquet_spark.io import _is_uri, get_fs
 
-        src = get_fs(path).open_read(path) if _is_uri(path) else path
-        tbl = pq.ParquetFile(src).read_row_groups(
-            sorted(ris), columns=cols_here, use_threads=False)
+        # close the remote handle after the read — long scan jobs leak
+        # connections/fds otherwise (they only died at GC)
+        if _is_uri(path):
+            with get_fs(path).open_read(path) as src:
+                tbl = pq.ParquetFile(src).read_row_groups(
+                    sorted(ris), columns=cols_here, use_threads=False)
+        else:
+            tbl = pq.ParquetFile(path).read_row_groups(
+                sorted(ris), columns=cols_here, use_threads=False)
     else:
         tbl = read_pages(path, fclauses, columns=cols_here, exact=exact,
                          row_groups=set(ris))
@@ -349,13 +355,19 @@ def scan_unit_batches(path, ris, pvals, absent, fallback, clauses,
         # URIs (s3/gs/hdfs) open through the io layer's pyarrow.fs
         # NativeFile — pq.ParquetFile itself does no URI inference
         src = get_fs(path).open_read(path) if _is_uri(path) else path
-        for b in pq.ParquetFile(src).iter_batches(
-                batch_size=batch_rows, row_groups=sorted(ris),
-                columns=cols_here, use_threads=False):
-            yield from _finish_unit(
-                pa.Table.from_batches([b]), drop_here, file_cols,
-                absent, drop_cols, part_cols, pvals,
-                arrow_schema).to_batches(max_chunksize=batch_rows)
+        try:
+            for b in pq.ParquetFile(src).iter_batches(
+                    batch_size=batch_rows, row_groups=sorted(ris),
+                    columns=cols_here, use_threads=False):
+                yield from _finish_unit(
+                    pa.Table.from_batches([b]), drop_here, file_cols,
+                    absent, drop_cols, part_cols, pvals,
+                    arrow_schema).to_batches(max_chunksize=batch_rows)
+        finally:
+            # close the remote handle even on partial consumption —
+            # long scan jobs leak connections/fds otherwise
+            if src is not path:
+                src.close()
     else:
         tbl = scan_unit(path, ris, pvals, absent, fallback, clauses,
                         file_cols, drop_cols, part_cols, arrow_schema,

@@ -1149,7 +1149,23 @@ class ParquetWriter:
                     pos += written
                 continue
             if cast_to is not None and arr.type != cast_to:
-                arr = arr.cast(cast_to)
+                try:
+                    arr = arr.cast(cast_to)
+                except pa.lib.ArrowInvalid:
+                    if (pa.types.is_duration(cast_to)
+                            or pa.types.is_timestamp(cast_to)
+                            or pa.types.is_time64(cast_to)
+                            or pa.types.is_time32(cast_to)):
+                        # sub-target-unit components truncate like the
+                        # reference (fastparquet time_shift floors to
+                        # the stored unit) instead of crashing write()
+                        import pyarrow.compute as _pc
+
+                        arr = _pc.cast(arr, options=_pc.CastOptions(
+                            target_type=cast_to,
+                            allow_time_truncate=True))
+                    else:
+                        raise
             n = len(arr)
             # values feed encoding choice / stats / blooms either way;
             # the full-column def-level RLE is only the SINGLE-page
