@@ -31,11 +31,19 @@ def shingles_of(docs, distinct: bool = True):
     correct wherever downstream is duplicate-insensitive (min() for
     MinHash); set operations (Jaccard counts) need distinct=True."""
     docs = docs.withColumn("w", _words())
+    # shingle i = w[i] ' ' w[i+1] ' ' w[i+2] spelled as direct
+    # element_at concats: the previous concat_ws(' ', slice(w, i+1, n))
+    # allocated a sub-array per shingle and ran 2.6x slower (sf1.0:
+    # 0.83s -> 0.31s for the shingle stage).  Identical output: split()
+    # never yields NULL elements, the only case where concat and
+    # concat_ws diverge.
+    _cat = ", ' ', ".join(f"element_at(w, i+{j + 1})"
+                          for j in range(SHINGLE))
     sh = docs.withColumn(
         "shingles",
         F.when(F.size("w") >= SHINGLE,
                F.expr(f"transform(sequence(0, size(w)-{SHINGLE}), "
-                      f"i -> concat_ws(' ', slice(w, i+1, {SHINGLE})))"))
+                      f"i -> concat({_cat}))"))
         .otherwise(F.array(F.concat_ws(" ", F.col("w")))))
     # explode_outer, NOT explode: InferFiltersFromGenerate would push a
     # `size(shingles)>0 AND isnotnull(shingles)` filter below the Generate
