@@ -185,8 +185,10 @@ def dedup_minhash_lsh_pairs(spark, sf_dir, n_hashes: int | None = None,
 
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash over word tokens: per bit, sign of the sum of
-    (+1/-1) contributions from md5(word) bits.  Bit extraction uses
-    portable hex-char set membership (identical on Spark and DuckDB).
+    (+1/-1) contributions from md5(word) bits.  The oracle extracts
+    bits with portable hex-char set membership; the Spark side parses
+    the same 4 hex chars into an int and shifts — provably the same
+    bits (see the inline derivation), cheaper per token.
     One map-side pass (spread, see _shingles_df) + one groupBy(doc_id)
     exchange carrying 16 partial integer sums.  (A distinct-word md5
     cache — broadcast hash table over the vocabulary — was prototyped
@@ -194,16 +196,24 @@ def dedup_simhash(spark, sf_dir):
     parallel: 4.0s vs 3.1s at sf1.0; the probe + extra materialization
     cost more than the md5s it saved.)"""
     docs = load(spark, sf_dir, "documents", spread=True)
+    # the 16 simhash bits live in the first 4 hex chars of md5(w):
+    # bit i = bit (i%4) of hex char (i//4).  Parse those 4 chars to an
+    # int ONCE and extract bits with integer shifts — exactly the set
+    # membership the per-char instr() masks ("13579bdf" = nibble bit 0
+    # set, "2367abef" = bit 1, ...) tested, minus 16 string ops per
+    # token (sf1.0: 0.95s -> 0.83s, equality verified over the corpus).
     toks = (docs.select("doc_id", F.explode(_words()).alias("w"))
             .filter(F.col("w") != "")
-            .withColumn("h", F.md5(F.col("w").cast("binary"))))
-    # bit i lives in hex char (i//4), mask set per (i%4)
-    masks = ["13579bdf", "2367abef", "4567cdef", "89abcdef"]
+            .withColumn("v", F.conv(F.substring(
+                F.md5(F.col("w").cast("binary")), 1, 4), 16, 10)
+                .cast("int")))
     aggs = []
     for i in range(16):
-        c = F.substring("h", i // 4 + 1, 1)
-        bit = F.when(F.instr(F.lit(masks[i % 4]), c) > 0, 1).otherwise(-1)
-        aggs.append(F.when(F.sum(bit) > 0, F.lit(1 << i)).otherwise(0).alias(f"b{i}"))
+        # hex char j=i//4+1 is nibble (v >> 4*(4-j)); its bit k=i%4
+        shift = 4 * (3 - i // 4) + (i % 4)
+        contrib = F.shiftright(F.col("v"), shift).bitwiseAND(F.lit(1)) * 2 - 1
+        aggs.append(F.when(F.sum(contrib) > 0, F.lit(1 << i))
+                    .otherwise(0).alias(f"b{i}"))
     per_doc = toks.groupBy("doc_id").agg(*aggs)
     total = sum([F.col(f"b{i}") for i in range(16)], F.lit(0))
     return per_doc.select("doc_id", total.cast("int").alias("simhash"))
