@@ -120,14 +120,21 @@ def fsst_train(data: np.ndarray, max_symbols: int = MAX_SYMBOLS) -> FsstTable:
         ok = ~is_reserved[win].any(axis=1)
         if not ok.any():
             continue
-        voids = np.ascontiguousarray(win[ok]).view(np.dtype((np.void, n))).ravel()
-        uniq, cnt = np.unique(voids, return_counts=True)
+        # pack each n-gram into a BIG-ENDIAN uint64: numeric order of
+        # the packed values IS lexicographic byte order, so np.unique
+        # returns the same uniq/cnt (in the same order) as the previous
+        # void-dtype spelling — but integer sort runs ~4x faster than
+        # void memcmp sort (the training hot spot, ~0.15s/column)
+        weights = (np.uint64(1) << (np.arange(n - 1, -1, -1,
+                                              dtype=np.uint64) * 8))
+        packed = win[ok].astype(np.uint64) @ weights
+        uniq, cnt = np.unique(packed, return_counts=True)
         top = np.argsort(cnt)[::-1][:256]
         for i in top:
             c = int(cnt[i])
             gain = (n - 1) * c - (n + 2)  # minus table overhead
             if c >= 4 and gain > 0:
-                cands.append((gain, uniq[i].tobytes()))
+                cands.append((gain, int(uniq[i]).to_bytes(n, "big")))
     cands.sort(key=lambda t: (-t[0], t[1]))
     symbols: list[bytes] = []
     seen: set[bytes] = set()
