@@ -242,7 +242,8 @@ def dedup_ngram_jaccard(spark, sf_dir, max_doc: int = 200, min_jaccard: float = 
 
 
 def connected_components(edges, max_iters: int = 20,
-                         checkpoint_every: int = 1):
+                         checkpoint_every: int = 1,
+                         assume_distinct: bool = False):
     """Distributed connected components by min-label propagation WITH
     pointer doubling: every node starts labeled with its own id; each
     round (a) relaxes labels across edges (min over neighbors) and
@@ -275,14 +276,20 @@ def connected_components(edges, max_iters: int = 20,
     if checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}")
-    # distinct hash-partitions by (src, dst); the per-round join keys on
-    # dst alone, so without this explicit repartition EVERY round would
-    # re-shuffle the (static) edge table — one shuffle here buys a
-    # co-located build side for all subsequent rounds
+    # the per-round join keys on dst alone, so without this explicit
+    # repartition EVERY round would re-shuffle the (static) edge table
+    # — one shuffle here buys a co-located build side for all
+    # subsequent rounds.  ``assume_distinct=True`` skips the dedup
+    # shuffle of the doubled edge set: callers whose input is already
+    # a distinct (src < dst) pair set (dedup_clusters — its pairs end
+    # in .distinct(), and the reversed side is disjoint from the
+    # forward side) get one shuffle of the edges instead of two.
     edges = (edges.select("src", "dst")
              .union(edges.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst")))
-             .distinct().repartition(F.col("dst"))
+                                 F.col("src").alias("dst"))))
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = (edges.repartition(F.col("dst"))
              .localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("cluster", F.col("doc_id")))
@@ -349,4 +356,7 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20,
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir, n_hashes, bands)
     return connected_components(
         pairs.select(F.col("doc_a").alias("src"),
-                     F.col("doc_b").alias("dst")), max_iters)
+                     F.col("doc_b").alias("dst")), max_iters,
+        # the pair set is distinct (doc_a < doc_b) by construction —
+        # skip the CC-internal dedup shuffle of the doubled edges
+        assume_distinct=True)
